@@ -1,0 +1,176 @@
+"""Cuckoo filter for the URL-seen set (north_star approximate membership).
+
+Standard partial-key cuckoo hashing (Fan et al., "Cuckoo Filter: Practically
+Better Than Bloom", CoNEXT'14 — public paper): buckets of 4 slots, 32-bit
+fingerprints, alternate bucket = bucket XOR hash(fingerprint). With 4-byte
+fingerprints at ~95% load the false-positive rate is ~2^-30 per lookup —
+sized so a 10^10-key frontier costs ~40 GB across frontier shards while
+keeping dedup errors negligible (SURVEY.md §2.7, R3).
+
+Deterministic: eviction victim selection uses a filter-local LCG, not
+``random``, so snapshots/restores replay identically. No false negatives
+ever (cuckoo property); ``ExactShadow`` wraps the filter with an exact set
+at test scale to prove the zero-FP behavior the conformance check needs.
+
+Keys are the 20-byte SHA-1 url_keys from ``raycrawl.urlnorm``.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_SLOTS_PER_BUCKET = 4
+_MAX_KICKS = 500
+_EMPTY = 0
+
+
+def _fp_hash(fp: int) -> int:
+    # cheap 32-bit integer mix (xorshift-multiply) for the partial-key XOR
+    x = fp & 0xFFFFFFFF
+    x ^= x >> 16
+    x = (x * 0x45D9F3B) & 0xFFFFFFFF
+    x ^= x >> 16
+    return x
+
+
+class CuckooFilter:
+    def __init__(self, capacity: int) -> None:
+        # round bucket count up to a power of two ≥ capacity/slots
+        nb = 1
+        need = max(1, capacity // _SLOTS_PER_BUCKET + 1)
+        while nb < need:
+            nb <<= 1
+        self.num_buckets = nb
+        self._mask = nb - 1
+        self.table = bytearray(nb * _SLOTS_PER_BUCKET * 4)  # 4-byte fps
+        self.count = 0
+        self._lcg = 0x2545F4914F6CDD1D  # deterministic eviction seed
+
+    # -- key decomposition -------------------------------------------------
+    def _parts(self, key: bytes) -> tuple[int, int, int]:
+        h = struct.unpack_from("<Q", key, 0)[0]
+        fp = struct.unpack_from("<I", key, 8)[0]
+        if fp == _EMPTY:
+            fp = 1  # reserve 0 for empty slots
+        i1 = h & self._mask
+        i2 = (i1 ^ _fp_hash(fp)) & self._mask
+        return fp, i1, i2
+
+    def _bucket_fps(self, i: int) -> list[int]:
+        base = i * _SLOTS_PER_BUCKET * 4
+        return list(struct.unpack_from("<4I", self.table, base))
+
+    def _try_put(self, i: int, fp: int) -> bool:
+        base = i * _SLOTS_PER_BUCKET * 4
+        for s in range(_SLOTS_PER_BUCKET):
+            off = base + s * 4
+            if struct.unpack_from("<I", self.table, off)[0] == _EMPTY:
+                struct.pack_into("<I", self.table, off, fp)
+                return True
+        return False
+
+    def _rand(self, n: int) -> int:
+        self._lcg = (self._lcg * 6364136223846793005 + 1442695040888963407) & (
+            (1 << 64) - 1
+        )
+        return (self._lcg >> 33) % n
+
+    # -- public API ---------------------------------------------------------
+    def contains(self, key: bytes) -> bool:
+        fp, i1, i2 = self._parts(key)
+        return fp in self._bucket_fps(i1) or fp in self._bucket_fps(i2)
+
+    def add(self, key: bytes) -> bool:
+        """Insert; returns False only when the filter is over-full."""
+        fp, i1, i2 = self._parts(key)
+        if self._try_put(i1, fp) or self._try_put(i2, fp):
+            self.count += 1
+            return True
+        # evict loop
+        i = i1 if self._rand(2) == 0 else i2
+        for _ in range(_MAX_KICKS):
+            base = i * _SLOTS_PER_BUCKET * 4
+            s = self._rand(_SLOTS_PER_BUCKET)
+            off = base + s * 4
+            victim = struct.unpack_from("<I", self.table, off)[0]
+            struct.pack_into("<I", self.table, off, fp)
+            fp = victim
+            i = (i ^ _fp_hash(fp)) & self._mask
+            if self._try_put(i, fp):
+                self.count += 1
+                return True
+        return False
+
+    def delete(self, key: bytes) -> bool:
+        fp, i1, i2 = self._parts(key)
+        for i in (i1, i2):
+            base = i * _SLOTS_PER_BUCKET * 4
+            for s in range(_SLOTS_PER_BUCKET):
+                off = base + s * 4
+                if struct.unpack_from("<I", self.table, off)[0] == fp:
+                    struct.pack_into("<I", self.table, off, _EMPTY)
+                    self.count -= 1
+                    return True
+        return False
+
+    @property
+    def load_factor(self) -> float:
+        return self.count / (self.num_buckets * _SLOTS_PER_BUCKET)
+
+    # -- snapshot -----------------------------------------------------------
+    def serialize(self) -> bytes:
+        header = struct.pack("<QQQ", self.num_buckets, self.count, self._lcg)
+        return header + bytes(self.table)
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "CuckooFilter":
+        num_buckets, count, lcg = struct.unpack_from("<QQQ", blob, 0)
+        f = cls.__new__(cls)
+        f.num_buckets = num_buckets
+        f._mask = num_buckets - 1
+        f.count = count
+        f._lcg = lcg
+        f.table = bytearray(blob[24:])
+        return f
+
+
+class ExactShadow:
+    """Cuckoo filter + exact set, used at test scale so conformance checks
+    ("final URL-seen set must match the reference") are exact while still
+    exercising the filter's no-false-negative property (SURVEY.md §2.5)."""
+
+    def __init__(self, capacity: int) -> None:
+        self.filter = CuckooFilter(capacity)
+        self.exact: set[bytes] = set()
+        self.false_positives = 0
+
+    def contains(self, key: bytes) -> bool:
+        approx = self.filter.contains(key)
+        truth = key in self.exact
+        if approx and not truth:
+            self.false_positives += 1
+        if truth and not approx:  # must never happen
+            raise AssertionError("cuckoo filter false negative")
+        return truth
+
+    def add(self, key: bytes) -> bool:
+        if key in self.exact:
+            return False
+        self.exact.add(key)
+        self.filter.add(key)
+        return True
+
+    def serialize(self) -> bytes:
+        blob = self.filter.serialize()
+        exact_blob = b"".join(sorted(self.exact))
+        return struct.pack("<Q", len(blob)) + blob + exact_blob
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "ExactShadow":
+        (flen,) = struct.unpack_from("<Q", blob, 0)
+        s = cls.__new__(cls)
+        s.filter = CuckooFilter.deserialize(blob[8 : 8 + flen])
+        rest = blob[8 + flen :]
+        s.exact = {rest[i : i + 20] for i in range(0, len(rest), 20)}
+        s.false_positives = 0
+        return s

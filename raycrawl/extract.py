@@ -1,0 +1,133 @@
+"""The extraction stage: pages → ScrapeData-shaped Arrow rows.
+
+Ray-Data-first design: ``PageExtractor`` is a callable class deployed as an
+actor pool via ``ds.map_batches(PageExtractor, batch_format="pyarrow",
+concurrency=N)``. Parser tables / regexes are built once per actor in
+``__init__`` (reference keeps them on a long-lived ContentExtractor the same
+way, scraper.py:283-309 / ST2 in SURVEY.md); ``__call__`` handles one Arrow
+batch. Per-row failures degrade to the reference's error shape
+(status_code=500 + error message, scraper.py:1272-1293) and never poison the
+batch.
+
+Pipeline per row (reference extract_content, scraper.py:664-700 +
+_process_page_data 1300-1355):
+  parse html → metadata (full page) → structured data (full page) →
+  main-content subset (only_main) → clean → markdown → links.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Optional
+
+import pyarrow as pa
+
+from .html.clean import clean_tree, find_main_content
+from .html.dom import Node, parse_html
+from .html.markdown import html_to_markdown
+from .html.metadata import extract_metadata, extract_structured
+from .links import extract_links_from_tree
+from .schema import EXTRACTED
+
+
+def extract_page(url: str, html: str, only_main: bool = True) -> dict[str, Any]:
+    """Pure single-page extraction — shared by the Ray stage, the crawl
+    pipeline and the single-threaded conformance oracle."""
+    root = parse_html(html)
+    metadata = extract_metadata(root)
+    structured = extract_structured(root)
+    links = extract_links_from_tree(root, url, link_filter=None)
+
+    content_root: Node = root
+    if only_main:
+        main = find_main_content(root)
+        if main is not None:
+            # re-parse so cleaning operates on a detached copy, mirroring the
+            # reference's str(content) round-trip (scraper.py:678-685)
+            content_root = parse_html(main.to_html())
+    clean_tree(content_root)
+    html_clean = content_root.to_html()
+    markdown = html_to_markdown(html_clean)
+
+    return {
+        "markdown": markdown,
+        "html_clean": html_clean,
+        "metadata": metadata,
+        "structured": structured,
+        "links": links,
+    }
+
+
+class PageExtractor:
+    """Actor-pool batch stage: PAGES schema in → EXTRACTED schema out."""
+
+    def __init__(self, only_main: bool = True) -> None:
+        self.only_main = only_main
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        has_ts = "warc_ts" in batch.column_names
+        ts = batch.column("warc_ts") if has_ts else pa.nulls(len(batch), pa.timestamp("us"))
+
+        cols: dict[str, list] = {name: [] for name in EXTRACTED.names if name not in ("url", "warc_ts")}
+        for url, html in zip(urls, htmls):
+            try:
+                text = html.decode("utf-8", errors="replace") if isinstance(html, (bytes, bytearray)) else (html or "")
+                res = extract_page(url, text, only_main=self.only_main)
+                md = res["metadata"]
+                st = res["structured"]
+                cols["markdown"].append(res["markdown"])
+                cols["html_clean"].append(res["html_clean"])
+                cols["title"].append(md.get("title", ""))
+                cols["description"].append(md.get("description", ""))
+                cols["language"].append(st["metaData"].get("language", ""))
+                cols["status_code"].append(200)
+                cols["error"].append(None)
+                cols["links"].append(res["links"])
+                cols["json_ld"].append(json.dumps(st["jsonLd"], sort_keys=True))
+                cols["open_graph"].append(json.dumps(st["openGraph"], sort_keys=True))
+                cols["twitter_card"].append(json.dumps(st["twitterCard"], sort_keys=True))
+                cols["meta_data"].append(json.dumps(st["metaData"], sort_keys=True))
+                cols["metadata_json"].append(json.dumps(md, sort_keys=True))
+            except Exception as exc:  # reference error shape scraper.py:1272-1293
+                cols["markdown"].append("")
+                cols["html_clean"].append("")
+                cols["title"].append("")
+                cols["description"].append("")
+                cols["language"].append("")
+                cols["status_code"].append(500)
+                cols["error"].append(str(exc))
+                cols["links"].append([])
+                cols["json_ld"].append("[]")
+                cols["open_graph"].append("{}")
+                cols["twitter_card"].append("{}")
+                cols["meta_data"].append('{"language": ""}')
+                cols["metadata_json"].append("{}")
+
+        arrays = [batch.column("url").cast(pa.string()), ts]
+        for name in EXTRACTED.names:
+            if name in ("url", "warc_ts"):
+                continue
+            arrays.append(pa.array(cols[name], type=EXTRACTED.field(name).type))
+        return pa.Table.from_arrays(arrays, schema=EXTRACTED)
+
+
+def scrape_dataset(
+    pages_ds: "ray.data.Dataset",  # noqa: F821
+    only_main: bool = True,
+    concurrency: Optional[int] = None,
+    batch_size: int = 64,
+):
+    """pages Dataset → extracted Dataset (the /scrape pipeline, SURVEY.md
+    §3.1 Ray shape). Modest batch_size because html rows can be MBs (R5)."""
+    import ray.data  # local import: module must not force ray at import time
+
+    kwargs: dict[str, Any] = dict(
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        fn_constructor_kwargs={"only_main": only_main},
+    )
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return pages_ds.map_batches(PageExtractor, **kwargs)
