@@ -55,6 +55,10 @@ def extract_page(url: str, html: str, only_main: bool = True) -> dict[str, Any]:
         "metadata": metadata,
         "structured": structured,
         "links": links,
+        # crawl expansion uses links of the *cleaned* html — the reference
+        # passes scrape_result["data"]["html"] (the cleaned, main-only html)
+        # to extract_links (crawler_service.py:61-65)
+        "crawl_links": extract_links_from_tree(content_root, url, link_filter=None),
     }
 
 

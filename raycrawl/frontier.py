@@ -1,0 +1,204 @@
+"""Sharded URL frontier actors (north_star core).
+
+Each ``FrontierShard`` owns the hosts with ``host_shard(host, S) == shard_id``
+and holds the only cross-task mutable state in the system (SURVEY.md ST3-ST6):
+
+- the URL-seen set — a cuckoo filter over 20-byte SHA-1 keys of canonical
+  URLs (``ExactShadow`` mode pairs it with an exact set at test scale so
+  conformance checks are exact while proving no-false-negatives);
+- a priority queue keyed ``(depth, seq)`` — BFS-equivalent pop order
+  (reference FIFO asyncio.Queue, queue_manager.py:26,54,79, with seq = the
+  global admission sequence);
+- per-host politeness token buckets (rate = pops/host/wave, refilled in
+  virtual wave time so runs are deterministic; the reference's global
+  ``rate_limit_delay = 0.0`` corresponds to rate=∞, queue_manager.py:30);
+- a per-host robots.txt cache (reference loads only the *seed* host's rules,
+  link_extractor.py:30-46 — ``seed_host_only`` reproduces that quirk).
+
+Two-phase admission keeps the global admission order deterministic under
+sharding: the driver sends candidates (with dense ranks in (parent_seq,
+document-position) order) to ``check_batch`` — a pure membership + robots
+probe — then assigns global seqs to the accepted ranks and confirms with
+``insert_batch``. Dedup of duplicate candidates *within* a batch is
+first-rank-wins, matching the serialized reference admission
+(queue_manager.py:46-57).
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+import pickle
+from typing import Optional
+
+import ray
+
+from .cuckoo import CuckooFilter, ExactShadow
+from .robots import RobotsCache
+
+
+class FrontierShardLocal:
+    """Plain-Python shard logic (actor-wrapped below; kept actor-free so unit
+    tests and the conformance oracle can drive it directly)."""
+
+    def __init__(
+        self,
+        shard_id: int,
+        capacity: int = 1 << 16,
+        exact_shadow: bool = True,
+        politeness_rate: float = math.inf,
+        politeness_burst: float = math.inf,
+        seed_host_only: bool = False,
+        seed_host: Optional[str] = None,
+        respect_robots: bool = True,
+    ) -> None:
+        self.shard_id = shard_id
+        self.seen = ExactShadow(capacity) if exact_shadow else CuckooFilter(capacity)
+        self.heap: list[tuple[int, int, str, str, Optional[str]]] = []  # (depth, seq, url, host, parent)
+        self.robots = RobotsCache(seed_host_only=seed_host_only, seed_host=seed_host)
+        self.respect_robots = respect_robots
+        self.rate = politeness_rate
+        self.burst = politeness_burst if politeness_burst != math.inf else politeness_rate
+        self.tokens: dict[str, float] = {}
+        self.last_wave: dict[str, int] = {}
+        # lineage counters (Prometheus-style, harvested by the driver)
+        self.n_offered = 0
+        self.n_admitted = 0
+        self.n_dup = 0
+        self.n_robots_blocked = 0
+        self.n_popped = 0
+
+    # -- robots -----------------------------------------------------------
+    def load_robots(self, bodies: dict[str, Optional[str]]) -> None:
+        for host, body in bodies.items():
+            self.robots.load(host, body)
+
+    # -- admission (two-phase) --------------------------------------------
+    def check_batch(
+        self, cands: list[tuple[int, bytes, str, str]]
+    ) -> list[tuple[int, bool]]:
+        """cands: (rank, url_key, url, host) in rank order. Returns
+        (rank, admissible) — batch-local duplicates are first-rank-wins.
+        Does NOT mutate the seen set (the driver may cap admissions)."""
+        out = []
+        batch_seen: set[bytes] = set()
+        for rank, key, url, host in cands:
+            self.n_offered += 1
+            if key in batch_seen or self.seen.contains(key):
+                self.n_dup += 1
+                out.append((rank, False))
+                continue
+            if self.respect_robots and not self.robots.is_allowed(url):
+                self.n_robots_blocked += 1
+                out.append((rank, False))
+                continue
+            batch_seen.add(key)
+            out.append((rank, True))
+        return out
+
+    def insert_batch(
+        self, items: list[tuple[int, int, str, str, Optional[str], bytes]]
+    ) -> int:
+        """items: (seq, depth, url, host, parent_url, url_key)."""
+        n = 0
+        for seq, depth, url, host, parent, key in items:
+            if not self.seen.add(key):
+                continue  # lost a race with a false duplicate; skip
+            heapq.heappush(self.heap, (depth, seq, url, host, parent))
+            n += 1
+        self.n_admitted += n
+        return n
+
+    # -- politeness + pop --------------------------------------------------
+    def _refill(self, host: str, wave: int) -> float:
+        if self.rate == math.inf:
+            return math.inf
+        last = self.last_wave.get(host, wave)
+        tok = self.tokens.get(host, self.burst)
+        tok = min(self.burst, tok + self.rate * (wave - last))
+        self.last_wave[host] = wave
+        self.tokens[host] = tok
+        return tok
+
+    def pop_batch(
+        self, wave: int, budget: int
+    ) -> list[tuple[int, int, str, Optional[str]]]:
+        """Pop ≤budget URLs in (depth, seq) order whose host has politeness
+        tokens this wave. Skipped (throttled) URLs stay queued."""
+        popped: list[tuple[int, int, str, Optional[str]]] = []
+        held: list[tuple[int, int, str, str, Optional[str]]] = []
+        while self.heap and len(popped) < budget:
+            depth, seq, url, host, parent = heapq.heappop(self.heap)
+            tok = self._refill(host, wave)
+            if tok >= 1.0:
+                if self.rate != math.inf:
+                    self.tokens[host] = tok - 1.0
+                popped.append((depth, seq, url, parent))
+            else:
+                held.append((depth, seq, url, host, parent))
+        for item in held:
+            heapq.heappush(self.heap, item)
+        self.n_popped += len(popped)
+        return popped
+
+    def push_back(self, items: list[tuple[int, int, str, Optional[str]]]) -> None:
+        """Return surplus pops (truncated by the global wave budget) to the
+        queue, refunding their politeness tokens."""
+        from .urlnorm import host_of
+
+        for depth, seq, url, parent in items:
+            host = host_of(url)
+            heapq.heappush(self.heap, (depth, seq, url, host, parent))
+            if self.rate != math.inf:
+                self.tokens[host] = min(self.burst, self.tokens.get(host, 0.0) + 1.0)
+        self.n_popped -= len(items)
+
+    def queue_size(self) -> int:
+        return len(self.heap)
+
+    def stats(self) -> dict:
+        return {
+            "shard": self.shard_id,
+            "offered": self.n_offered,
+            "admitted": self.n_admitted,
+            "dup_hits": self.n_dup,
+            "robots_blocked": self.n_robots_blocked,
+            "popped": self.n_popped,
+            "queued": len(self.heap),
+            "seen": getattr(self.seen, "count", None)
+            if not isinstance(self.seen, ExactShadow)
+            else len(self.seen.exact),
+            "filter_false_positives": getattr(self.seen, "false_positives", 0),
+        }
+
+    # -- checkpoint ---------------------------------------------------------
+    def snapshot(self) -> bytes:
+        state = {
+            "shard_id": self.shard_id,
+            "seen": self.seen.serialize(),
+            "seen_kind": "shadow" if isinstance(self.seen, ExactShadow) else "cuckoo",
+            "heap": self.heap,
+            "tokens": self.tokens,
+            "last_wave": self.last_wave,
+            "counters": (self.n_offered, self.n_admitted, self.n_dup,
+                         self.n_robots_blocked, self.n_popped),
+        }
+        return pickle.dumps(state)
+
+    def restore(self, blob: bytes) -> None:
+        state = pickle.loads(blob)
+        self.shard_id = state["shard_id"]
+        if state["seen_kind"] == "shadow":
+            self.seen = ExactShadow.deserialize(state["seen"])
+        else:
+            self.seen = CuckooFilter.deserialize(state["seen"])
+        self.heap = [tuple(x) for x in state["heap"]]
+        heapq.heapify(self.heap)
+        self.tokens = state["tokens"]
+        self.last_wave = state["last_wave"]
+        (self.n_offered, self.n_admitted, self.n_dup,
+         self.n_robots_blocked, self.n_popped) = state["counters"]
+
+
+# The Ray actor: one per shard, long-lived across waves (SURVEY.md §7.4).
+FrontierShard = ray.remote(FrontierShardLocal)

@@ -1,0 +1,478 @@
+"""Wave-synchronous BFS crawl over a Parquet page corpus (SURVEY.md §3.2).
+
+Ray shape per wave:
+
+    frontier shards --pop (depth,seq) order--> wave
+    wave -> corpus fetch (partition-pruned read_parquet + is_in filter, J4)
+         -> map_batches(WaveExtractor actor pool)   # extract + filter links
+         -> write wave Parquet (resume point)
+         -> small link projection to driver -> two-phase admission to shards
+    checkpoint (frontier snapshots + manifest)
+
+Determinism: pops are merged in (depth, seq) order; candidate links are
+enumerated (parent_seq, document-position)-major; global admission seqs are
+assigned in that order — the SURVEY.md Q1-Q5 resolutions. The admission
+sequence is invariant to wave size because pop order is seq order and waves
+concatenate in seq order.
+
+Driver work per wave is O(popped + candidate links) — bounded by
+``wave_budget`` × fan-out, never O(corpus).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import json
+import math
+import os
+import time
+from typing import Any, Optional
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from .extract import extract_page
+from .frontier import FrontierShard
+from .links import LinkFilter
+from .schema import CRAWL_RESULT, SEEN
+from .urlnorm import canonicalize, host_of, host_shard, normalize_url, url_key
+
+
+@dataclasses.dataclass
+class CrawlConfig:
+    seed_url: str
+    max_depth: int = 3
+    max_pages: int = 100
+    exclude_patterns: Optional[list[str]] = None
+    include_patterns: Optional[list[str]] = None
+    respect_robots: bool = True
+    seed_host_only_robots: bool = True  # reference quirk (link_extractor.py:30-46)
+    only_main: bool = True
+    num_shards: int = 4
+    wave_budget: int = 256          # max pops per wave across all shards
+    politeness_rate: float = math.inf   # pops per host per wave
+    politeness_burst: float = math.inf
+    extract_concurrency: int = 4
+    batch_size: int = 32
+    out_dir: Optional[str] = None   # results + checkpoints; tmp dir when None
+    resume: bool = False
+    exact_shadow: bool = True
+    filter_capacity: int = 1 << 16
+    max_waves: Optional[int] = None  # stop after N waves (checkpoint test hook)
+
+
+class WaveExtractor:
+    """Actor-pool stage: fetched wave rows → CRAWL_RESULT columns + filtered
+    candidate links. Link filter compiled once per actor (ST7)."""
+
+    def __init__(self, base_domain: str, exclude: Optional[list[str]],
+                 include: Optional[list[str]], only_main: bool) -> None:
+        self.link_filter = LinkFilter(base_domain, exclude, include)
+        self.only_main = only_main
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        out: dict[str, list] = {
+            "url": urls, "markdown": [], "title": [], "language": [],
+            "status_code": [], "json_ld": [], "open_graph": [],
+            "twitter_card": [], "meta_data": [], "links": [],
+        }
+        for url, html in zip(urls, htmls):
+            try:
+                text = html.decode("utf-8", errors="replace") if isinstance(html, (bytes, bytearray)) else (html or "")
+                res = extract_page(url, text, only_main=self.only_main)
+                st = res["structured"]
+                out["markdown"].append(res["markdown"])
+                out["title"].append(res["metadata"].get("title", ""))
+                out["language"].append(st["metaData"].get("language", ""))
+                out["status_code"].append(200)
+                out["json_ld"].append(json.dumps(st["jsonLd"], sort_keys=True))
+                out["open_graph"].append(json.dumps(st["openGraph"], sort_keys=True))
+                out["twitter_card"].append(json.dumps(st["twitterCard"], sort_keys=True))
+                out["meta_data"].append(json.dumps(st["metaData"], sort_keys=True))
+                out["links"].append([u for u in res["crawl_links"] if self.link_filter(u)])
+            except Exception as exc:
+                out["markdown"].append("")
+                out["title"].append("")
+                out["language"].append("")
+                out["status_code"].append(500)
+                out["json_ld"].append("[]")
+                out["open_graph"].append("{}")
+                out["twitter_card"].append("{}")
+                out["meta_data"].append('{"language": ""}')
+                out["links"].append([])
+        return pa.Table.from_pydict(
+            {
+                "url": pa.array(out["url"], pa.string()),
+                "markdown": pa.array(out["markdown"], pa.large_string()),
+                "title": pa.array(out["title"], pa.string()),
+                "language": pa.array(out["language"], pa.string()),
+                "status_code": pa.array(out["status_code"], pa.int32()),
+                "json_ld": pa.array(out["json_ld"], pa.string()),
+                "open_graph": pa.array(out["open_graph"], pa.string()),
+                "twitter_card": pa.array(out["twitter_card"], pa.string()),
+                "meta_data": pa.array(out["meta_data"], pa.string()),
+                "links": pa.array(out["links"], pa.list_(pa.string())),
+            }
+        )
+
+
+@ray.remote
+class WaveWorker:
+    """Persistent fetch+extract worker, reused across all waves.
+
+    The crawl loop is iterative, so spinning a fresh ``map_batches`` actor
+    pool (and Dataset execution) per wave would pay actor startup and plan
+    overhead every round — this is the documented case where the Dataset API
+    can't express the semantics (long-lived per-wave state) and raw actors
+    are the right Ray tool. Each ``process`` call reads only the wave URLs'
+    rows from its corpus bucket files (parquet predicate pushdown) and runs
+    the same ``WaveExtractor`` logic the bulk pipeline uses.
+    """
+
+    def __init__(self, base_domain: str, exclude: Optional[list[str]],
+                 include: Optional[list[str]], only_main: bool) -> None:
+        self.extractor = WaveExtractor(base_domain, exclude, include, only_main)
+
+    def process(self, paths: list[str], urls: list[str]) -> Optional[pa.Table]:
+        tables = []
+        for f in paths:
+            t = pq.read_table(f, columns=["url", "html"],
+                              filters=[("url", "in", urls)])
+            if t.num_rows:
+                tables.append(t)
+        if not tables:
+            return None
+        return self.extractor(pa.concat_tables(tables))
+
+
+def _corpus_files(corpus_path: str) -> tuple[dict[Optional[int], list[str]], Optional[int]]:
+    """Map host_bucket → parquet files plus the partitioning modulus
+    (None = unpartitioned corpus)."""
+    if os.path.isfile(corpus_path):
+        return {None: [corpus_path]}, None
+    out: dict[Optional[int], list[str]] = {}
+    bucket_dirs = glob.glob(os.path.join(corpus_path, "host_bucket=*"))
+    meta_path = os.path.join(corpus_path, "_corpus_meta.json")
+    if bucket_dirs and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            num_buckets = json.load(f)["num_buckets"]
+        for d in bucket_dirs:
+            b = int(d.rsplit("=", 1)[1])
+            out[b] = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        return out, num_buckets
+    out[None] = sorted(glob.glob(os.path.join(corpus_path, "**", "*.parquet"),
+                                 recursive=True))
+    return out, None
+
+
+def _read_rows_for_urls(corpus_path: str, urls: list[str],
+                        columns: list[str]) -> pa.Table:
+    """Small targeted read (robots bodies, seed checks) without Ray."""
+    files_by_bucket, num_buckets = _corpus_files(corpus_path)
+    want_files: list[str] = []
+    if num_buckets:
+        buckets = {host_shard(host_of(u), num_buckets) for u in urls}
+        for b in buckets:
+            want_files.extend(files_by_bucket.get(b, []))
+    else:
+        want_files = files_by_bucket.get(None, [])
+    tables = []
+    urlset = set(urls)
+    for f in want_files:
+        t = pq.read_table(f, columns=columns,
+                          filters=[("url", "in", list(urlset))])
+        if t.num_rows:
+            tables.append(t)
+    if not tables:
+        return pa.table({c: pa.array([], pa.string()) for c in columns})
+    return pa.concat_tables(tables)
+
+
+@dataclasses.dataclass
+class CrawlOutcome:
+    results_dir: str
+    seen_dir: str
+    stats: dict[str, Any]
+
+    def results(self) -> pa.Table:
+        files = sorted(glob.glob(os.path.join(self.results_dir, "wave=*", "*.parquet")))
+        if not files:
+            return CRAWL_RESULT.empty_table()
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        return t.sort_by([("seq", "ascending")])
+
+    def results_dataset(self):
+        return ray.data.read_parquet(self.results_dir)
+
+    def seen(self) -> pa.Table:
+        files = sorted(glob.glob(os.path.join(self.seen_dir, "wave=*", "*.parquet")))
+        if not files:
+            return SEEN.empty_table()
+        return pa.concat_tables([pq.read_table(f) for f in files]).sort_by(
+            [("seq", "ascending")]
+        )
+
+
+def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
+    t0 = time.time()
+    out_dir = cfg.out_dir or f"/tmp/raycrawl_run/{abs(hash((corpus_path, cfg.seed_url, cfg.max_depth, cfg.max_pages))):x}"
+    results_dir = os.path.join(out_dir, "results")
+    seen_dir = os.path.join(out_dir, "seen")
+    ckpt_dir = os.path.join(out_dir, "checkpoint")
+    for d in (results_dir, seen_dir, ckpt_dir):
+        os.makedirs(d, exist_ok=True)
+
+    seed = normalize_url(cfg.seed_url, cfg.seed_url)
+    seed_host = host_of(seed)
+    S = cfg.num_shards
+    shards = [
+        FrontierShard.remote(
+            i,
+            capacity=cfg.filter_capacity,
+            exact_shadow=cfg.exact_shadow,
+            politeness_rate=cfg.politeness_rate,
+            politeness_burst=cfg.politeness_burst,
+            seed_host_only=cfg.seed_host_only_robots,
+            seed_host=seed_host,
+            respect_robots=cfg.respect_robots,
+        )
+        for i in range(S)
+    ]
+
+    workers = [
+        WaveWorker.remote(seed_host, cfg.exclude_patterns,
+                          cfg.include_patterns, cfg.only_main)
+        for _ in range(cfg.extract_concurrency)
+    ]
+
+    # robots preload: one targeted read of https://host/robots.txt rows.
+    # seed-host-only quirk mode loads the seed's rules into every shard.
+    if cfg.respect_robots:
+        robots_url = f"https://{seed_host}/robots.txt"
+        t = _read_rows_for_urls(corpus_path, [robots_url], ["url", "text"])
+        body = t.column("text")[0].as_py() if t.num_rows else None
+        if cfg.seed_host_only_robots:
+            ray.get([s.load_robots.remote({seed_host: body}) for s in shards])
+        else:
+            ray.get(shards[host_shard(seed_host, S)].load_robots.remote({seed_host: body}))
+
+    # wave state (driver side): next seq + output manifests
+    wave = 0
+    next_seq = 0
+    pages_success = 0
+    pages_failed = 0
+    manifest_path = os.path.join(ckpt_dir, "manifest.json")
+
+    if cfg.resume and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            m = json.load(f)
+        wave = m["wave"] + 1
+        next_seq = m["next_seq"]
+        pages_success = m["pages_success"]
+        pages_failed = m["pages_failed"]
+        snaps = [open(os.path.join(ckpt_dir, f"shard{i}.bin"), "rb").read()
+                 for i in range(S)]
+        ray.get([s.restore.remote(b) for s, b in zip(shards, snaps)])
+    else:
+        # admit the seed (seq 0, depth 0) — queue_manager.py:117 equivalent
+        key = url_key(seed)
+        shard_id = host_shard(seed_host, S)
+        ray.get(shards[shard_id].insert_batch.remote(
+            [(next_seq, 0, seed, seed_host, None, key)]))
+        _write_seen_wave(seen_dir, 0, [(key, seed, seed_host, 0, next_seq, None)])
+        next_seq += 1
+
+    files_by_bucket, num_buckets = _corpus_files(corpus_path)
+    wave_stats: list[dict] = []
+    waves_done = 0
+
+    while True:
+        if cfg.max_waves is not None and waves_done >= cfg.max_waves:
+            break  # simulated preemption (resume picks up from the manifest)
+        if pages_success >= cfg.max_pages:
+            break  # crawler_service.py:125-127 page-side cap
+        budget = min(cfg.wave_budget, cfg.max_pages - pages_success)
+        pops = ray.get([s.pop_batch.remote(wave, budget) for s in shards])
+        merged = sorted([it for sub in pops for it in sub],
+                        key=lambda x: (x[0], x[1]))
+        wave_items, surplus = merged[:budget], merged[budget:]
+        if surplus:  # return over-popped items to their shards
+            back: dict[int, list] = {}
+            for depth, seq, url, parent in surplus:
+                back.setdefault(host_shard(host_of(url), S), []).append(
+                    (depth, seq, url, parent))
+            ray.get([shards[sid].push_back.remote(items)
+                     for sid, items in back.items()])
+        if not wave_items:
+            held = sum(ray.get([s.queue_size.remote() for s in shards]))
+            if held == 0:
+                break  # frontier empty ∧ nothing in flight (Q3 resolution)
+            wave += 1  # politeness throttled everything this wave; advance time
+            continue
+
+        wave_urls = [u for (_, _, u, _) in wave_items]
+
+        # --- fetch (J4) + extract on the persistent worker pool -----------
+        # URLs grouped by corpus bucket → each task reads only its bucket's
+        # row groups (partition pruning + parquet predicate pushdown), then
+        # split into ≤batch_size tasks round-robined over the pool.
+        if num_buckets:
+            by_bucket: dict[Optional[int], list[str]] = {}
+            for u in wave_urls:
+                by_bucket.setdefault(host_shard(host_of(u), num_buckets), []).append(u)
+        else:
+            by_bucket = {None: wave_urls}
+        futures = []
+        wi = 0
+        for b, urls_in_bucket in sorted(by_bucket.items(),
+                                        key=lambda kv: (kv[0] is None, kv[0])):
+            paths = files_by_bucket.get(b, [])
+            for i in range(0, len(urls_in_bucket), cfg.batch_size):
+                chunk = urls_in_bucket[i : i + cfg.batch_size]
+                futures.append(workers[wi % len(workers)].process.remote(paths, chunk))
+                wi += 1
+        batches = [t for t in ray.get(futures) if t is not None and t.num_rows]
+        wave_tbl = pa.concat_tables(batches) if batches else None
+        if wave_tbl is None or wave_tbl.num_rows == 0:
+            rows_by_url: dict[str, int] = {}
+        else:
+            rows_by_url = {u: i for i, u in
+                           enumerate(wave_tbl.column("url").to_pylist())}
+
+        # assemble CRAWL_RESULT rows in seq order + failure accounting
+        res_cols: dict[str, list] = {n: [] for n in CRAWL_RESULT.names}
+        links_by_seq: list[tuple[int, int, list[str], str]] = []
+        for depth, seq, url, parent in wave_items:
+            i = rows_by_url.get(url)
+            if i is None or wave_tbl.column("status_code")[i].as_py() != 200:
+                pages_failed += 1  # crawler_service.py:77-80 failure path
+                continue
+            pages_success += 1
+            res_cols["seq"].append(seq)
+            res_cols["depth"].append(depth)
+            res_cols["url"].append(url)
+            res_cols["parent_url"].append(parent)
+            res_cols["wave"].append(wave)
+            for col in ("markdown", "title", "language", "status_code",
+                        "json_ld", "open_graph", "twitter_card", "meta_data"):
+                res_cols[col].append(wave_tbl.column(col)[i].as_py())
+            if depth < cfg.max_depth:  # expansion gate crawler_service.py:61
+                links_by_seq.append(
+                    (seq, depth, wave_tbl.column("links")[i].as_py(), url))
+
+        if res_cols["seq"]:
+            _write_result_wave(results_dir, wave, res_cols)
+
+        # --- two-phase admission -----------------------------------------
+        links_by_seq.sort(key=lambda x: x[0])
+        cands: list[tuple[int, bytes, str, str, int, str]] = []
+        rank = 0
+        for seq, depth, links, parent_url in links_by_seq:
+            for link in links:
+                canon = canonicalize(link)
+                cands.append((rank, url_key(canon), link, host_of(canon),
+                              depth + 1, parent_url))
+                rank += 1
+        by_shard: dict[int, list[tuple[int, bytes, str, str]]] = {}
+        for rank_, key, url, host, depth_, parent in cands:
+            sid = host_shard(host, S)
+            by_shard.setdefault(sid, []).append((rank_, key, url, host))
+        checks = ray.get([
+            shards[sid].check_batch.remote(items)
+            for sid, items in by_shard.items()
+        ])
+        admissible = {r for sub in checks for (r, ok) in sub if ok}
+
+        # assign global seqs in rank order, capped by max_pages admissions
+        # (queue_manager.py:47-49: depth ≤ max_depth ∧ |seen| < max_pages)
+        inserts: dict[int, list] = {}
+        seen_rows = []
+        for rank_, key, url, host, depth_, parent in cands:
+            if rank_ not in admissible:
+                continue
+            if depth_ > cfg.max_depth:
+                continue
+            if next_seq >= cfg.max_pages:  # |seen| cap
+                break
+            sid = host_shard(host, S)
+            inserts.setdefault(sid, []).append(
+                (next_seq, depth_, url, host, parent, key))
+            seen_rows.append((key, url, host, depth_, next_seq, parent))
+            next_seq += 1
+        if inserts:
+            ray.get([shards[sid].insert_batch.remote(items)
+                     for sid, items in inserts.items()])
+        if seen_rows:
+            _write_seen_wave(seen_dir, wave + 1, seen_rows)
+
+        # --- checkpoint at the wave boundary (R3) -------------------------
+        snaps = ray.get([s.snapshot.remote() for s in shards])
+        for i, blob in enumerate(snaps):
+            with open(os.path.join(ckpt_dir, f"shard{i}.bin"), "wb") as f:
+                f.write(blob)
+        shard_stats = ray.get([s.stats.remote() for s in shards])
+        frontier_depth = sum(st["queued"] for st in shard_stats)
+        wave_stats.append({
+            "wave": wave, "popped": len(wave_items),
+            "success": pages_success, "failed": pages_failed,
+            "frontier_depth": frontier_depth,
+        })
+        with open(manifest_path, "w") as f:
+            json.dump({"wave": wave, "next_seq": next_seq,
+                       "pages_success": pages_success,
+                       "pages_failed": pages_failed,
+                       "shard_stats": shard_stats,
+                       "waves": wave_stats}, f)
+        wave += 1
+        waves_done += 1
+
+    dur = time.time() - t0
+    shard_stats = ray.get([s.stats.remote() for s in shards])
+    total_dup = sum(st["dup_hits"] for st in shard_stats)
+    total_offered = sum(st["offered"] for st in shard_stats)
+    stats = {
+        "pages_success": pages_success,
+        "pages_failed": pages_failed,
+        "total_seen": next_seq,
+        "waves": wave,
+        "duration_sec": dur,
+        "pages_per_sec": (pages_success + pages_failed) / dur if dur > 0 else 0.0,
+        "dedup_hit_rate": total_dup / total_offered if total_offered else 0.0,
+        "robots_blocked": sum(st["robots_blocked"] for st in shard_stats),
+        "filter_false_positives": sum(st["filter_false_positives"] or 0
+                                      for st in shard_stats),
+        "shards": shard_stats,
+    }
+    for a in shards + workers:
+        ray.kill(a)
+    return CrawlOutcome(results_dir=results_dir, seen_dir=seen_dir, stats=stats)
+
+
+def _write_result_wave(results_dir: str, wave: int, cols: dict[str, list]) -> None:
+    d = os.path.join(results_dir, f"wave={wave}")
+    os.makedirs(d, exist_ok=True)
+    arrays = [pa.array(cols[n], type=CRAWL_RESULT.field(n).type)
+              for n in CRAWL_RESULT.names]
+    pq.write_table(pa.Table.from_arrays(arrays, schema=CRAWL_RESULT),
+                   os.path.join(d, "part-0.parquet"))
+
+
+def _write_seen_wave(seen_dir: str, wave: int,
+                     rows: list[tuple[bytes, str, str, int, int, Optional[str]]]) -> None:
+    d = os.path.join(seen_dir, f"wave={wave}")
+    os.makedirs(d, exist_ok=True)
+    cols = list(zip(*rows))
+    t = pa.Table.from_arrays(
+        [pa.array(list(cols[0]), pa.binary()),
+         pa.array(list(cols[1]), pa.string()),
+         pa.array(list(cols[2]), pa.string()),
+         pa.array(list(cols[3]), pa.int32()),
+         pa.array(list(cols[4]), pa.int64()),
+         pa.array(list(cols[5]), pa.string())],
+        schema=SEEN,
+    )
+    pq.write_table(t, os.path.join(d, "part-0.parquet"))

@@ -1,0 +1,155 @@
+"""Crawl conformance: sharded Ray frontier vs the single-threaded oracle.
+
+The oracle (raycrawl/oracle.py) is the executable spec of the reference BFS
+(crawler_service.py:91-184 + queue_manager.py:34-97 with Q1-Q5 resolutions);
+the Ray engine must reproduce its crawl order, seen set and markdown bytes.
+"""
+
+import math
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from raycrawl.fixtures import cached_corpus, feature_corpus
+from raycrawl.gen_golden import CRAWL_KW, GOLDEN_DIR, SEED, T2
+from raycrawl.oracle import crawl_oracle
+from raycrawl.pipeline import CrawlConfig, crawl
+from raycrawl.urlnorm import canonicalize
+
+
+@pytest.fixture(scope="module")
+def outcome(tmp_path_factory):
+    corpus_dir = cached_corpus("feature", **T2)
+    out_dir = str(tmp_path_factory.mktemp("crawl"))
+    cfg = CrawlConfig(seed_url=SEED, num_shards=4, wave_budget=16,
+                      extract_concurrency=2, out_dir=out_dir, **CRAWL_KW)
+    return crawl(corpus_dir, cfg)
+
+
+def test_crawl_order_matches_golden(outcome):
+    golden = pq.read_table(os.path.join(GOLDEN_DIR, "expected_crawl_order.parquet"))
+    got = outcome.results()
+    assert got.num_rows == golden.num_rows
+    for col in ("seq", "depth", "url", "parent_url"):
+        assert got.column(col).to_pylist() == golden.column(col).to_pylist(), col
+
+
+def test_crawl_markdown_bytes_match_golden(outcome):
+    golden = pq.read_table(os.path.join(GOLDEN_DIR, "expected_crawl_order.parquet"))
+    got = outcome.results()
+    exp = dict(zip(golden.column("url").to_pylist(),
+                   golden.column("markdown").to_pylist()))
+    for url, md in zip(got.column("url").to_pylist(),
+                       got.column("markdown").to_pylist()):
+        assert md == exp[url], url
+
+
+def test_seen_set_matches_golden(outcome):
+    golden = pq.read_table(os.path.join(GOLDEN_DIR, "expected_seen.parquet"))
+    seen = outcome.seen()
+    got = {(canonicalize(u), d, s) for u, d, s in
+           zip(seen.column("url").to_pylist(), seen.column("depth").to_pylist(),
+               seen.column("seq").to_pylist())}
+    exp = {(canonicalize(u), d, s) for u, d, s in
+           zip(golden.column("url").to_pylist(),
+               golden.column("depth").to_pylist(),
+               golden.column("seq").to_pylist())}
+    assert got == exp
+    assert outcome.stats["filter_false_positives"] == 0
+
+
+def test_bfs_monotone_and_max_depth(outcome):
+    got = outcome.results()
+    depths = got.column("depth").to_pylist()
+    assert depths == sorted(depths)  # BFS: depth non-decreasing in seq order
+    assert max(depths) <= CRAWL_KW["max_depth"]
+
+
+def test_wave_size_invariance():
+    """Admission order is invariant to wave budget (Q2 resolution)."""
+    corpus_dir = cached_corpus("feature", n_hosts=2, pages_per_host=24)
+    runs = []
+    for budget in (1, 7, 64):
+        cfg = CrawlConfig(seed_url=SEED, max_depth=3, max_pages=30,
+                          exclude_patterns=[r"/skip/", r"\.(jpg|png)$"],
+                          num_shards=3, wave_budget=budget,
+                          out_dir=f"/tmp/raycrawl_test_wsi_{budget}")
+        shutil.rmtree(cfg.out_dir, ignore_errors=True)
+        out = crawl(corpus_dir, cfg)
+        runs.append(out.results().select(["seq", "depth", "url"]).to_pylist())
+    assert runs[0] == runs[1] == runs[2]
+
+
+def test_max_pages_cap():
+    corpus_dir = cached_corpus("feature", **T2)
+    corpus = feature_corpus(**T2)
+    cfg = CrawlConfig(seed_url=SEED, max_depth=3, max_pages=12,
+                      exclude_patterns=[r"/skip/", r"\.(jpg|png)$"],
+                      num_shards=4, wave_budget=5,
+                      out_dir="/tmp/raycrawl_test_cap")
+    shutil.rmtree(cfg.out_dir, ignore_errors=True)
+    out = crawl(corpus_dir, cfg)
+    oracle = crawl_oracle(corpus, SEED, max_depth=3, max_pages=12,
+                          exclude_patterns=[r"/skip/", r"\.(jpg|png)$"],
+                          wave_budget=5)
+    got = out.results().select(["seq", "depth", "url"]).to_pylist()
+    exp = [{"seq": p.seq, "depth": p.depth, "url": p.url} for p in oracle.pages]
+    assert got == exp
+    assert out.stats["total_seen"] <= 12
+
+
+def test_robots_disallow_enforced():
+    """Seed on h1 (robots disallows /private/): private URLs never seen."""
+    corpus_dir = cached_corpus("feature", **T2)
+    cfg = CrawlConfig(seed_url="https://h1.example/d0/p0.html", max_depth=4,
+                      max_pages=200,
+                      exclude_patterns=[r"/skip/", r"\.(jpg|png)$"],
+                      num_shards=4, out_dir="/tmp/raycrawl_test_robots")
+    shutil.rmtree(cfg.out_dir, ignore_errors=True)
+    out = crawl(corpus_dir, cfg)
+    seen_urls = out.seen().column("url").to_pylist()
+    assert any("/d1/" in u for u in seen_urls)
+    assert not any("/private/" in u for u in seen_urls)
+    assert out.stats["robots_blocked"] > 0
+    # corpus-level sanity: private pages exist on h1
+    corpus = feature_corpus(**T2)
+    assert any("h1.example/private/" in u for u in corpus.column("url").to_pylist())
+
+
+def test_politeness_budget_bounds_per_host_pops():
+    corpus_dir = cached_corpus("feature", **T2)
+    cfg = CrawlConfig(seed_url=SEED, max_depth=3, max_pages=40,
+                      exclude_patterns=[r"/skip/", r"\.(jpg|png)$"],
+                      num_shards=2, wave_budget=64,
+                      politeness_rate=2.0, politeness_burst=2.0,
+                      out_dir="/tmp/raycrawl_test_polite")
+    shutil.rmtree(cfg.out_dir, ignore_errors=True)
+    out = crawl(corpus_dir, cfg)
+    res = out.results()
+    # single-host crawl at 2 pops/host/wave → every wave has ≤2 pages
+    waves = res.column("wave").to_pylist()
+    from collections import Counter
+
+    counts = Counter(waves)
+    assert max(counts.values()) <= 2
+    assert res.num_rows == min(40, 51)  # same final set, just slower
+    # throttling must not reorder: seq order still BFS-monotone
+    depths = res.column("depth").to_pylist()
+    assert depths == sorted(depths)
+
+
+def test_resume_from_checkpoint():
+    corpus_dir = cached_corpus("feature", **T2)
+    out_dir = "/tmp/raycrawl_test_resume"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    base = dict(seed_url=SEED, num_shards=4, wave_budget=8, out_dir=out_dir,
+                **CRAWL_KW)
+    partial = crawl(corpus_dir, CrawlConfig(max_waves=2, **base))
+    assert partial.stats["pages_success"] < 51
+    resumed = crawl(corpus_dir, CrawlConfig(resume=True, **base))
+    golden = pq.read_table(os.path.join(GOLDEN_DIR, "expected_crawl_order.parquet"))
+    got = resumed.results()
+    assert got.column("url").to_pylist() == golden.column("url").to_pylist()
+    assert got.column("seq").to_pylist() == golden.column("seq").to_pylist()

@@ -1,0 +1,70 @@
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from raycrawl.cuckoo import CuckooFilter, ExactShadow
+
+
+def keys(n, salt=b""):
+    return [hashlib.sha1(salt + i.to_bytes(8, "big")).digest() for i in range(n)]
+
+
+def test_no_false_negatives_at_load():
+    f = CuckooFilter(capacity=10_000)
+    ks = keys(9_000)
+    for k in ks:
+        assert f.add(k)
+    for k in ks:
+        assert f.contains(k)
+
+
+def test_false_positive_rate_small():
+    f = CuckooFilter(capacity=10_000)
+    for k in keys(8_000):
+        f.add(k)
+    fp = sum(f.contains(k) for k in keys(10_000, salt=b"other"))
+    assert fp <= 5  # 32-bit fingerprints → ~2^-30/lookup expected
+
+
+def test_delete():
+    f = CuckooFilter(capacity=1000)
+    ks = keys(100)
+    for k in ks:
+        f.add(k)
+    assert f.delete(ks[0])
+    assert not f.contains(ks[0])
+    assert f.count == 99
+
+
+def test_serialize_roundtrip():
+    f = CuckooFilter(capacity=1000)
+    ks = keys(500)
+    for k in ks:
+        f.add(k)
+    g = CuckooFilter.deserialize(f.serialize())
+    assert g.count == f.count
+    for k in ks:
+        assert g.contains(k)
+
+
+def test_exact_shadow_roundtrip_and_exactness():
+    s = ExactShadow(1000)
+    ks = keys(300)
+    for k in ks:
+        assert s.add(k)
+        assert not s.add(k)  # exact dedup: second add refused
+    t = ExactShadow.deserialize(s.serialize())
+    for k in ks:
+        assert t.contains(k)
+    assert not t.contains(keys(1, salt=b"x")[0])
+
+
+@given(st.sets(st.binary(min_size=20, max_size=20), max_size=200))
+@settings(max_examples=50, deadline=None)
+def test_property_membership(ks):
+    f = CuckooFilter(capacity=4096)
+    for k in ks:
+        f.add(k)
+    for k in ks:
+        assert f.contains(k)  # no false negatives, ever
