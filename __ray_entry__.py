@@ -1,44 +1,446 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in raycrawl) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` covers the SURVEY.md §2 operator inventory: the crawl/extract
+pipelines run over a deterministic pages corpus in the BASELINE.json
+input_hint shape (synthesized from the driver's ``documents`` table or the
+FIXTURES.md feature matrix — no external data); training-data ops (dedup /
+similarity / text analysis) and relational pipelines run directly over the
+sf tables. Every SQL-expressible query has a DuckDB oracle with matching
+column names; genuinely non-SQL ops (crawl state machine, markdown
+rendering, LSH/IVF) are rows-only as the contract allows.
 """
 
 from __future__ import annotations
 
+import os
+import re
 from collections.abc import Callable
 from typing import Any
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+import sys
+
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _docs_corpus(sf_dir: str) -> str:
+    from raycrawl.fixtures import cached_corpus
+
+    return cached_corpus("documents", sf_dir=sf_dir)
+
+
+def _feature_corpus_dir() -> str:
+    from raycrawl.fixtures import cached_corpus
+    from raycrawl.gen_golden import T2
+
+    return cached_corpus("feature", **T2)
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship pipeline (read → actor-pool extract → columns)
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import ray.data as rd
+
+    from raycrawl.extract import scrape_dataset
+
+    corpus = _docs_corpus("/root/testdata/sf0.001")
+    pages = rd.read_parquet(corpus, columns=["url", "warc_ts", "html"])
+    extracted = scrape_dataset(pages, concurrency=_pool(0.5), batch_size=32)
+    return extracted.select_columns(
+        ["url", "title", "language", "status_code", "markdown"])
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+_DOC_URL_RE = re.compile(r"/doc(\d+)\.html$")
+
+
+def _pool(frac: float = 0.5) -> int:
+    """Actor-pool size that leaves CPUs for read/shuffle tasks — a pool
+    that reserves every CPU starves the producer stage and deadlocks."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(1, int(cpus * frac))
+
+
+def _q_extract_pages(sf_dir: str):
+    """E2E extraction over the documents-derived corpus, projected to
+    SQL-checkable columns (title/language are deterministic functions of the
+    documents table)."""
+    import ray.data as rd
+
+    from raycrawl.extract import scrape_dataset
+
+    pages = rd.read_parquet(_docs_corpus(sf_dir), columns=["url", "warc_ts", "html"])
+    out = scrape_dataset(pages, concurrency=_pool(0.5), batch_size=64)
+    return out.select_columns(["title", "language", "status_code"]).to_pandas()
+
+
+def _q_extract_links(sf_dir: str):
+    """Link extraction E2E: exploded (src_doc_id, dst_doc_id) edges parsed
+    back from the extracted links of the documents corpus."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raycrawl.extract import scrape_dataset
+
+    pages = rd.read_parquet(_docs_corpus(sf_dir), columns=["url", "warc_ts", "html"])
+    out = scrape_dataset(pages, concurrency=_pool(0.5), batch_size=64)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        src, dst = [], []
+        for u, links in zip(batch["url"], batch["links"]):
+            m = _DOC_URL_RE.search(u)
+            if not m:
+                continue
+            for link in links:
+                m2 = _DOC_URL_RE.search(link)
+                if m2:
+                    src.append(int(m.group(1)))
+                    dst.append(int(m2.group(1)))
+        return pd.DataFrame({"src_doc_id": pd.Series(src, dtype="int64"),
+                             "dst_doc_id": pd.Series(dst, dtype="int64")})
+
+    return (out.select_columns(["url", "links"])
+            .map_batches(explode, batch_format="pandas").to_pandas())
+
+
+def _q_crawl_bfs(sf_dir: str):
+    from raycrawl.gen_golden import CRAWL_KW, SEED
+    from raycrawl.pipeline import CrawlConfig, crawl
+
+    out_dir = f"/tmp/raycrawl_q/crawl_bfs_{os.path.basename(os.path.normpath(sf_dir))}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = CrawlConfig(seed_url=SEED, num_shards=4, out_dir=out_dir, **CRAWL_KW)
+    outcome = crawl(_feature_corpus_dir(), cfg)
+    return outcome.results().select(["seq", "depth", "url", "parent_url"])
+
+
+def _q_crawl_seen(sf_dir: str):
+    from raycrawl.gen_golden import CRAWL_KW, SEED
+    from raycrawl.pipeline import CrawlConfig, crawl
+
+    out_dir = f"/tmp/raycrawl_q/crawl_seen_{os.path.basename(os.path.normpath(sf_dir))}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = CrawlConfig(seed_url=SEED, num_shards=4, out_dir=out_dir, **CRAWL_KW)
+    outcome = crawl(_feature_corpus_dir(), cfg)
+    return outcome.seen().select(["url", "depth", "seq"])
+
+
+def _q_chunk_semantic(sf_dir: str):
+    import ray.data as rd
+
+    from raycrawl.chunker import ChunkStage
+    from raycrawl.extract import scrape_dataset
+
+    pages = rd.read_parquet(_docs_corpus(sf_dir), columns=["url", "warc_ts", "html"])
+    extracted = scrape_dataset(pages, concurrency=_pool(0.4), batch_size=64)
+    chunks = extracted.select_columns(["url", "markdown"]).map_batches(
+        ChunkStage, batch_format="pyarrow", concurrency=_pool(0.3))
+    return chunks.select_columns(
+        ["url", "position", "chunk_type", "word_count"]).to_pandas()
+
+
+def _q_dedup_exact(sf_dir: str):
+    import ray.data as rd
+
+    from raycrawl.ops.dedup import exact_dedup
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return exact_dedup(docs).to_pandas()
+
+
+def _q_minhash_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from raycrawl.ops.dedup import minhash_dedup_pairs
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return minhash_dedup_pairs(docs, threshold=0.5).to_pandas()
+
+
+def _q_simhash(sf_dir: str):
+    import ray.data as rd
+
+    from raycrawl.ops.dedup import simhash_fingerprints
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return simhash_fingerprints(docs).to_pandas()
+
+
+def _q_embedding_dups(sf_dir: str):
+    import ray.data as rd
+
+    from raycrawl.ops.dedup import embedding_dup_pairs
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    import pandas as pd
+
+    df = embedding_dup_pairs(emb, threshold=0.4).to_pandas()
+    if "id_a" not in df.columns:  # zero-row dataset loses its schema
+        df = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                           "id_b": pd.Series(dtype="int64")})
+    return df[["id_a", "id_b"]]
+
+
+def _q_token_count(sf_dir: str):
+    import ray.data as rd
+
+    from raycrawl.ops.textstats import token_count
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return token_count(docs).to_pandas()
+
+
+def _q_quality(sf_dir: str):
+    import ray.data as rd
+
+    from raycrawl.ops.textstats import quality_score
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return quality_score(docs).to_pandas()
+
+
+def _q_lang_id(sf_dir: str):
+    import ray.data as rd
+
+    from raycrawl.ops.textstats import lang_id
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return lang_id(docs).to_pandas()
+
+
+def _q_fingerprints(sf_dir: str):
+    import ray.data as rd
+
+    from raycrawl.ops.textstats import fingerprints
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return fingerprints(docs).to_pandas()
+
+
+def _q_knn_bruteforce(sf_dir: str):
+    import ray.data as rd
+
+    from raycrawl.ops.knn import knn_bruteforce
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return knn_bruteforce(emb, query_ids=list(range(10)), k=10)
+
+
+def _q_knn_ivf(sf_dir: str):
+    import ray.data as rd
+
+    from raycrawl.ops.knn import knn_ivf
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return knn_ivf(emb, query_ids=list(range(10)), k=10)
+
+
+def _q_q1(sf_dir: str):
+    from raycrawl.ops.relational import q1_pricing_summary
+
+    return q1_pricing_summary(sf_dir)
+
+
+def _q_region(sf_dir: str):
+    from raycrawl.ops.relational import region_customer_stats
+
+    return region_customer_stats(sf_dir)
+
+
+def _q_top_orders(sf_dir: str):
+    from raycrawl.ops.relational import top_orders_by_revenue
+
+    return top_orders_by_revenue(sf_dir)
+
+
+def _q_events_hourly(sf_dir: str):
+    from raycrawl.ops.relational import events_hourly
+
+    return events_hourly(sf_dir)
+
+
+def _q_sessionize(sf_dir: str):
+    from raycrawl.ops.relational import events_sessionize
+
+    return events_sessionize(sf_dir)
+
+
+def _q_part_brand(sf_dir: str):
+    from raycrawl.ops.relational import part_brand_stats
+
+    return part_brand_stats(sf_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "extract_pages": _q_extract_pages,
+        "extract_links": _q_extract_links,
+        "crawl_bfs": _q_crawl_bfs,
+        "crawl_seen": _q_crawl_seen,
+        "chunk_semantic": _q_chunk_semantic,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_pairs": _q_minhash_pairs,
+        "dedup_simhash": _q_simhash,
+        "dedup_embedding_pairs": _q_embedding_dups,
+        "text_token_count": _q_token_count,
+        "text_quality": _q_quality,
+        "text_lang_id": _q_lang_id,
+        "text_fingerprints": _q_fingerprints,
+        "knn_bruteforce": _q_knn_bruteforce,
+        "knn_ivf": _q_knn_ivf,
+        "q1_pricing_summary": _q_q1,
+        "region_customer_stats": _q_region,
+        "top_orders_by_revenue": _q_top_orders,
+        "events_hourly": _q_events_hourly,
+        "events_sessionize": _q_sessionize,
+        "part_brand_stats": _q_part_brand,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; tables pre-registered as views)
+# ---------------------------------------------------------------------------
+
+_STOP_LIST = "('the','a','an','and','of','to','in','is','it','that')"
+_EN = "('the','a','and','of','to','in','is','it','that','for','on','with')"
+_FR = "('le','la','les','de','des','et','un','une','est','que','pour','dans')"
+_DE = "('der','die','das','und','ist','ein','eine','zu','den','von','mit','für')"
+_ES = "('el','la','los','las','de','y','un','una','es','que','por','con')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_pages": (
+            "SELECT 'Doc ' || CAST(doc_id AS VARCHAR) AS title, "
+            "lang AS language, CAST(200 AS INTEGER) AS status_code FROM documents"
+        ),
+        "extract_links": (
+            "WITH ranked AS (SELECT doc_id, doc_id % 16 AS h, "
+            "  row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) - 1 AS rnk "
+            "  FROM documents) "
+            "SELECT p.doc_id AS src_doc_id, c.doc_id AS dst_doc_id "
+            "FROM ranked p JOIN ranked c ON c.h = p.h "
+            "AND c.rnk IN (4*p.rnk+1, 4*p.rnk+2, 4*p.rnk+3, 4*p.rnk+4)"
+        ),
+        "dedup_exact": (
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+        ),
+        "text_token_count": (
+            "SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 1 ELSE "
+            "length(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) "
+            "AS n_tokens FROM documents"
+        ),
+        "text_quality": (
+            "WITH w AS (SELECT doc_id, text, "
+            "  CASE WHEN trim(text) = '' THEN [] "
+            "       ELSE regexp_split_to_array(trim(text), '\\s+') END AS words "
+            "  FROM documents) "
+            "SELECT doc_id, "
+            "CAST(length(text) AS BIGINT) AS n_chars, "
+            "CAST(len(words) AS BIGINT) AS n_words, "
+            "CAST(length(text) - length(regexp_replace(text, '[.!?]', '', 'g')) AS BIGINT) AS n_sentences, "
+            f"CAST(len(list_filter(words, x -> x IN {_STOP_LIST})) AS BIGINT) AS n_stopwords, "
+            f"CASE WHEN len(words) > 0 THEN CAST(len(list_filter(words, x -> x IN {_STOP_LIST})) AS DOUBLE) / len(words) ELSE 0.0 END AS stop_ratio, "
+            "CASE WHEN len(words) > 0 THEN CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words) ELSE 0.0 END AS mean_word_len "
+            "FROM w"
+        ),
+        "text_lang_id": (
+            "WITH w AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] ELSE "
+            "  list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)) END AS toks FROM documents), "
+            "s AS (SELECT doc_id, "
+            f"  len(list_filter(toks, x -> x IN {_EN})) AS en, "
+            f"  len(list_filter(toks, x -> x IN {_FR})) AS fr, "
+            f"  len(list_filter(toks, x -> x IN {_DE})) AS de, "
+            f"  len(list_filter(toks, x -> x IN {_ES})) AS es FROM w) "
+            "SELECT doc_id, CASE "
+            "WHEN en >= 1 AND en >= fr AND en >= de AND en >= es THEN 'en' "
+            "WHEN fr >= 1 AND fr > en AND fr >= de AND fr >= es THEN 'fr' "
+            "WHEN de >= 1 AND de > en AND de > fr AND de >= es THEN 'de' "
+            "WHEN es >= 1 AND es > en AND es > fr AND es > de THEN 'es' "
+            "ELSE 'und' END AS lang_pred FROM s"
+        ),
+        "dedup_embedding_pairs": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
+        ),
+        "knn_bruteforce": (
+            "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10), "
+            "sims AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+            "  round(list_cosine_similarity(q.embedding, e.embedding), 6) AS sim "
+            "  FROM q JOIN embeddings e ON e.vec_id != q.vec_id), "
+            "ranked AS (SELECT query_id, neighbor_id, "
+            "  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank "
+            "  FROM sims) "
+            "SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank "
+            "FROM ranked WHERE rank <= 10"
+        ),
+        "q1_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents, "
+            "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents, "
+            "CAST(count(*) AS BIGINT) AS count_order, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "region_customer_stats": (
+            "SELECT r.r_name AS r_name, CAST(count(*) AS BIGINT) AS num_customers, "
+            "CAST(sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents "
+            "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name"
+        ),
+        "top_orders_by_revenue": (
+            "WITH rev AS (SELECT l_orderkey, "
+            "  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "  FROM lineitem GROUP BY l_orderkey) "
+            "SELECT o.o_orderkey, rev.revenue_cents, o.o_custkey, o.o_orderstatus "
+            "FROM rev JOIN orders o ON o.o_orderkey = rev.l_orderkey "
+            "ORDER BY rev.revenue_cents DESC, o.o_orderkey LIMIT 10"
+        ),
+        "events_hourly": (
+            "SELECT event_type, date_trunc('hour', ts) AS hour, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_millis "
+            "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
+        "events_sessionize": (
+            "WITH o AS (SELECT user_id, ts, "
+            "  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events), "
+            "m AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR "
+            "  ts - prev > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk FROM o), "
+            "s AS (SELECT user_id, sum(brk) OVER (PARTITION BY user_id ORDER BY ts "
+            "  ROWS UNBOUNDED PRECEDING) AS sid FROM m), "
+            "g AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY user_id, sid) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions, "
+            "CAST(max(n) AS BIGINT) AS max_session_events FROM g GROUP BY user_id"
+        ),
+        "part_brand_stats": (
+            "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts, "
+            "CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents, "
+            "CAST(max(p_size) AS INTEGER) AS max_size "
+            "FROM part GROUP BY p_brand"
+        ),
+    }

@@ -1,0 +1,306 @@
+"""Deduplication operators (exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine) as Ray Data pipelines.
+
+Scale notes (the design constraint, not an afterthought):
+
+- exact dedup = vectorized content-hash inside ``map_batches`` (one row per
+  key per batch partial) → ``groupby(hash).aggregate(Min(id))`` — the only
+  shuffle moves (hash, id) pairs, never document bodies;
+- MinHash-LSH = per-batch signature computation (numpy, one matmul-free
+  vectorized pass) → explode to (band, band_hash, doc_id) rows →
+  ``groupby(band, band_hash)`` — candidate generation shuffles 16-byte
+  band digests, verification touches only candidate texts;
+- SimHash emits one 64-bit fingerprint per doc; banding the 64 bits into k
+  chunks gives the same LSH-shaped grouping for hamming-distance near-dups;
+- embedding near-dup broadcasts a normalized matrix only at small scale;
+  the scale path is the IVF-bucketed variant in ``knn.py``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WORD_RE = re.compile(r"\S+")
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _token_ngrams(text: str, n: int) -> set[bytes]:
+    toks = _WORD_RE.findall(text)
+    if len(toks) < n:
+        return {(" ".join(toks)).encode()} if toks else set()
+    return {" ".join(toks[i : i + n]).encode() for i in range(len(toks) - n + 1)}
+
+
+def _minhash_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _shingle_hashes(shingles: set[bytes]) -> np.ndarray:
+    return np.fromiter(
+        (int.from_bytes(hashlib.sha1(s).digest()[:8], "big") for s in shingles),
+        dtype=np.uint64, count=len(shingles),
+    )
+
+
+def minhash_signature(text: str, a: np.ndarray, b: np.ndarray, n: int = 3) -> np.ndarray:
+    sh = _shingle_hashes(_token_ngrams(text, n))
+    if len(sh) == 0:
+        return np.zeros(len(a), dtype=np.uint64)
+    # (a*x + b) mod p for every (hash, perm) pair — vectorized outer product
+    vals = (sh[None, :] * a[:, None] + b[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def add_text_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Vectorized-ish content hash column (md5 hex, matching DuckDB md5())."""
+    hashes = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+              for t in batch.column(text_col).to_pylist()]
+    return batch.append_column("text_hash", pa.array(hashes, pa.string()))
+
+
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Survivor ids of exact (by-content-hash) dedup: hash-partition +
+    per-group min id. Shuffle payload = (hash, id) partials only."""
+    from ray.data.aggregate import Min
+
+    hashed = ds.map_batches(lambda b: add_text_hash(b, text_col),
+                            batch_format="pyarrow").select_columns(
+        ["text_hash", id_col])
+    # per-batch partial min collapses duplicate keys before the shuffle
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().groupby("text_hash", as_index=False)[id_col].min()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = hashed.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby("text_hash").aggregate(Min(id_col, alias_name=id_col))
+    return agg.select_columns([id_col])
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+class MinHashStage:
+    """Actor stage: doc rows → exploded (band, band_hash, doc_id) rows.
+    Permutation parameters built once per actor (seeded, identical across
+    the pool)."""
+
+    def __init__(self, num_hashes: int = 128, bands: int = 32, ngram: int = 3,
+                 id_col: str = "doc_id", text_col: str = "text") -> None:
+        self.a, self.b = _minhash_params(num_hashes)
+        self.bands = bands
+        self.rows_per_band = num_hashes // bands
+        self.ngram = ngram
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        out_band, out_hash, out_id = [], [], []
+        r = self.rows_per_band
+        for i, text in zip(ids, texts):
+            sig = minhash_signature(text or "", self.a, self.b, self.ngram)
+            for band in range(self.bands):
+                digest = hashlib.sha1(sig[band * r : (band + 1) * r].tobytes()).hexdigest()[:16]
+                out_band.append(band)
+                out_hash.append(digest)
+                out_id.append(i)
+        return pa.table({"band": pa.array(out_band, pa.int32()),
+                         "band_hash": pa.array(out_hash, pa.string()),
+                         self.id_col: pa.array(out_id, pa.int64())})
+
+
+def minhash_candidates(ds, num_hashes: int = 128, bands: int = 32,
+                       ngram: int = 3, id_col: str = "doc_id",
+                       text_col: str = "text", concurrency: int = 4):
+    """Candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket."""
+    exploded = ds.map_batches(
+        MinHashStage, batch_format="pyarrow", concurrency=concurrency,
+        fn_constructor_kwargs=dict(num_hashes=num_hashes, bands=bands,
+                                   ngram=ngram, id_col=id_col, text_col=text_col))
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(group[id_col].tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"id_a": a, "id_b": b})
+
+    cand = exploded.groupby(["band", "band_hash"]).map_groups(
+        pairs, batch_format="pandas")
+    # distinct pairs (a bucket pair may appear in several bands)
+    from ray.data.aggregate import Count
+
+    return cand.groupby(["id_a", "id_b"]).aggregate(
+        Count(alias_name="n_bands")).select_columns(["id_a", "id_b"])
+
+
+def jaccard(text_a: str, text_b: str, n: int = 3) -> float:
+    sa, sb = _token_ngrams(text_a, n), _token_ngrams(text_b, n)
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    union = len(sa) + len(sb) - inter
+    return inter / union if union else 0.0
+
+
+def minhash_dedup_pairs(ds, threshold: float = 0.8, ngram: int = 3,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        concurrency: int = 4):
+    """Verified near-dup pairs: LSH candidates → exact n-gram Jaccard ≥
+    threshold. Verification broadcasts only the candidate docs' texts."""
+    import ray
+
+    cand = minhash_candidates(ds, ngram=ngram, id_col=id_col,
+                              text_col=text_col, concurrency=concurrency)
+    cand_tbl = cand.to_pandas()
+    need_ids = sorted(set(cand_tbl["id_a"]) | set(cand_tbl["id_b"]))
+    texts_tbl = (
+        ds.map_batches(
+            lambda b: b.filter(pc.is_in(b.column(id_col),
+                                        pa.array(need_ids, pa.int64()))),
+            batch_format="pyarrow")
+        .select_columns([id_col, text_col]).to_pandas()
+    )
+    texts = dict(zip(texts_tbl[id_col], texts_tbl[text_col]))
+    texts_ref = ray.put(texts)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        tx = ray.get(texts_ref)
+        sims = [jaccard(tx.get(a, ""), tx.get(b, ""), ngram)
+                for a, b in zip(batch["id_a"], batch["id_b"])]
+        batch = batch.assign(jaccard_sim=sims)
+        return batch[batch["jaccard_sim"] >= threshold]
+
+    import ray.data as rd
+
+    if len(cand_tbl) == 0:
+        return rd.from_pandas(pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                            "id_b": pd.Series([], dtype="int64"),
+                                            "jaccard_sim": pd.Series([], dtype="float64")}))
+    return rd.from_pandas(cand_tbl).map_batches(verify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word features (Charikar 2002, public alg)."""
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in _WORD_RE.findall(text):
+        h = int.from_bytes(hashlib.sha1(tok.encode()).digest()[:8], "big")
+        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i, v in enumerate(acc):
+        if v > 0:
+            out |= 1 << (63 - i)
+    return out
+
+
+def simhash_fingerprints(ds, id_col: str = "doc_id", text_col: str = "text"):
+    def fp(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        hashes = [simhash64(t or "") for t in batch.column(text_col).to_pylist()]
+        # store as int64 (two's-complement view of the uint64 fingerprint)
+        signed = [h - (1 << 64) if h >= (1 << 63) else h for h in hashes]
+        return pa.table({id_col: ids, "simhash": pa.array(signed, pa.int64())})
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def simhash_near_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """Near-dup pairs by SimHash banding: split 64 bits into 4 bands of 16 —
+    any pair within hamming ≤3 shares ≥1 exact band (pigeonhole), so the
+    groupby finds all of them; verify hamming on the candidates."""
+    fps = simhash_fingerprints(ds, id_col, text_col)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, bands, keys, sims = [], [], [], []
+        for i, h in zip(batch.column(id_col).to_pylist(),
+                        batch.column("simhash").to_pylist()):
+            u = h & ((1 << 64) - 1)
+            for band in range(4):
+                ids.append(i)
+                bands.append(band)
+                keys.append((u >> (band * 16)) & 0xFFFF)
+                sims.append(h)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "band": pa.array(bands, pa.int32()),
+                         "band_key": pa.array(keys, pa.int32()),
+                         "simhash": pa.array(sims, pa.int64())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(zip(g[id_col], g["simhash"]))
+        a, b, d = [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                ham = bin((rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)).count("1")
+                if ham <= max_hamming:
+                    a.append(rows[i][0]); b.append(rows[j][0]); d.append(ham)
+        return pd.DataFrame({"id_a": a, "id_b": b, "hamming": d})
+
+    from ray.data.aggregate import Min
+
+    cand = fps.map_batches(explode, batch_format="pyarrow") \
+              .groupby(["band", "band_key"]).map_groups(pairs, batch_format="pandas")
+    return cand.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_dup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
+                        vec_col: str = "embedding"):
+    """Pairs with cosine similarity ≥ threshold. Broadcast-matrix design:
+    the normalized matrix is ``ray.put`` once and every batch does one
+    numpy matmul against it — valid while the matrix fits a worker
+    (small-side lookup); the IVF variant in knn.py is the scale path."""
+    import ray
+
+    all_tbl = ds.select_columns([id_col, vec_col]).to_pandas()
+    ids = all_tbl[id_col].to_numpy()
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in all_tbl[vec_col]])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((ids, mat))
+
+    def scan(batch: pd.DataFrame) -> pd.DataFrame:
+        all_ids, all_mat = ray.get(ref)
+        q = np.asarray([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        sims = q @ all_mat.T
+        qa, qb, qs = [], [], []
+        for r, qid in enumerate(batch[id_col]):
+            hits = np.where(sims[r] >= threshold)[0]
+            for c in hits:
+                if all_ids[c] > qid:  # emit each pair once, a < b
+                    qa.append(qid); qb.append(int(all_ids[c]))
+                    qs.append(float(sims[r, c]))
+        return pd.DataFrame({"id_a": pd.Series(qa, dtype="int64"),
+                             "id_b": pd.Series(qb, dtype="int64"),
+                             "cosine_sim": pd.Series(qs, dtype="float64")})
+
+    return ds.map_batches(scan, batch_format="pandas", batch_size=256)

@@ -1,0 +1,79 @@
+"""Join utilities (SURVEY.md §2.4 / Ray Data join patterns):
+
+- ``broadcast_join``: the small side is materialized once, ``ray.put``, and
+  merged into every batch of the large side — no shuffle. Use whenever one
+  side fits a worker heap (dimension tables, wave URL sets, model vocab).
+- ``bucket_hash_join``: both sides large — stage the right side to Parquet
+  partitioned by ``bucket = hash(key) % B``, then join each left bucket
+  group against only its matching right bucket files inside ``map_groups``.
+  One shuffle for the left groupby; the right side moves once to storage.
+  B is explicit so hot keys can be split (salting) without touching the
+  operator.
+- Ray ≥2.46 also ships ``Dataset.join`` (hash-shuffle actors); the explicit
+  patterns here have predictable shuffle behavior and beat the generic
+  operator at the scales benchmarked.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+from typing import Optional
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+
+def broadcast_join(large_ds, small_df: pd.DataFrame, left_on: str,
+                   right_on: Optional[str] = None, how: str = "inner",
+                   batch_size: int = 65536):
+    right_on = right_on or left_on
+    ref = ray.put(small_df)
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        small = ray.get(ref)
+        return batch.merge(small, how=how, left_on=left_on, right_on=right_on)
+
+    return large_ds.map_batches(merge, batch_format="pandas",
+                                batch_size=batch_size)
+
+
+def _bucket_of(series: pd.Series, num_buckets: int) -> pd.Series:
+    return (pd.util.hash_array(series.to_numpy()) % num_buckets).astype("int64")
+
+
+def bucket_hash_join(left_ds, right_ds, left_on: str, right_on: str,
+                     num_buckets: int = 32, how: str = "inner",
+                     stage_dir: Optional[str] = None):
+    """Explicit partitioned hash join for two large sides."""
+    stage_dir = stage_dir or tempfile.mkdtemp(prefix="raycrawl_join_",
+                                              dir="/tmp")
+
+    def tag_right(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(__bucket=_bucket_of(batch[right_on], num_buckets))
+
+    right_ds.map_batches(tag_right, batch_format="pandas").write_parquet(
+        stage_dir, partition_cols=["__bucket"])
+
+    files_by_bucket: dict[int, list[str]] = {}
+    for d in glob.glob(os.path.join(stage_dir, "__bucket=*")):
+        files_by_bucket[int(d.rsplit("=", 1)[1])] = sorted(
+            glob.glob(os.path.join(d, "*.parquet")))
+
+    def tag_left(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(__bucket=_bucket_of(batch[left_on], num_buckets))
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(g["__bucket"].iloc[0])
+        files = files_by_bucket.get(bucket, [])
+        if not files:
+            return pd.DataFrame()
+        right = pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
+        return g.drop(columns="__bucket").merge(
+            right, how=how, left_on=left_on, right_on=right_on)
+
+    return (left_ds.map_batches(tag_left, batch_format="pandas")
+            .groupby("__bucket").map_groups(join_group, batch_format="pandas"))

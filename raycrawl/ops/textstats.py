@@ -1,0 +1,136 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting. All vectorized-per-batch ``map_batches`` stages
+over the ``documents`` table; stopword/profile tables are tiny constants
+compiled once per actor.
+
+Every metric here is defined so the DuckDB oracle can compute the identical
+value (integer counts and exact integer-ratio doubles — single IEEE
+division on both sides), except the fingerprint/language heuristics which
+are rows-only checks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_WS_SPLIT_RE = re.compile(r"\s+")
+_SENT_RE = re.compile(r"[.!?]")
+
+STOPWORDS_EN = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+# tiny language profiles (function words) for the n-gram/stopword heuristic
+LANG_PROFILES = {
+    "en": {"the", "a", "and", "of", "to", "in", "is", "it", "that", "for", "on", "with"},
+    "fr": {"le", "la", "les", "de", "des", "et", "un", "une", "est", "que", "pour", "dans"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von", "mit", "für"},
+    "es": {"el", "la", "los", "las", "de", "y", "un", "una", "es", "que", "por", "con"},
+}
+
+
+def token_count(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, n_tokens): whitespace tokenization, matching DuckDB
+    ``length(regexp_split_to_array(trim(text), '\\s+'))``."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.strip().apply(
+            lambda t: len(_WS_SPLIT_RE.split(t)) if t else 1)
+        return pd.DataFrame({id_col: batch[id_col], "n_tokens": toks.astype("int64")})
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def quality_score(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, n_chars, n_words, n_sentences, n_stopwords, stop_ratio,
+    mean_word_len) — boilerplate/quality heuristics with exact SQL
+    equivalents (counts + one integer division each)."""
+    stop = set(STOPWORDS_EN)
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text_col].fillna("")
+        n_chars = texts.str.len().astype("int64")
+        words = texts.apply(lambda t: _WS_SPLIT_RE.split(t.strip()) if t.strip() else [])
+        n_words = words.apply(len).astype("int64")
+        n_sent = texts.apply(lambda t: len(_SENT_RE.findall(t))).astype("int64")
+        n_stop = words.apply(lambda ws: sum(1 for w in ws if w in stop)).astype("int64")
+        total_word_chars = words.apply(lambda ws: sum(len(w) for w in ws)).astype("int64")
+        stop_ratio = np.where(n_words > 0, n_stop / n_words.clip(lower=1), 0.0)
+        mean_word_len = np.where(n_words > 0,
+                                 total_word_chars / n_words.clip(lower=1), 0.0)
+        return pd.DataFrame({
+            id_col: batch[id_col],
+            "n_chars": n_chars,
+            "n_words": n_words,
+            "n_sentences": n_sent,
+            "n_stopwords": n_stop,
+            "stop_ratio": stop_ratio,
+            "mean_word_len": mean_word_len,
+        })
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+class LangIdStage:
+    """Stopword-profile language ID (n-gram heuristic). Profiles compiled
+    once per actor; deterministic tie-break by profile order then 'und'."""
+
+    def __init__(self) -> None:
+        self.profiles = {k: frozenset(v) for k, v in LANG_PROFILES.items()}
+        self.order = list(LANG_PROFILES.keys())
+
+    def classify(self, text: str) -> str:
+        toks = [t.lower() for t in _WS_SPLIT_RE.split(text.strip()) if t]
+        if not toks:
+            return "und"
+        best_lang, best_score = "und", 0
+        for lang in self.order:
+            score = sum(1 for t in toks if t in self.profiles[lang])
+            if score > best_score:
+                best_lang, best_score = lang, score
+        return best_lang
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        preds = batch["text"].fillna("").apply(self.classify)
+        out = batch[["doc_id"]].copy()
+        out["lang_pred"] = preds
+        return out
+
+
+def lang_id(ds, concurrency: int = 4):
+    return ds.map_batches(LangIdStage, batch_format="pandas",
+                          concurrency=concurrency)
+
+
+def rolling_fingerprint(text: str, window: int = 5) -> int:
+    """Winnowing-style document fingerprint (Schleimer et al. 2003, public
+    alg): Rabin-ish rolling hash over word windows, min selection, XOR-fold
+    to one 63-bit value. Deterministic, whitespace-tokenized."""
+    toks = _WS_SPLIT_RE.split(text.strip()) if text.strip() else []
+    if not toks:
+        return 0
+    hs = [int.from_bytes(hashlib.sha1(t.encode()).digest()[:8], "big")
+          for t in toks]
+    if len(hs) < window:
+        acc = 0
+        for h in hs:
+            acc ^= h
+        return acc & ((1 << 63) - 1)
+    mins = []
+    for i in range(len(hs) - window + 1):
+        mins.append(min(hs[i : i + window]))
+    acc = 0
+    for m in set(mins):
+        acc ^= m
+    return acc & ((1 << 63) - 1)
+
+
+def fingerprints(ds, id_col: str = "doc_id", text_col: str = "text"):
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        fps = batch[text_col].fillna("").apply(rolling_fingerprint)
+        return pd.DataFrame({id_col: batch[id_col],
+                             "fingerprint": fps.astype("int64")})
+
+    return ds.map_batches(f, batch_format="pandas")
