@@ -1,17 +1,17 @@
 """Relational pipelines over the driver's TPC-H-ish tables — the generic
-query capabilities (groupby/aggregate, broadcast + hash joins, sort/top-k,
-windowed aggregation) expressed Ray-Data-first.
+query capabilities (groupby/aggregate, broadcast joins, sort/top-k, windowed
+aggregation, sessionization) expressed Ray-Data-first.
 
 Exactness discipline for oracle comparison: money/double aggregates are
-summed as integer cents/millis (``round(x * 100)`` per row — identical
-single IEEE multiply+round on both Ray and DuckDB sides, then exact integer
-sums), and averages are one division of two exact aggregates. This makes
-every result bit-identical to the DuckDB oracle regardless of summation
-order.
+summed as integer cents/millis (``floor(x * 100 + 0.5)`` per row — the
+identical IEEE ops on the DuckDB side, avoiding banker's-vs-half-up rounding
+divergence), and averages are one division of two exact aggregates. Results
+are bit-identical to the DuckDB oracle regardless of summation order.
 
-Shuffle discipline: every groupby is preceded by a per-batch partial
-aggregate (map-side combine), so the shuffle moves one row per key per
-batch, not the raw table.
+Shuffle discipline: every aggregation is map-side-combined per batch (one
+row per key per batch) and merged via ``ops.agg.aggregate_partials`` —
+driver merge at small key cardinality, shuffle merge above (see agg.py for
+the measured rationale).
 """
 
 from __future__ import annotations
@@ -20,10 +20,10 @@ import os
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
+
+from .agg import aggregate_partials
 
 
 def _read(sf_dir: str, name: str, columns=None):
@@ -48,25 +48,22 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b.assign(
-            qty=b["l_quantity"].astype("int64"),
-            base_cents=_cents(b["l_extendedprice"]),
-            disc_cents=np.floor(b["l_extendedprice"] * (1 - b["l_discount"])
-                                * 100 + 0.5).astype("int64"),
-            n=1,
+            sum_qty=b["l_quantity"].astype("int64"),
+            sum_base_cents=_cents(b["l_extendedprice"]),
+            sum_disc_cents=np.floor(b["l_extendedprice"] * (1 - b["l_discount"])
+                                    * 100 + 0.5).astype("int64"),
+            count_order=1,
         )
         return (b.groupby(["l_returnflag", "l_linestatus"], as_index=False)
-                 .agg(sum_qty=("qty", "sum"),
-                      sum_base_cents=("base_cents", "sum"),
-                      sum_disc_cents=("disc_cents", "sum"),
-                      count_order=("n", "sum")))
+                 .agg(sum_qty=("sum_qty", "sum"),
+                      sum_base_cents=("sum_base_cents", "sum"),
+                      sum_disc_cents=("sum_disc_cents", "sum"),
+                      count_order=("count_order", "sum")))
 
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-    out = (partials.groupby(["l_returnflag", "l_linestatus"])
-           .aggregate(Sum("sum_qty", alias_name="sum_qty"),
-                      Sum("sum_base_cents", alias_name="sum_base_cents"),
-                      Sum("sum_disc_cents", alias_name="sum_disc_cents"),
-                      Sum("count_order", alias_name="count_order"))
-           .to_pandas())
+    out = aggregate_partials(
+        ds, partial, keys=["l_returnflag", "l_linestatus"],
+        agg_spec={"sum_qty": "sum", "sum_base_cents": "sum",
+                  "sum_disc_cents": "sum", "count_order": "sum"})
     out["avg_qty"] = out["sum_qty"] / out["count_order"]
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
@@ -80,51 +77,42 @@ def region_customer_stats(sf_dir: str) -> pd.DataFrame:
     region = _read(sf_dir, "region").to_pandas()
     dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
     n2r = dict(zip(dim["n_nationkey"], dim["r_name"]))
-    ref = ray.put(n2r)
+    ref = ray.put(n2r)  # broadcast once; looked up per batch, never re-shipped
 
     cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         lookup = ray.get(ref)
         b = b.assign(r_name=b["c_nationkey"].map(lookup),
-                     acctbal_cents=_cents(b["c_acctbal"]), n=1)
+                     sum_acctbal_cents=_cents(b["c_acctbal"]), num_customers=1)
         return (b.groupby("r_name", as_index=False)
-                 .agg(num_customers=("n", "sum"),
-                      sum_acctbal_cents=("acctbal_cents", "sum")))
+                 .agg(num_customers=("num_customers", "sum"),
+                      sum_acctbal_cents=("sum_acctbal_cents", "sum")))
 
-    out = (cust.map_batches(partial, batch_format="pandas", batch_size=65536)
-           .groupby("r_name")
-           .aggregate(Sum("num_customers", alias_name="num_customers"),
-                      Sum("sum_acctbal_cents", alias_name="sum_acctbal_cents"))
-           .to_pandas())
+    out = aggregate_partials(cust, partial, keys=["r_name"],
+                             agg_spec={"num_customers": "sum",
+                                       "sum_acctbal_cents": "sum"})
     return out.sort_values("r_name").reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
-# Large-large hash join + top-k: revenue per order joined to orders
+# Aggregate + top-k + broadcast lookup: top orders by revenue
 # ---------------------------------------------------------------------------
 
 def top_orders_by_revenue(sf_dir: str, k: int = 10) -> pd.DataFrame:
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.assign(rev_cents=np.floor(b["l_extendedprice"] * (1 - b["l_discount"])
-                                        * 100 + 0.5).astype("int64"))
+        b = b.assign(revenue_cents=np.floor(
+            b["l_extendedprice"] * (1 - b["l_discount"]) * 100 + 0.5
+        ).astype("int64"))
         return (b.groupby("l_orderkey", as_index=False)
-                 .agg(revenue_cents=("rev_cents", "sum")))
+                 .agg(revenue_cents=("revenue_cents", "sum")))
 
-    rev = (li.map_batches(partial, batch_format="pandas", batch_size=65536)
-           .groupby("l_orderkey")
-           .aggregate(Sum("revenue_cents", alias_name="revenue_cents")))
-
-    # per-order top-k first (partial top-k per batch, tiny final merge),
-    # then a broadcast join of only the k winners against orders
-    partial_top = rev.map_batches(
-        lambda b: b.nlargest(k, columns=["revenue_cents"]).sort_values(
-            ["revenue_cents", "l_orderkey"], ascending=[False, True]),
-        batch_format="pandas").to_pandas()
-    top = partial_top.sort_values(["revenue_cents", "l_orderkey"],
-                                  ascending=[False, True]).head(k)
+    rev = aggregate_partials(li, partial, keys=["l_orderkey"],
+                             agg_spec={"revenue_cents": "sum"})
+    top = rev.sort_values(["revenue_cents", "l_orderkey"],
+                          ascending=[False, True]).head(k)
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderstatus"])
     keys = set(top["l_orderkey"])
@@ -143,25 +131,18 @@ def top_orders_by_revenue(sf_dir: str, k: int = 10) -> pd.DataFrame:
 def events_hourly(sf_dir: str) -> pd.DataFrame:
     ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
-    def partial(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        hour = b["ts"].dt.floor("h")
+        millis = np.floor(b["value"] * 1000 + 0.5).astype("int64")
+        g = pd.DataFrame({"event_type": b["event_type"], "hour": hour,
+                          "n_events": 1, "sum_value_millis": millis})
+        return (g.groupby(["event_type", "hour"], as_index=False)
+                 .agg(n_events=("n_events", "sum"),
+                      sum_value_millis=("sum_value_millis", "sum")))
 
-        hour = pc.floor_temporal(b.column("ts"), unit="hour")
-        millis = pc.floor(pc.add(pc.multiply(b.column("value"), 1000.0), 0.5)).cast(pa.int64())
-        t = pa.table({"hour": hour, "event_type": b.column("event_type"),
-                      "value_millis": millis})
-        df = t.to_pandas()
-        g = (df.assign(n=1)
-             .groupby(["event_type", "hour"], as_index=False)
-             .agg(n_events=("n", "sum"),
-                  sum_value_millis=("value_millis", "sum")))
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    out = (ev.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-           .groupby(["event_type", "hour"])
-           .aggregate(Sum("n_events", alias_name="n_events"),
-                      Sum("sum_value_millis", alias_name="sum_value_millis"))
-           .to_pandas())
+    out = aggregate_partials(ev, partial, keys=["event_type", "hour"],
+                             agg_spec={"n_events": "sum",
+                                       "sum_value_millis": "sum"})
     return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
 
 
@@ -171,14 +152,17 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
 
 def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     """Session count + max session length per user: partition by user_id,
-    sort by ts within the group, split on gaps > gap_minutes."""
+    sort by ts within the group, split on gaps > gap_minutes. Ordering
+    assumption: each user's events fit one group (groupby shuffle
+    co-locates them); windowing itself is per-group numpy."""
     ev = _read(sf_dir, "events", ["user_id", "ts"])
     gap = np.timedelta64(gap_minutes * 60, "s")
 
     def sess(g: pd.DataFrame) -> pd.DataFrame:
         ts = g["ts"].sort_values().to_numpy()
         if len(ts) == 0:
-            return pd.DataFrame({"user_id": [], "n_sessions": [], "max_session_events": []})
+            return pd.DataFrame({"user_id": [], "n_sessions": [],
+                                 "max_session_events": []})
         breaks = np.diff(ts) > gap
         n_sessions = int(breaks.sum()) + 1
         sizes = np.diff(np.concatenate([[0], np.where(breaks)[0] + 1, [len(ts)]]))
@@ -200,16 +184,14 @@ def part_brand_stats(sf_dir: str) -> pd.DataFrame:
     part = _read(sf_dir, "part", ["p_brand", "p_size", "p_retailprice"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.assign(price_cents=_cents(b["p_retailprice"]), n=1)
+        b = b.assign(sum_price_cents=_cents(b["p_retailprice"]), n_parts=1)
         return (b.groupby("p_brand", as_index=False)
-                 .agg(n_parts=("n", "sum"),
-                      sum_price_cents=("price_cents", "sum"),
+                 .agg(n_parts=("n_parts", "sum"),
+                      sum_price_cents=("sum_price_cents", "sum"),
                       max_size=("p_size", "max")))
 
-    out = (part.map_batches(partial, batch_format="pandas")
-           .groupby("p_brand")
-           .aggregate(Sum("n_parts", alias_name="n_parts"),
-                      Sum("sum_price_cents", alias_name="sum_price_cents"),
-                      Max("max_size", alias_name="max_size"))
-           .to_pandas())
+    out = aggregate_partials(part, partial, keys=["p_brand"],
+                             agg_spec={"n_parts": "sum",
+                                       "sum_price_cents": "sum",
+                                       "max_size": "max"})
     return out.sort_values("p_brand").reset_index(drop=True)
