@@ -24,7 +24,7 @@ import pyarrow as pa
 
 from .html.clean import clean_tree, find_main_content
 from .html.dom import Node, parse_html
-from .html.markdown import html_to_markdown
+from .html.markdown import post_process_markdown, to_markdown_tree
 from .html.metadata import extract_metadata, extract_structured
 from .links import extract_links_from_tree
 from .schema import EXTRACTED
@@ -42,12 +42,13 @@ def extract_page(url: str, html: str, only_main: bool = True) -> dict[str, Any]:
     if only_main:
         main = find_main_content(root)
         if main is not None:
-            # re-parse so cleaning operates on a detached copy, mirroring the
-            # reference's str(content) round-trip (scraper.py:678-685)
-            content_root = parse_html(main.to_html())
+            # detached deep copy — semantically the reference's str(content)
+            # round-trip (scraper.py:678-685) without paying two extra
+            # parses per page
+            content_root = main.copy()
     clean_tree(content_root)
     html_clean = content_root.to_html()
-    markdown = html_to_markdown(html_clean)
+    markdown = post_process_markdown(to_markdown_tree(content_root))
 
     return {
         "markdown": markdown,

@@ -97,7 +97,11 @@ def _body_features(host_idx: int, j: int, size_factor: int = 1) -> tuple[str, st
     if j % 12 == 0:
         parts.append(f'<p onclick="evil()" style="color:red" data-x="keep" '
                      f'aria-label="keep too">attribute cases {j}</p>')
-    for extra in range(size_factor - 1):
+    # zipf-ish body sizes: size_factor scales a per-page deterministic
+    # multiplier so a bench corpus spans ~2-64 KB pages (FIXTURES.md §1);
+    # size_factor=1 keeps the original (golden) bodies byte-identical
+    extra_paras = (size_factor - 1) * (1 + j % 8) // 4
+    for extra in range(extra_paras):
         parts.append(f"<p>{_para(idx + 10 + extra, 40)}</p>")
     lang = "" if j % 17 == 5 else ("fr" if j % 17 == 9 else "en")
     return "\n".join(parts), lang

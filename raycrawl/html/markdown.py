@@ -246,7 +246,12 @@ class _Renderer:
 
 def to_markdown(html: str) -> str:
     """Render cleaned HTML to raw markdown (pre post-processing)."""
-    root = parse_html(html)
+    return to_markdown_tree(parse_html(html))
+
+
+def to_markdown_tree(root: Node) -> str:
+    """Tree-based render (no re-parse); mutates the tree via
+    enhance_images — pass a copy if the tree is reused."""
     enhance_images(root)
     body = root.find("body") or root
     r = _Renderer()
