@@ -232,24 +232,28 @@ def simhash_fingerprints(ds, id_col: str = "doc_id", text_col: str = "text"):
 
 def simhash_near_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
                        text_col: str = "text"):
-    """Near-dup pairs by SimHash banding: split 64 bits into 4 bands of 16 —
-    any pair within hamming ≤3 shares ≥1 exact band (pigeonhole), so the
-    groupby finds all of them; verify hamming on the candidates."""
+    """Near-dup pairs by SimHash banding: the 64 bits split into
+    ``max_hamming + 1`` bands (≤16), so by pigeonhole any pair within the
+    hamming budget shares ≥1 exact band and is generated as a candidate by
+    the groupby; exact hamming verifies candidates."""
     fps = simhash_fingerprints(ds, id_col, text_col)
+    n_bands = min(16, max_hamming + 1)
+    width = 64 // n_bands
+    mask = (1 << width) - 1
 
     def explode(batch: pa.Table) -> pa.Table:
         ids, bands, keys, sims = [], [], [], []
         for i, h in zip(batch.column(id_col).to_pylist(),
                         batch.column("simhash").to_pylist()):
             u = h & ((1 << 64) - 1)
-            for band in range(4):
+            for band in range(n_bands):
                 ids.append(i)
                 bands.append(band)
-                keys.append((u >> (band * 16)) & 0xFFFF)
+                keys.append((u >> (band * width)) & mask)
                 sims.append(h)
         return pa.table({id_col: pa.array(ids, pa.int64()),
                          "band": pa.array(bands, pa.int32()),
-                         "band_key": pa.array(keys, pa.int32()),
+                         "band_key": pa.array(keys, pa.int64()),
                          "simhash": pa.array(sims, pa.int64())})
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -260,7 +264,9 @@ def simhash_near_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
                 ham = bin((rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)).count("1")
                 if ham <= max_hamming:
                     a.append(rows[i][0]); b.append(rows[j][0]); d.append(ham)
-        return pd.DataFrame({"id_a": a, "id_b": b, "hamming": d})
+        return pd.DataFrame({"id_a": pd.Series(a, dtype="int64"),
+                             "id_b": pd.Series(b, dtype="int64"),
+                             "hamming": pd.Series(d, dtype="int64")})
 
     from ray.data.aggregate import Min
 

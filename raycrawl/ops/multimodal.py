@@ -1,0 +1,128 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Real image/audio codecs (PIL/ffmpeg/torchaudio) are not in this container,
+so the decode kernels are deterministic fakes behind ``decoder=`` hooks —
+but the Ray-side plumbing is real and sized for 100 TB: binary columns stay
+in ``batch_format="pyarrow"`` (zero-copy; never round-trip binary through
+pandas object dtype), stages are actor pools with small ``batch_size``
+(large payloads × concurrency must fit worker heaps, SURVEY.md R5), and
+outputs are fixed-width feature columns.
+
+Swap ``FakeImageDecoder`` for a PIL/torchvision decoder in ``__init__`` of
+the same actor class and nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+IMAGE_META = pa.schema([
+    ("image_id", pa.int64()),
+    ("payload", pa.binary()),
+    ("format", pa.string()),
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+])
+
+
+def synth_image_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic fake 'image' rows: payload = seeded bytes; metadata
+    columns as a real corpus would carry them."""
+    rng = np.random.RandomState(seed)
+    payloads, fmts, ws, hs = [], [], [], []
+    for i in range(n):
+        w = int(rng.randint(16, 257))
+        h = int(rng.randint(16, 257))
+        payloads.append(hashlib.sha256(f"img{i}".encode()).digest() * (1 + i % 7))
+        fmts.append(("png", "jpeg", "webp")[i % 3])
+        ws.append(w)
+        hs.append(h)
+    return pa.Table.from_arrays(
+        [pa.array(range(n), pa.int64()), pa.array(payloads, pa.binary()),
+         pa.array(fmts), pa.array(ws, pa.int32()), pa.array(hs, pa.int32())],
+        schema=IMAGE_META)
+
+
+class FakeImageDecoder:
+    """Deterministic stand-in for a real decoder: bytes → (H, W, 3) uint8.
+    Replace with PIL in production; signature and output shape are the
+    contract."""
+
+    def __call__(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        seed = int.from_bytes(hashlib.sha1(payload).digest()[:4], "big")
+        rng = np.random.RandomState(seed)
+        return rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+
+class ImageFeatureStage:
+    """Actor-pool stage: decode → resize (nearest-neighbor, pure numpy) →
+    per-channel mean/std features. batch_size MUST stay small (payloads are
+    MBs; batch × concurrency bounds worker heap)."""
+
+    def __init__(self, target: int = 32,
+                 decoder: Optional[object] = None) -> None:
+        self.target = target
+        self.decoder = decoder or FakeImageDecoder()
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        h, w = img.shape[:2]
+        yi = (np.arange(self.target) * h // self.target).clip(0, h - 1)
+        xi = (np.arange(self.target) * w // self.target).clip(0, w - 1)
+        return img[yi][:, xi]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        ws = batch.column("width").to_pylist()
+        hs = batch.column("height").to_pylist()
+        means, stds, thumbs = [], [], []
+        for p, w, h in zip(payloads, ws, hs):
+            img = self.decoder(p, w, h)
+            small = self._resize(img)
+            means.append([float(small[..., c].mean()) for c in range(3)])
+            stds.append([float(small[..., c].std()) for c in range(3)])
+            thumbs.append(small.tobytes())
+        return pa.table({
+            "image_id": pa.array(ids, pa.int64()),
+            "channel_mean": pa.array(means, pa.list_(pa.float32())),
+            "channel_std": pa.array(stds, pa.list_(pa.float32())),
+            "thumbnail": pa.array(thumbs, pa.binary()),
+        })
+
+
+def image_features(ds, target: int = 32, concurrency: int = 4,
+                   batch_size: int = 16):
+    """The multimodal pipeline shape: small batches, pyarrow format,
+    actor pool (decoder state loaded once per actor)."""
+    return ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency,
+                          fn_constructor_kwargs={"target": target})
+
+
+class FrameSampleStage:
+    """'Video' frame sampling stub: payload → every-k-th synthetic frame.
+    Same plumbing contract as a real ffmpeg-based sampler (one row in,
+    N frame rows out — flat-map shape)."""
+
+    def __init__(self, every_k: int = 8, decoder: Optional[object] = None) -> None:
+        self.every_k = every_k
+        self.decoder = decoder or FakeImageDecoder()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, idxs = [], [], []
+        for i, p in zip(batch.column("image_id").to_pylist(),
+                        batch.column("payload").to_pylist()):
+            n_frames = 1 + len(p) % 32
+            for f in range(0, n_frames, self.every_k):
+                ids.append(i)
+                idxs.append(f)
+                frames.append(hashlib.sha1(p + f.to_bytes(4, "big")).digest())
+        return pa.table({
+            "image_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            "frame_sig": pa.array(frames, pa.binary()),
+        })

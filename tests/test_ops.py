@@ -1,0 +1,182 @@
+"""Tests for the training-data operators (dedup / knn / textstats / joins /
+multimodal) over small Ray datasets."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from raycrawl.ops.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    jaccard,
+    minhash_dedup_pairs,
+    minhash_signature,
+    _minhash_params,
+    simhash64,
+    simhash_near_pairs,
+)
+from raycrawl.ops.join import broadcast_join, bucket_hash_join
+from raycrawl.ops.knn import knn_bruteforce, knn_ivf
+from raycrawl.ops.textstats import rolling_fingerprint
+
+
+def _docs(texts):
+    return rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype="int64"), "text": texts}))
+
+
+def test_exact_dedup_keeps_min_id():
+    ds = _docs(["aaa", "bbb", "aaa", "ccc", "bbb", "aaa"])
+    out = exact_dedup(ds).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 1, 3]
+
+
+def test_minhash_similarity_tracks_jaccard():
+    a, b = _minhash_params(256)
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    near = base.replace("lazy", "sleepy")
+    far = "completely different words here entirely unrelated content " * 10
+    sig_base = minhash_signature(base, a, b)
+    sig_near = minhash_signature(near, a, b)
+    sig_far = minhash_signature(far, a, b)
+    est_near = (sig_base == sig_near).mean()
+    est_far = (sig_base == sig_far).mean()
+    true_near = jaccard(base, near)
+    assert abs(est_near - true_near) < 0.15
+    assert est_far < 0.05 < est_near
+
+
+def test_minhash_dedup_finds_near_duplicates():
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    texts = [base, base.replace("eta theta", "eta thetaX"),
+             "unrelated totally different content " * 8,
+             base]  # exact dup of 0
+    out = minhash_dedup_pairs(_docs(texts), threshold=0.4,
+                              concurrency=2).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (0, 3) in pairs
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
+
+
+def test_simhash_hamming_near_pairs():
+    base = "one two three four five six seven eight nine ten " * 5
+    texts = [base, base + " eleven", "entirely different thing " * 10]
+    fp0, fp1 = simhash64(texts[0]), simhash64(texts[1])
+    ham = bin(fp0 ^ fp1).count("1")
+    assert ham <= 8  # near-dup fingerprints close in hamming space
+    out = simhash_near_pairs(_docs(texts), max_hamming=8).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (0, 1) in pairs
+
+
+def test_embedding_dup_pairs_threshold():
+    vecs = [[1.0, 0.0, 0.0], [0.999, 0.01, 0.0], [0.0, 1.0, 0.0]]
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(3, dtype="int64"),
+        "embedding": pd.Series(vecs)}))
+    out = embedding_dup_pairs(ds, threshold=0.99).to_pandas()
+    assert set(zip(out["id_a"], out["id_b"])) == {(0, 1)}
+
+
+def test_knn_bruteforce_exact():
+    rng = np.random.RandomState(0)
+    mat = rng.randn(50, 8).astype("float32")
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(50, dtype="int64"),
+        "embedding": pd.Series(list(mat))}))
+    out = knn_bruteforce(ds, query_ids=[0, 1], k=5)
+    assert len(out) == 10
+    # numpy oracle
+    m = mat.astype("float64")
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m[0] @ m.T
+    order = [i for i in np.argsort(-np.round(sims, 6)) if i != 0][:5]
+    got = out[out["query_id"] == 0].sort_values("rank")["neighbor_id"].tolist()
+    assert got == order
+
+
+def test_knn_ivf_recall_against_bruteforce():
+    rng = np.random.RandomState(1)
+    mat = rng.randn(300, 16).astype("float32")
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(300, dtype="int64"),
+        "embedding": pd.Series(list(mat))}))
+    exact = knn_bruteforce(ds, query_ids=[0, 5, 9], k=10)
+    approx = knn_ivf(ds, query_ids=[0, 5, 9], k=10, nlist=8, nprobe=4)
+    recall = 0.0
+    for q in (0, 5, 9):
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        recall += len(e & a) / len(e)
+    assert recall / 3 >= 0.5  # nprobe=4 of 8 lists
+
+
+def test_rolling_fingerprint_properties():
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    assert rolling_fingerprint(t1) == rolling_fingerprint(t1)
+    assert rolling_fingerprint(t1) != rolling_fingerprint(t1 + " extra trailing words here")
+    assert rolling_fingerprint("") == 0
+
+
+def test_broadcast_join():
+    large = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3, 2], "v": "a b c d".split()}))
+    small = pd.DataFrame({"k": [1, 2], "name": ["one", "two"]})
+    out = broadcast_join(large, small, left_on="k").to_pandas()
+    assert len(out) == 3
+    assert set(out["name"]) == {"one", "two"}
+
+
+def test_bucket_hash_join(tmp_path):
+    left = rd.from_pandas(pd.DataFrame({
+        "k": np.arange(100, dtype="int64"), "lv": np.arange(100) * 2}))
+    right = rd.from_pandas(pd.DataFrame({
+        "rk": np.arange(50, 150, dtype="int64"), "rv": np.arange(100) * 3}))
+    out = bucket_hash_join(left, right, left_on="k", right_on="rk",
+                           num_buckets=8, stage_dir=str(tmp_path)).to_pandas()
+    assert len(out) == 50  # keys 50..99
+    row = out[out["k"] == 60].iloc[0]
+    assert row["lv"] == 120 and row["rv"] == (60 - 50) * 3
+
+
+def test_multimodal_image_features():
+    from raycrawl.ops.multimodal import image_features, synth_image_table
+
+    tbl = synth_image_table(24)
+    ds = rd.from_arrow(tbl)
+    out = image_features(ds, target=16, concurrency=2, batch_size=8).to_pandas()
+    assert len(out) == 24
+    assert all(len(m) == 3 for m in out["channel_mean"])
+    # deterministic: re-run gives identical features
+    out2 = image_features(rd.from_arrow(tbl), target=16, concurrency=2,
+                          batch_size=8).to_pandas()
+    m1 = sorted(map(tuple, out["channel_mean"].map(list)))
+    m2 = sorted(map(tuple, out2["channel_mean"].map(list)))
+    assert m1 == m2
+
+
+def test_multimodal_frame_sampling():
+    import ray.data as rd2
+
+    from raycrawl.ops.multimodal import FrameSampleStage, synth_image_table
+
+    ds = rd2.from_arrow(synth_image_table(8))
+    out = ds.map_batches(FrameSampleStage, batch_format="pyarrow",
+                         concurrency=1).to_pandas()
+    assert len(out) >= 8
+    assert (out["frame_idx"] % 8 == 0).all()
+
+
+def test_metrics_prometheus_render():
+    from raycrawl.metrics import render_prometheus
+
+    stats = {"pages_success": 10, "pages_failed": 1, "total_seen": 12,
+             "waves": 3, "pages_per_sec": 5.5, "dedup_hit_rate": 0.25,
+             "robots_blocked": 2, "filter_false_positives": 0,
+             "shards": [{"shard": 0, "queued": 4, "offered": 30,
+                         "admitted": 12, "dup_hits": 8}]}
+    text = render_prometheus(stats)
+    assert "raycrawl_pages_success_total 10" in text
+    assert '# TYPE raycrawl_pages_per_second gauge' in text
+    assert 'raycrawl_frontier_depth{shard="0"} 4' in text
