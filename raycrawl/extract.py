@@ -25,8 +25,8 @@ import pyarrow as pa
 from .html.clean import clean_tree, find_main_content
 from .html.dom import Node, parse_html
 from .html.markdown import post_process_markdown, to_markdown_tree
-from .html.metadata import extract_metadata, extract_structured
-from .links import extract_links_from_tree
+from .html.metadata import PageIndex, extract_metadata, extract_structured
+from .links import extract_links_from_anchors, extract_links_from_tree
 from .schema import EXTRACTED
 
 
@@ -34,9 +34,10 @@ def extract_page(url: str, html: str, only_main: bool = True) -> dict[str, Any]:
     """Pure single-page extraction — shared by the Ray stage, the crawl
     pipeline and the single-threaded conformance oracle."""
     root = parse_html(html)
-    metadata = extract_metadata(root)
-    structured = extract_structured(root)
-    links = extract_links_from_tree(root, url, link_filter=None)
+    idx = PageIndex(root)  # one traversal serves all metadata probes
+    metadata = extract_metadata(idx)
+    structured = extract_structured(idx)
+    links = extract_links_from_anchors(idx.anchors, url, link_filter=None)
 
     content_root: Node = root
     if only_main:

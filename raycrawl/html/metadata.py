@@ -38,107 +38,174 @@ _OG_RENAMES = {
 }
 
 
-def extract_metadata(root: Node) -> dict[str, str]:
-    """Reference scraper.py:354-483 semantics."""
+class PageIndex:
+    """One-pass index of the nodes the metadata/structured-data extractors
+    probe, in document order — replaces ~20 full-tree ``find`` scans per
+    page with a single traversal (each list preserves document order, so
+    'first match' semantics are identical to repeated ``soup.find``)."""
+
+    __slots__ = ("title", "html", "metas", "links", "times", "imgs",
+                 "anchors", "ldjson")
+
+    def __init__(self, root: Node) -> None:
+        self.title: Optional[Node] = None
+        self.html: Optional[Node] = None
+        self.metas: list[Node] = []
+        self.links: list[Node] = []
+        self.times: list[Node] = []
+        self.imgs: list[Node] = []
+        self.anchors: list[Node] = []
+        self.ldjson: list[Node] = []
+        for node in root.iter_elements():
+            tag = node.tag
+            if tag == "meta":
+                self.metas.append(node)
+            elif tag == "a":
+                self.anchors.append(node)
+            elif tag == "link":
+                self.links.append(node)
+            elif tag == "img":
+                self.imgs.append(node)
+            elif tag == "time":
+                self.times.append(node)
+            elif tag == "title":
+                if self.title is None:
+                    self.title = node
+            elif tag == "html":
+                if self.html is None:
+                    self.html = node
+            elif tag == "script" and node.get("type") == "application/ld+json":
+                self.ldjson.append(node)
+
+    def meta(self, **attrs) -> Optional[Node]:
+        for m in self.metas:
+            ok = True
+            for k, want in attrs.items():
+                got = m.get(k)
+                if want is True:
+                    ok = got is not None
+                elif got != want:
+                    ok = False
+                if not ok:
+                    break
+            if ok:
+                return m
+        return None
+
+    def link(self, rel: str) -> Optional[Node]:
+        for l in self.links:
+            if l.get("rel") == rel:
+                return l
+        return None
+
+
+def _index(root) -> PageIndex:
+    return root if isinstance(root, PageIndex) else PageIndex(root)
+
+
+def extract_metadata(root) -> dict[str, str]:
+    """Reference scraper.py:354-483 semantics (accepts Node or PageIndex)."""
+    idx = _index(root)
     md: dict[str, str] = {}
 
-    title = root.find("title")
-    if title is not None:
-        md["title"] = title.get_text().strip()
+    if idx.title is not None:
+        md["title"] = idx.title.get_text().strip()
 
-    desc = root.find("meta", name="description")
+    desc = idx.meta(name="description")
     if desc is not None:
         md["description"] = (desc.get("content") or "").strip()
 
-    for tag in root.find_all("meta", property=lambda v: v is not None and v.startswith("og:")):
-        prop = (tag.get("property") or "").replace("og:", "")
-        content = (tag.get("content") or "").strip()
-        if prop and content:
-            md[_OG_RENAMES.get(prop, f"og{prop.capitalize()}")] = content
+    for tag in idx.metas:
+        prop = tag.get("property") or ""
+        if prop.startswith("og:"):
+            p = prop.replace("og:", "")
+            content = (tag.get("content") or "").strip()
+            if p and content:
+                md[_OG_RENAMES.get(p, f"og{p.capitalize()}")] = content
 
-    for tag in root.find_all("meta", name=lambda v: v is not None and v.startswith("twitter:")):
-        name = (tag.get("name") or "").replace("twitter:", "")
-        content = (tag.get("content") or "").strip()
-        if name and content:
-            md[f"twitter:{name}"] = content
+    for tag in idx.metas:
+        name = tag.get("name") or ""
+        if name.startswith("twitter:"):
+            n = name.replace("twitter:", "")
+            content = (tag.get("content") or "").strip()
+            if n and content:
+                md[f"twitter:{n}"] = content
 
-    canonical = root.find("link", rel="canonical")
+    canonical = idx.link("canonical")
     if canonical is not None:
         md["canonical_url"] = (canonical.get("href") or "").strip()
 
-    favicon = root.find("link", rel="icon") or root.find("link", rel="shortcut icon")
+    favicon = idx.link("icon") or idx.link("shortcut icon")
     if favicon is not None:
         md["favicon"] = (favicon.get("href") or "").strip()
 
-    viewport = root.find("meta", name="viewport")
+    viewport = idx.meta(name="viewport")
     if viewport is not None:
         md["viewport"] = (viewport.get("content") or "").strip()
 
-    html_tag = root.find("html")
-    if html_tag is not None and html_tag.get("lang"):
-        md["language"] = html_tag.get("lang")  # full value, not primary subtag
+    if idx.html is not None and idx.html.get("lang"):
+        md["language"] = idx.html.get("lang")  # full value, not primary subtag
 
-    charset = root.find("meta", charset=True)
+    charset = idx.meta(charset=True)
     if charset is not None:
         md["charset"] = (charset.get("charset") or "").strip()
 
-    ctype = root.find("meta", **{"http-equiv": "content-type"})
+    ctype = idx.meta(**{"http-equiv": "content-type"})
     if ctype is not None:
         md["contentType"] = (ctype.get("content") or "").strip()
 
-    author = root.find("meta", name="author")
+    author = idx.meta(name="author")
     if author is not None:
         md["authors"] = (author.get("content") or "").strip()
 
-    summary = root.find("meta", name="summary")
+    summary = idx.meta(name="summary")
     if summary is not None:
         md["summary"] = (summary.get("content") or "").strip()
 
-    pub = (
-        root.find("meta", property="article:published_time")
-        or root.find("meta", name="article:published_time")
-        or root.find("time", datetime=True)
-    )
+    pub = (idx.meta(property="article:published_time")
+           or idx.meta(name="article:published_time")
+           or next((t for t in idx.times if t.get("datetime") is not None), None))
     if pub is not None:
         if pub.get("content"):
             md["published_at"] = (pub.get("content") or "").strip()
         elif pub.get("datetime"):
             md["published_at"] = (pub.get("datetime") or "").strip()
 
-    category = (
-        root.find("meta", property="article:section")
-        or root.find("meta", name="article:section")
-        or root.find("meta", property="article:tag")
-    )
+    category = (idx.meta(property="article:section")
+                or idx.meta(name="article:section")
+                or idx.meta(property="article:tag"))
     if category is not None:
         md["categories"] = (category.get("content") or "").strip()
 
     for meta_name, key in (("site-id", "site-id"), ("app-version", "app-version"),
                            ("docs-boost", "docs-boost")):
-        tag = root.find("meta", name=meta_name)
+        tag = idx.meta(name=meta_name)
         if tag is not None:
             md[key] = (tag.get("content") or "").strip()
 
-    author_img = root.find("img", alt=lambda v: v is not None and _AUTHOR_IMG_RE.search(v))
+    author_img = next(
+        (im for im in idx.imgs
+         if im.get("alt") is not None and _AUTHOR_IMG_RE.search(im.get("alt"))),
+        None)
     if author_img is not None:
         md["author_images"] = (author_img.get("src") or "").strip()
 
-    fb = root.find("meta", property="fb:app_id")
+    fb = idx.meta(property="fb:app_id")
     if fb is not None:
         md["fb:app_id"] = (fb.get("content") or "").strip()
 
     return md
 
 
-def extract_language(root: Node) -> str:
+def extract_language(root) -> str:
     """Reference structured_data.py:11-38 fallback chain; '' when absent."""
-    html_tag = root.find("html")
-    if html_tag is not None and html_tag.get("lang"):
-        return (html_tag.get("lang") or "").split("-")[0]
+    idx = _index(root)
+    if idx.html is not None and idx.html.get("lang"):
+        return (idx.html.get("lang") or "").split("-")[0]
     for finder in (
-        lambda: root.find("meta", **{"http-equiv": "content-language"}),
-        lambda: root.find("meta", name="language"),
-        lambda: root.find("meta", property="og:locale"),
+        lambda: idx.meta(**{"http-equiv": "content-language"}),
+        lambda: idx.meta(name="language"),
+        lambda: idx.meta(property="og:locale"),
     ):
         tag = finder()
         if tag is not None and tag.get("content"):
@@ -148,11 +215,12 @@ def extract_language(root: Node) -> str:
     return ""
 
 
-def extract_json_ld(root: Node) -> list[Any]:
+def extract_json_ld(root) -> list[Any]:
     """Reference structured_data.py:40-53: parse every
     <script type="application/ld+json">, skipping unparseable blocks."""
+    idx = _index(root)
     out: list[Any] = []
-    for script in root.find_all("script", type="application/ld+json"):
+    for script in idx.ldjson:
         try:
             out.append(json.loads(script.get_text()))
         except (json.JSONDecodeError, TypeError):
@@ -160,46 +228,54 @@ def extract_json_ld(root: Node) -> list[Any]:
     return out
 
 
-def extract_open_graph(root: Node) -> dict[str, str]:
-    """Reference structured_data.py:55-67 (no renaming; raw prop → content)."""
+def extract_open_graph(root) -> dict[str, str]:
+    """Reference structured_data.py:55-67 (no renaming; raw prop -> content)."""
+    idx = _index(root)
     og: dict[str, str] = {}
-    for tag in root.find_all("meta", property=lambda v: v is not None and v.startswith("og:")):
-        prop = (tag.get("property") or "").replace("og:", "")
-        content = tag.get("content")
-        if prop and content:
-            og[prop] = content
+    for tag in idx.metas:
+        prop = tag.get("property") or ""
+        if prop.startswith("og:"):
+            p = prop.replace("og:", "")
+            content = tag.get("content")
+            if p and content:
+                og[p] = content
     return og
 
 
-def extract_twitter_cards(root: Node) -> dict[str, str]:
+def extract_twitter_cards(root) -> dict[str, str]:
     """Reference structured_data.py:69-81."""
+    idx = _index(root)
     tw: dict[str, str] = {}
-    for tag in root.find_all("meta", name=lambda v: v is not None and v.startswith("twitter:")):
-        name = (tag.get("name") or "").replace("twitter:", "")
-        content = tag.get("content")
-        if name and content:
-            tw[name] = content
+    for tag in idx.metas:
+        name = tag.get("name") or ""
+        if name.startswith("twitter:"):
+            n = name.replace("twitter:", "")
+            content = tag.get("content")
+            if n and content:
+                tw[n] = content
     return tw
 
 
-def extract_meta_data(root: Node) -> dict[str, str]:
+def extract_meta_data(root) -> dict[str, str]:
     """Reference structured_data.py:83-101: all other <meta name/property>
     pairs plus the mandatory ``language`` key."""
+    idx = _index(root)
     md: dict[str, str] = {}
-    for tag in root.find_all("meta"):
+    for tag in idx.metas:
         name = tag.get("name") or tag.get("property")
         content = tag.get("content")
         if name and content and not name.startswith(("og:", "twitter:")):
             md[name] = content
-    md["language"] = extract_language(root) or ""
+    md["language"] = extract_language(idx) or ""
     return md
 
 
-def extract_structured(root: Node) -> dict[str, Any]:
+def extract_structured(root) -> dict[str, Any]:
     """The full StructuredData shape (structured_data.py:103-147)."""
+    idx = _index(root)
     return {
-        "jsonLd": extract_json_ld(root),
-        "openGraph": extract_open_graph(root),
-        "twitterCard": extract_twitter_cards(root),
-        "metaData": extract_meta_data(root),
+        "jsonLd": extract_json_ld(idx),
+        "openGraph": extract_open_graph(idx),
+        "twitterCard": extract_twitter_cards(idx),
+        "metaData": extract_meta_data(idx),
     }

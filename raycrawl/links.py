@@ -60,10 +60,21 @@ def extract_links_from_tree(
     base_url: str,
     link_filter: Optional[Callable[[str], bool]] = None,
 ) -> list[str]:
+    return extract_links_from_anchors(
+        root.find_all("a", href=True), base_url, link_filter)
+
+
+def extract_links_from_anchors(
+    anchors: list[Node],
+    base_url: str,
+    link_filter: Optional[Callable[[str], bool]] = None,
+) -> list[str]:
     seen: set[str] = set()
     out: list[str] = []
-    for a in root.find_all("a", href=True):
-        href = a.get("href") or ""
+    for a in anchors:
+        href = a.get("href")
+        if href is None:
+            continue
         normalized = normalize_url(href, base_url)
         if not normalized or normalized in seen:
             continue
