@@ -154,6 +154,44 @@ def _q_chunk_semantic(sf_dir: str):
         ["url", "position", "chunk_type", "word_count"]).to_pandas()
 
 
+
+def _q_chunk_sentence(sf_dir: str):
+    import ray.data as rd
+
+    from raycrawl.chunker import ChunkStage
+    from raycrawl.extract import scrape_dataset
+
+    pages = rd.read_parquet(_docs_corpus(sf_dir), columns=["url", "warc_ts", "html"])
+    extracted = scrape_dataset(pages, concurrency=_pool(0.4), batch_size=64)
+    chunks = extracted.select_columns(["url", "markdown"]).map_batches(
+        ChunkStage, batch_format="pyarrow", concurrency=_pool(0.3),
+        fn_constructor_kwargs={"chunker": "sentence", "max_chunk_size": 64,
+                               "chunk_overlap": 8})
+    return chunks.select_columns(
+        ["url", "position", "word_count"]).to_pandas()
+
+
+def _q_chunk_stats(sf_dir: str):
+    """A3 chunk-stats aggregate: total chunks + mean word count per
+    chunk_type over the semantic chunks (ds.aggregate path)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Mean, Sum
+
+    from raycrawl.chunker import ChunkStage
+    from raycrawl.extract import scrape_dataset
+
+    pages = rd.read_parquet(_docs_corpus(sf_dir), columns=["url", "warc_ts", "html"])
+    extracted = scrape_dataset(pages, concurrency=_pool(0.4), batch_size=64)
+    chunks = extracted.select_columns(["url", "markdown"]).map_batches(
+        ChunkStage, batch_format="pyarrow", concurrency=_pool(0.3))
+    out = (chunks.groupby("chunk_type")
+           .aggregate(Count(alias_name="total_chunks"),
+                      Sum("word_count", alias_name="total_words"))
+           .to_pandas())
+    out["avg_words"] = out["total_words"] / out["total_chunks"]
+    return out
+
+
 def _q_dedup_exact(sf_dir: str):
     import ray.data as rd
 
@@ -300,6 +338,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_bfs": _q_crawl_bfs,
         "crawl_seen": _q_crawl_seen,
         "chunk_semantic": _q_chunk_semantic,
+        "chunk_sentence": _q_chunk_sentence,
+        "chunk_stats": _q_chunk_stats,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_simhash": _q_simhash,
