@@ -325,6 +325,32 @@ def _q_sessionize(sf_dir: str):
     return events_sessionize(sf_dir)
 
 
+
+def _q_events_props(sf_dir: str):
+    """Scalar JSON extraction (the reference's json.loads surface, M7/§2.8):
+    parse events.props and aggregate sum(k) per event_type."""
+    import json as _json
+
+    import pandas as pd
+    import ray.data as rd
+
+    from raycrawl.ops.agg import aggregate_partials
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "props"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ks = b["props"].apply(lambda s: _json.loads(s).get("k", 0) if s else 0)
+        g = pd.DataFrame({"event_type": b["event_type"],
+                          "sum_k": ks.astype("int64"), "n_events": 1})
+        return g.groupby("event_type", as_index=False).agg(
+            sum_k=("sum_k", "sum"), n_events=("n_events", "sum"))
+
+    out = aggregate_partials(ev, partial, keys=["event_type"],
+                             agg_spec={"sum_k": "sum", "n_events": "sum"})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def _q_part_brand(sf_dir: str):
     from raycrawl.ops.relational import part_brand_stats
 
@@ -355,6 +381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_by_revenue": _q_top_orders,
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_sessionize,
+        "events_props_json": _q_events_props,
         "part_brand_stats": _q_part_brand,
     }
 
@@ -465,6 +492,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_events, "
             "CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_millis "
             "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
+        "events_props_json": (
+            "SELECT event_type, "
+            "CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
+            "CAST(count(*) AS BIGINT) AS n_events "
+            "FROM events GROUP BY event_type"
         ),
         "events_sessionize": (
             "WITH o AS (SELECT user_id, ts, "

@@ -180,6 +180,8 @@ class FrontierShardLocal:
             "heap": self.heap,
             "tokens": self.tokens,
             "last_wave": self.last_wave,
+            "rate": self.rate,
+            "burst": self.burst,
             "counters": (self.n_offered, self.n_admitted, self.n_dup,
                          self.n_robots_blocked, self.n_popped),
         }
@@ -196,6 +198,8 @@ class FrontierShardLocal:
         heapq.heapify(self.heap)
         self.tokens = state["tokens"]
         self.last_wave = state["last_wave"]
+        self.rate = state["rate"]
+        self.burst = state["burst"]
         (self.n_offered, self.n_admitted, self.n_dup,
          self.n_robots_blocked, self.n_popped) = state["counters"]
 

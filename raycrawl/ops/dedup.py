@@ -128,8 +128,16 @@ class MinHashStage:
 
 def minhash_candidates(ds, num_hashes: int = 128, bands: int = 32,
                        ngram: int = 3, id_col: str = "doc_id",
-                       text_col: str = "text", concurrency: int = 4):
-    """Candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket."""
+                       text_col: str = "text", concurrency: int = 4,
+                       reduce: str = "driver"):
+    """Candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
+
+    Signature computation (the heavy part) is always distributed; the
+    bucket-groupby over the exploded (band, band_hash, doc_id) rows uses a
+    driver-side pandas groupby by default — those rows are 24 bytes × 32
+    per doc, and Ray's all-to-all shuffle has tens of seconds of fixed
+    overhead that only amortizes at ≥10^7 docs (pass reduce='shuffle'
+    there; same semantics)."""
     exploded = ds.map_batches(
         MinHashStage, batch_format="pyarrow", concurrency=concurrency,
         fn_constructor_kwargs=dict(num_hashes=num_hashes, bands=bands,
@@ -137,22 +145,38 @@ def minhash_candidates(ds, num_hashes: int = 128, bands: int = 32,
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(group[id_col].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
         a, b = [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 a.append(ids[i])
                 b.append(ids[j])
-        return pd.DataFrame({"id_a": a, "id_b": b})
+        return pd.DataFrame({"id_a": pd.Series(a, dtype="int64"),
+                             "id_b": pd.Series(b, dtype="int64")})
 
-    cand = exploded.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pandas")
-    # distinct pairs (a bucket pair may appear in several bands)
-    from ray.data.aggregate import Count
+    if reduce == "shuffle":
+        cand = exploded.groupby(["band", "band_hash"]).map_groups(
+            pairs, batch_format="pandas")
+        from ray.data.aggregate import Count
 
-    return cand.groupby(["id_a", "id_b"]).aggregate(
-        Count(alias_name="n_bands")).select_columns(["id_a", "id_b"])
+        return cand.groupby(["id_a", "id_b"]).aggregate(
+            Count(alias_name="n_bands")).select_columns(["id_a", "id_b"])
+
+    import ray.data as rd
+
+    frames = [b for b in exploded.iter_batches(batch_size=65536,
+                                               batch_format="pandas")]
+    allp = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        {"band": [], "band_hash": [], id_col: []})
+    seen_pairs: set[tuple[int, int]] = set()
+    for _, group in allp.groupby(["band", "band_hash"]):
+        ids = sorted(group[id_col].tolist())
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                seen_pairs.add((ids[i], ids[j]))
+    out = pd.DataFrame(sorted(seen_pairs), columns=["id_a", "id_b"]) \
+        if seen_pairs else pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                         "id_b": pd.Series(dtype="int64")})
+    return rd.from_pandas(out)
 
 
 def jaccard(text_a: str, text_b: str, n: int = 3) -> float:
