@@ -327,3 +327,55 @@ class ConvertStage:
         return pa.Table.from_arrays(
             [pa.array(cols[n], type=CONVERTED.field(n).type)
              for n in CONVERTED.names], schema=CONVERTED)
+
+
+# ---------------------------------------------------------------------------
+# file utilities (M26/M27 — file_utils.py:38-163)
+# ---------------------------------------------------------------------------
+
+_VALID_FILENAME_CHARS = frozenset(
+    "-_.() abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789")
+
+
+def normalize_filename(filename: str) -> str:
+    """file_utils.py:119-134: keep whitelisted chars, non-empty, ≤255."""
+    import os as _os
+
+    filename = "".join(c for c in filename if c in _VALID_FILENAME_CHARS)
+    filename = filename.strip() or "unnamed_file"
+    max_length = 255
+    name, ext = _os.path.splitext(filename)
+    if len(filename) > max_length:
+        return name[: max_length - len(ext)] + ext
+    return filename
+
+
+def safe_extension(filename: str, content: Optional[bytes] = None) -> str:
+    """file_utils.py:137-143 minus libmagic (absent): extension from the
+    name, else sniffed from magic bytes of the content."""
+    import os as _os
+
+    ext = _os.path.splitext(filename)[1].lower().lstrip(".")
+    if ext:
+        return ext
+    if content:
+        for magic_bytes, sniffed in ((b"%PDF", "pdf"), (b"PK\x03\x04", "zip"),
+                                     (b"\x89PNG", "png"), (b"\xff\xd8\xff", "jpg"),
+                                     (b"GIF8", "gif")):
+            if content.startswith(magic_bytes):
+                return sniffed
+    return ""
+
+
+def detect_encoding(content: bytes) -> str:
+    """file_utils.py:153-163 minus chardet (absent): BOM + UTF-8-validity
+    heuristic with the same utf-8 fallback."""
+    for bom, enc in ((b"\xef\xbb\xbf", "utf-8-sig"), (b"\xff\xfe", "utf-16-le"),
+                     (b"\xfe\xff", "utf-16-be")):
+        if content.startswith(bom):
+            return enc
+    try:
+        content.decode("utf-8")
+        return "utf-8"
+    except UnicodeDecodeError:
+        return "latin-1"

@@ -105,3 +105,18 @@ def test_convert_stage_over_ray_dataset(tmp_path):
     out = ds.map_batches(ConvertStage, batch_format="pyarrow", concurrency=1)
     rows = sorted(out.to_pandas().to_dict("records"), key=lambda r: r["path"])
     assert [r["status"] for r in rows] == ["ok", "ok"]
+
+
+def test_filename_and_encoding_utils():
+    from raycrawl.convert import detect_encoding, normalize_filename, safe_extension
+
+    assert normalize_filename("a<b>:c?.txt") == "abc.txt"
+    assert normalize_filename("///") == "unnamed_file"
+    assert len(normalize_filename("x" * 300 + ".txt")) <= 255
+    assert safe_extension("doc.PDF") == "pdf"
+    assert safe_extension("noext", b"%PDF-1.7") == "pdf"
+    assert safe_extension("noext", b"PK\x03\x04") == "zip"
+    assert detect_encoding("héllo".encode("utf-8")) == "utf-8"
+    assert detect_encoding(b"\xef\xbb\xbfabc") == "utf-8-sig"
+    assert detect_encoding(b"\xff\xfea\x00") == "utf-16-le"
+    assert detect_encoding(b"\xff\x00\xfe") == "latin-1"
