@@ -25,16 +25,21 @@ class LinkFilter:
 
     def __init__(
         self,
-        base_domain: str,
+        base_domain: "str | set[str] | frozenset[str] | list[str]",
         exclude_patterns: Optional[list[str]] = None,
         include_patterns: Optional[list[str]] = None,
     ) -> None:
-        self.base_domain = base_domain
+        # single seed (reference semantics) or a seed-host set (multi-seed
+        # generalization of the same-netloc rule, north_star "seed list")
+        if isinstance(base_domain, str):
+            self.domains = frozenset({base_domain})
+        else:
+            self.domains = frozenset(base_domain)
         self.exclude = [re.compile(p) for p in (exclude_patterns or [])]
         self.include = [re.compile(p) for p in (include_patterns or [])]
 
     def __call__(self, url: str) -> bool:
-        if urlparse(url).netloc != self.base_domain:
+        if urlparse(url).netloc not in self.domains:
             return False
         for pat in self.exclude:
             if pat.search(url):

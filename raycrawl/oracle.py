@@ -61,7 +61,7 @@ class OracleResult:
 
 def crawl_oracle(
     corpus: pa.Table,
-    seed_url: str,
+    seed_url: "str | list[str]",
     max_depth: int = 3,
     max_pages: int = 100,
     exclude_patterns: Optional[list[str]] = None,
@@ -77,14 +77,19 @@ def crawl_oracle(
     text_col = corpus.column("text").to_pylist()
     by_url = {u: i for i, u in enumerate(url_col)}
 
-    seed = normalize_url(seed_url, seed_url)
-    seed_host = host_of(seed)
-    link_filter = LinkFilter(seed_host, exclude_patterns, include_patterns)
+    seed_urls = [seed_url] if isinstance(seed_url, str) else list(seed_url)
+    seeds = [normalize_url(u, u) for u in seed_urls]
+    seed_hosts = [host_of(u) for u in seeds]
+    seed_host = seed_hosts[0]
+    seed_host_only = seed_host_only_robots and len(seeds) == 1
+    link_filter = LinkFilter(frozenset(seed_hosts), exclude_patterns,
+                             include_patterns)
 
-    robots = RobotsCache(seed_host_only=seed_host_only_robots, seed_host=seed_host)
+    robots = RobotsCache(seed_host_only=seed_host_only, seed_host=seed_host)
     if respect_robots:
-        i = by_url.get(f"https://{seed_host}/robots.txt")
-        robots.load(seed_host, text_col[i] if i is not None else None)
+        for h in dict.fromkeys(seed_hosts):
+            i = by_url.get(f"https://{h}/robots.txt")
+            robots.load(h, text_col[i] if i is not None else None)
 
     res = OracleResult()
     seen_keys: set[str] = set()
@@ -104,7 +109,8 @@ def crawl_oracle(
         res.seen.append((url, depth, next_seq, parent))
         next_seq += 1
 
-    admit(seed, 0, None)
+    for s in seeds:
+        admit(s, 0, None)
     wave = 0
     tokens: dict[str, float] = {}
     last_wave: dict[str, int] = {}

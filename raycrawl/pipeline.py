@@ -42,7 +42,7 @@ from .urlnorm import canonicalize, host_of, host_shard, normalize_url, url_key
 
 @dataclasses.dataclass
 class CrawlConfig:
-    seed_url: str
+    seed_url: "str | list[str]"
     max_depth: int = 3
     max_pages: int = 100
     exclude_patterns: Optional[list[str]] = None
@@ -219,15 +219,21 @@ class CrawlOutcome:
 
 def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
     t0 = time.time()
-    out_dir = cfg.out_dir or f"/tmp/raycrawl_run/{abs(hash((corpus_path, cfg.seed_url, cfg.max_depth, cfg.max_pages))):x}"
+    out_dir = cfg.out_dir or f"/tmp/raycrawl_run/{abs(hash((corpus_path, str(cfg.seed_url), cfg.max_depth, cfg.max_pages))):x}"
     results_dir = os.path.join(out_dir, "results")
     seen_dir = os.path.join(out_dir, "seen")
     ckpt_dir = os.path.join(out_dir, "checkpoint")
     for d in (results_dir, seen_dir, ckpt_dir):
         os.makedirs(d, exist_ok=True)
 
-    seed = normalize_url(cfg.seed_url, cfg.seed_url)
-    seed_host = host_of(seed)
+    seed_urls = ([cfg.seed_url] if isinstance(cfg.seed_url, str)
+                 else list(cfg.seed_url))
+    seeds = [normalize_url(u, u) for u in seed_urls]
+    seed_hosts = [host_of(u) for u in seeds]
+    seed_host = seed_hosts[0]
+    # the reference's seed-host-only robots quirk only makes sense for one
+    # seed; multi-seed runs use proper per-host rules
+    seed_host_only = cfg.seed_host_only_robots and len(seeds) == 1
     S = cfg.num_shards
     shards = [
         FrontierShard.remote(
@@ -236,7 +242,7 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
             exact_shadow=cfg.exact_shadow,
             politeness_rate=cfg.politeness_rate,
             politeness_burst=cfg.politeness_burst,
-            seed_host_only=cfg.seed_host_only_robots,
+            seed_host_only=seed_host_only,
             seed_host=seed_host,
             respect_robots=cfg.respect_robots,
         )
@@ -244,7 +250,7 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
     ]
 
     workers = [
-        WaveWorker.remote(seed_host, cfg.exclude_patterns,
+        WaveWorker.remote(frozenset(seed_hosts), cfg.exclude_patterns,
                           cfg.include_patterns, cfg.only_main)
         for _ in range(cfg.extract_concurrency)
     ]
@@ -252,13 +258,19 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
     # robots preload: one targeted read of https://host/robots.txt rows.
     # seed-host-only quirk mode loads the seed's rules into every shard.
     if cfg.respect_robots:
-        robots_url = f"https://{seed_host}/robots.txt"
-        t = _read_rows_for_urls(corpus_path, [robots_url], ["url", "text"])
-        body = t.column("text")[0].as_py() if t.num_rows else None
-        if cfg.seed_host_only_robots:
+        robots_urls = [f"https://{h}/robots.txt" for h in dict.fromkeys(seed_hosts)]
+        t = _read_rows_for_urls(corpus_path, robots_urls, ["url", "text"])
+        bodies = {host_of(u): txt for u, txt in
+                  zip(t.column("url").to_pylist(), t.column("text").to_pylist())}
+        if seed_host_only:
+            body = bodies.get(seed_host)
             ray.get([s.load_robots.remote({seed_host: body}) for s in shards])
         else:
-            ray.get(shards[host_shard(seed_host, S)].load_robots.remote({seed_host: body}))
+            per_shard: dict[int, dict] = {}
+            for h in dict.fromkeys(seed_hosts):
+                per_shard.setdefault(host_shard(h, S), {})[h] = bodies.get(h)
+            ray.get([shards[sid].load_robots.remote(b)
+                     for sid, b in per_shard.items()])
 
     # wave state (driver side): next seq + output manifests
     wave = 0
@@ -278,13 +290,23 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
                  for i in range(S)]
         ray.get([s.restore.remote(b) for s, b in zip(shards, snaps)])
     else:
-        # admit the seed (seq 0, depth 0) — queue_manager.py:117 equivalent
-        key = url_key(seed)
-        shard_id = host_shard(seed_host, S)
-        ray.get(shards[shard_id].insert_batch.remote(
-            [(next_seq, 0, seed, seed_host, None, key)]))
-        _write_seen_wave(seen_dir, 0, [(key, seed, seed_host, 0, next_seq, None)])
-        next_seq += 1
+        # admit the seeds in list order (seq 0..n-1, depth 0) —
+        # queue_manager.py:117 equivalent, generalized to a seed list
+        by_shard_seed: dict[int, list] = {}
+        seed_seen_rows = []
+        seen_seed_keys: set[bytes] = set()
+        for u, h in zip(seeds, seed_hosts):
+            key = url_key(u)
+            if key in seen_seed_keys:
+                continue
+            seen_seed_keys.add(key)
+            by_shard_seed.setdefault(host_shard(h, S), []).append(
+                (next_seq, 0, u, h, None, key))
+            seed_seen_rows.append((key, u, h, 0, next_seq, None))
+            next_seq += 1
+        ray.get([shards[sid].insert_batch.remote(items)
+                 for sid, items in by_shard_seed.items()])
+        _write_seen_wave(seen_dir, 0, seed_seen_rows)
 
     files_by_bucket, num_buckets = _corpus_files(corpus_path)
     wave_stats: list[dict] = []

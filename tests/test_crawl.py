@@ -153,3 +153,21 @@ def test_resume_from_checkpoint():
     got = resumed.results()
     assert got.column("url").to_pylist() == golden.column("url").to_pylist()
     assert got.column("seq").to_pylist() == golden.column("seq").to_pylist()
+
+
+def test_multi_seed_crawl_matches_oracle():
+    corpus_dir = cached_corpus("feature", **T2)
+    corpus = feature_corpus(**T2)
+    seeds = ["https://h0.example/d0/p0.html", "https://h2.example/d0/p0.html"]
+    kw = dict(max_depth=2, max_pages=40,
+              exclude_patterns=[r"/skip/", r"\.(jpg|png)$"])
+    cfg = CrawlConfig(seed_url=seeds, num_shards=4, wave_budget=16,
+                      out_dir="/tmp/raycrawl_test_multiseed", **kw)
+    shutil.rmtree(cfg.out_dir, ignore_errors=True)
+    out = crawl(corpus_dir, cfg)
+    oracle = crawl_oracle(corpus, seeds, wave_budget=16, **kw)
+    got = out.results().select(["seq", "depth", "url"]).to_pylist()
+    exp = [{"seq": p.seq, "depth": p.depth, "url": p.url} for p in oracle.pages]
+    assert got == exp
+    hosts = {u.split("/")[2] for u in out.seen().column("url").to_pylist()}
+    assert hosts == {"h0.example", "h2.example"}
