@@ -175,7 +175,7 @@ def _q_chunk_stats(sf_dir: str):
     """A3 chunk-stats aggregate: total chunks + mean word count per
     chunk_type over the semantic chunks (ds.aggregate path)."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Mean, Sum
+    from ray.data.aggregate import Count, Sum
 
     from raycrawl.chunker import ChunkStage
     from raycrawl.extract import scrape_dataset

@@ -20,8 +20,6 @@ from __future__ import annotations
 
 import hashlib
 import re
-from typing import Optional
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa

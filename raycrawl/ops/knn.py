@@ -18,8 +18,6 @@ ordering differences.
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pandas as pd
 

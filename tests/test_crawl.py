@@ -5,7 +5,6 @@ The oracle (raycrawl/oracle.py) is the executable spec of the reference BFS
 the Ray engine must reproduce its crawl order, seen set and markdown bytes.
 """
 
-import math
 import os
 import shutil
 

@@ -1,7 +1,5 @@
 """Unit tests for the frontier shard logic (actor-free FrontierShardLocal)."""
 
-import math
-
 from raycrawl.frontier import FrontierShardLocal
 from raycrawl.urlnorm import url_key
 

@@ -3,7 +3,6 @@ multimodal) over small Ray datasets."""
 
 import numpy as np
 import pandas as pd
-import pytest
 import ray.data as rd
 
 from raycrawl.ops.dedup import (

@@ -1,4 +1,4 @@
-from raycrawl.urlnorm import canonicalize, host_of, host_shard, normalize_url, url_key
+from raycrawl.urlnorm import canonicalize, host_shard, normalize_url, url_key
 
 
 def test_normalize_resolves_relative():
