@@ -65,10 +65,16 @@ def extract_page(url: str, html: str, only_main: bool = True) -> dict[str, Any]:
 
 
 class PageExtractor:
-    """Actor-pool batch stage: PAGES schema in → EXTRACTED schema out."""
+    """Actor-pool batch stage: PAGES schema in → EXTRACTED schema out.
 
-    def __init__(self, only_main: bool = True) -> None:
+    ``include_raw_html=True`` appends the original page source as a
+    ``raw_html`` column (the reference's opt-in rawHtml field,
+    models/response.py:23 / scraper.py:1343)."""
+
+    def __init__(self, only_main: bool = True,
+                 include_raw_html: bool = False) -> None:
         self.only_main = only_main
+        self.include_raw_html = include_raw_html
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -116,7 +122,15 @@ class PageExtractor:
             if name in ("url", "warc_ts"):
                 continue
             arrays.append(pa.array(cols[name], type=EXTRACTED.field(name).type))
-        return pa.Table.from_arrays(arrays, schema=EXTRACTED)
+        out = pa.Table.from_arrays(arrays, schema=EXTRACTED)
+        if self.include_raw_html:
+            raw = [
+                (h.decode("utf-8", errors="replace")
+                 if isinstance(h, (bytes, bytearray)) else (h or ""))
+                for h in htmls
+            ]
+            out = out.append_column("raw_html", pa.array(raw, pa.large_string()))
+        return out
 
 
 def scrape_dataset(
@@ -124,6 +138,7 @@ def scrape_dataset(
     only_main: bool = True,
     concurrency: Optional[int] = None,
     batch_size: int = 64,
+    include_raw_html: bool = False,
 ):
     """pages Dataset → extracted Dataset (the /scrape pipeline, SURVEY.md
     §3.1 Ray shape). Modest batch_size because html rows can be MBs (R5)."""
@@ -132,7 +147,8 @@ def scrape_dataset(
     kwargs: dict[str, Any] = dict(
         batch_format="pyarrow",
         batch_size=batch_size,
-        fn_constructor_kwargs={"only_main": only_main},
+        fn_constructor_kwargs={"only_main": only_main,
+                               "include_raw_html": include_raw_html},
     )
     if concurrency is not None:
         kwargs["concurrency"] = concurrency

@@ -194,3 +194,23 @@ def test_error_row_shape():
     out = PageExtractor()(batch)
     assert out.column("status_code")[0].as_py() == 200  # empty html is still extractable
     assert out.column("markdown")[0].as_py() == ""
+
+
+def test_parsers_agree_on_corpora():
+    """The fast regex tokenizer must build trees identical to the stdlib
+    html.parser path on the conformance corpora."""
+    from raycrawl.fixtures import feature_corpus, pages_from_documents
+
+    def tree_eq(a, b):
+        if a.tag != b.tag or a.text != b.text or a.attrs != b.attrs:
+            return False
+        if len(a.children) != len(b.children):
+            return False
+        return all(tree_eq(x, y) for x, y in zip(a.children, b.children))
+
+    for t in (feature_corpus(2, 24), feature_corpus(2, 12, size_factor=9),
+              pages_from_documents("/root/testdata/sf0.001").slice(0, 60)):
+        for h in t.column("html").to_pylist():
+            html = h.decode()
+            assert tree_eq(parse_html(html, parser="stdlib"),
+                           parse_html(html, parser="fast"))
