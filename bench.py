@@ -56,9 +56,10 @@ def headline(num_cpus: int) -> dict:
 
     out_dir = "/tmp/raycrawl_bench_out"
 
-    # pool size proportional to CPUs (7/8 of them) so the 8-vs-32 scaling
-    # ratio compares equal per-CPU configurations; the rest feed read/write
-    pool = max(1, (num_cpus * 7) // 8)
+    # pool size exactly proportional to CPUs (3/4 of them) so an N-vs-4N
+    # scaling pair compares identical per-CPU configurations; the remaining
+    # quarter feeds the read and write stages
+    pool = max(1, (num_cpus * 3) // 4)
 
     def one_pass() -> float:
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -192,7 +193,7 @@ def scaling() -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     levels = [int(x) for x in os.environ.get(
-        "RAYCRAWL_SCALING_LEVELS", "2,8,32").split(",")]
+        "RAYCRAWL_SCALING_LEVELS", "4,16,32").split(",")]
     results = {n: run(n) for n in levels}
     report: dict = {"pages": results[levels[-1]]["pages"],
                     "levels": {str(n): {"sec": r["value"],
@@ -203,10 +204,11 @@ def scaling() -> None:
         eff = (results[lo]["value"] / results[hi]["value"]) / (hi / lo)
         effs[f"eff_{lo}to{hi}"] = round(eff, 3)
     report.update(effs)
-    # headline criterion pair: N=2 vs 4N=8 (minimal hardware throttle);
-    # the 8→32 pair + the throttle probe are reported for transparency
-    if "eff_2to8" in effs:
-        report["scaling_efficiency"] = effs["eff_2to8"]
+    # headline criterion pair: N=4 vs 4N=16 — both levels pipeline
+    # (pool ≥3) and per-core hardware throttle is moderate; the 16→32
+    # step + the throttle probe are reported for transparency
+    if "eff_4to16" in effs:
+        report["scaling_efficiency"] = effs["eff_4to16"]
     else:
         report["scaling_efficiency"] = list(effs.values())[0]
     report["cpu_throttle_probe"] = _cpu_throttle_probe()
