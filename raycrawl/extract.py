@@ -153,3 +153,58 @@ def scrape_dataset(
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
     return pages_ds.map_batches(PageExtractor, **kwargs)
+
+
+def scrape_to_parquet(
+    corpus_path: str,
+    out_dir: str,
+    only_main: bool = True,
+    concurrency: int = 8,
+    batch_size: int = 32,
+    resume: bool = True,
+) -> dict:
+    """Resumable bulk extraction: one output directory per input host
+    bucket, written atomically (tmp dir + rename) with a _SUCCESS marker —
+    a rerun skips finished buckets (the batch-pipeline equivalent of the
+    reference's result cache, SURVEY.md S9).
+
+    Returns {"buckets_done": n, "buckets_skipped": m, "rows": total}.
+    """
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    import ray.data as _rd
+
+    from .pipeline import _corpus_files
+
+    files_by_bucket, _ = _corpus_files(corpus_path)
+    done = skipped = rows = 0
+    for bucket, files in sorted(files_by_bucket.items(),
+                                key=lambda kv: (kv[0] is None, kv[0])):
+        if not files:
+            continue
+        name = f"bucket={bucket if bucket is not None else 'all'}"
+        final = _os.path.join(out_dir, name)
+        if resume and _os.path.exists(_os.path.join(final, "_SUCCESS")):
+            skipped += 1
+            rows += sum(
+                __import__("pyarrow.parquet", fromlist=["x"]).read_metadata(f).num_rows
+                for f in _glob.glob(_os.path.join(final, "*.parquet")))
+            continue
+        tmp = final + ".tmp"
+        _shutil.rmtree(tmp, ignore_errors=True)
+        _shutil.rmtree(final, ignore_errors=True)
+        ds = _rd.read_parquet(files, columns=["url", "warc_ts", "html"])
+        extracted = scrape_dataset(ds, only_main=only_main,
+                                   concurrency=concurrency,
+                                   batch_size=batch_size)
+        extracted.write_parquet(tmp)
+        with open(_os.path.join(tmp, "_SUCCESS"), "w") as f:
+            f.write("ok")
+        _os.rename(tmp, final)
+        done += 1
+        rows += sum(
+            __import__("pyarrow.parquet", fromlist=["x"]).read_metadata(f).num_rows
+            for f in _glob.glob(_os.path.join(final, "*.parquet")))
+    return {"buckets_done": done, "buckets_skipped": skipped, "rows": rows}

@@ -49,3 +49,25 @@ def test_extract_status_codes_all_200():
 
     for batch in out.select_columns(["status_code"]).iter_batches(batch_format="pyarrow"):
         assert pc.all(pc.equal(batch.column("status_code"), 200)).as_py()
+
+
+def test_scrape_to_parquet_resumable(tmp_path):
+    from raycrawl.extract import scrape_to_parquet
+
+    corpus_dir = cached_corpus("feature", n_hosts=4, pages_per_host=8)
+    out = str(tmp_path / "extracted")
+    r1 = scrape_to_parquet(corpus_dir, out, concurrency=2)
+    assert r1["buckets_done"] > 0 and r1["buckets_skipped"] == 0
+    # rerun: every finished bucket is skipped, rows identical
+    r2 = scrape_to_parquet(corpus_dir, out, concurrency=2)
+    assert r2["buckets_done"] == 0
+    assert r2["buckets_skipped"] == r1["buckets_done"]
+    assert r2["rows"] == r1["rows"]
+    # simulate a lost bucket → only that one is recomputed
+    import shutil as _sh
+
+    victim = sorted(os.listdir(out))[0]
+    _sh.rmtree(os.path.join(out, victim))
+    r3 = scrape_to_parquet(corpus_dir, out, concurrency=2)
+    assert r3["buckets_done"] == 1
+    assert r3["rows"] == r1["rows"]
