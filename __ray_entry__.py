@@ -351,6 +351,45 @@ def _q_events_props(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+
+def _q_q6(sf_dir: str):
+    from raycrawl.ops.relational import q6_revenue_delta
+
+    return q6_revenue_delta(sf_dir)
+
+
+def _q_events_latest(sf_dir: str):
+    from raycrawl.ops.relational import events_latest
+
+    return events_latest(sf_dir)
+
+
+def _q_events_top_per_user(sf_dir: str):
+    from raycrawl.ops.relational import events_top_per_user
+
+    return events_top_per_user(sf_dir)
+
+
+def _q_distinct_flags(sf_dir: str):
+    from raycrawl.ops.relational import lineitem_distinct_flags
+
+    return lineitem_distinct_flags(sf_dir)
+
+
+def _q_dedup_survivors(sf_dir: str):
+    """Near-dup clustering end-to-end: minhash pairs → connected
+    components → canonical id per doc."""
+    import ray.data as rd
+
+    from raycrawl.ops.dedup import dedup_survivors, minhash_dedup_pairs
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    pairs = minhash_dedup_pairs(docs, threshold=0.5).to_pandas()
+    ids = docs.select_columns(["doc_id"]).to_pandas()["doc_id"]
+    return dedup_survivors(ids, pairs)
+
+
 def _q_part_brand(sf_dir: str):
     from raycrawl.ops.relational import part_brand_stats
 
@@ -383,6 +422,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": _q_sessionize,
         "events_props_json": _q_events_props,
         "part_brand_stats": _q_part_brand,
+        "q6_revenue_delta": _q_q6,
+        "events_latest": _q_events_latest,
+        "events_top_per_user": _q_events_top_per_user,
+        "lineitem_distinct_flags": _q_distinct_flags,
+        "dedup_survivors": _q_dedup_survivors,
     }
 
 
@@ -509,6 +553,29 @@ def oracle_sql() -> dict[str, str]:
             "g AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY user_id, sid) "
             "SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions, "
             "CAST(max(n) AS BIGINT) AS max_session_events FROM g GROUP BY user_id"
+        ),
+        "q6_revenue_delta": (
+            "SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+            "CAST(count(*) AS BIGINT) AS n_rows FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01' "
+            "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+        ),
+        "events_latest": (
+            "SELECT event_id, ts, event_type, "
+            "CAST(floor(value * 1000 + 0.5) AS BIGINT) AS value_millis "
+            "FROM events ORDER BY ts DESC, event_id DESC LIMIT 10"
+        ),
+        "events_top_per_user": (
+            "WITH r AS (SELECT user_id, event_id, "
+            "  CAST(floor(value * 1000 + 0.5) AS BIGINT) AS value_millis, "
+            "  row_number() OVER (PARTITION BY user_id "
+            "    ORDER BY floor(value * 1000 + 0.5) DESC, event_id) AS rank "
+            "  FROM events) "
+            "SELECT user_id, event_id, value_millis, CAST(rank AS BIGINT) AS rank "
+            "FROM r WHERE rank <= 3"
+        ),
+        "lineitem_distinct_flags": (
+            "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
         ),
         "part_brand_stats": (
             "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts, "

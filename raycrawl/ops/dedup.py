@@ -332,3 +332,38 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
                              "cosine_sim": pd.Series(qs, dtype="float64")})
 
     return ds.map_batches(scan, batch_format="pandas", batch_size=256)
+
+
+# ---------------------------------------------------------------------------
+# near-dup survivor selection (connected components over verified pairs)
+# ---------------------------------------------------------------------------
+
+def dedup_survivors(all_ids: "pd.Series | list[int]",
+                    pairs: pd.DataFrame) -> pd.DataFrame:
+    """Collapse verified near-dup pairs into clusters and keep the min id of
+    each connected component (min-label propagation — the guide's pattern;
+    run driver-side because the verified-pair set is orders of magnitude
+    smaller than the corpus; at ≥10^8 pairs the same labels iterate as
+    groupby rounds).
+
+    Returns (doc_id, canonical_id) for every input id — survivors are rows
+    where doc_id == canonical_id."""
+    label: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while label.get(root, root) != root:
+            root = label[root]
+        while label.get(x, x) != x:
+            label[x], x = root, label[x]
+        return root
+
+    for a, b in zip(pairs.get("id_a", []), pairs.get("id_b", [])):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            hi, lo = max(ra, rb), min(ra, rb)
+            label[hi] = lo
+    ids = [int(x) for x in all_ids]
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                         "canonical_id": pd.Series([find(i) for i in ids],
+                                                   dtype="int64")})

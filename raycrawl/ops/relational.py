@@ -195,3 +195,79 @@ def part_brand_stats(sf_dir: str) -> pd.DataFrame:
                                        "sum_price_cents": "sum",
                                        "max_size": "max"})
     return out.sort_values("p_brand").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# filtered global aggregate with read-time predicate pushdown (Q6-style)
+# ---------------------------------------------------------------------------
+
+def q6_revenue_delta(sf_dir: str) -> pd.DataFrame:
+    """Global revenue for a discount/quantity band, with the shipdate
+    predicate pushed into the Parquet read (row-group pruning)."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+        filter=(pc.field("l_shipdate") >= pc.scalar(
+            np.datetime64("1995-01-01", "us"))))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = ((b["l_shipdate"] < pd.Timestamp("1996-01-01"))
+             & (b["l_discount"] >= 0.05) & (b["l_discount"] <= 0.07)
+             & (b["l_quantity"] < 24))
+        sel = b[m]
+        rev = np.floor(sel["l_extendedprice"] * sel["l_discount"] * 100 + 0.5) \
+            .astype("int64")
+        return pd.DataFrame({"grp": [0], "revenue_cents": [int(rev.sum())],
+                             "n_rows": [int(m.sum())]})
+
+    out = aggregate_partials(ds, partial, keys=["grp"],
+                             agg_spec={"revenue_cents": "sum", "n_rows": "sum"})
+    return out[["revenue_cents", "n_rows"]]
+
+
+# ---------------------------------------------------------------------------
+# Dataset.sort + limit (latest events) and per-group top-k
+# ---------------------------------------------------------------------------
+
+def events_latest(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """The k most recent events via Dataset.sort(desc) + limit; value as
+    exact millis for the oracle, ties broken by event_id."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    top = ev.sort(["ts", "event_id"], descending=[True, True]).limit(k)
+    df = top.to_pandas()
+    df["value_millis"] = np.floor(df["value"] * 1000 + 0.5).astype("int64")
+    return df[["event_id", "ts", "event_type", "value_millis"]]
+
+
+def events_top_per_user(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Top-k events by value per user (rank-within-partition): groupby +
+    sorted head inside map_groups."""
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "value"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(value_millis=np.floor(g["value"] * 1000 + 0.5)
+                     .astype("int64"))
+        g = g.sort_values(["value_millis", "event_id"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        return g[["user_id", "event_id", "value_millis", "rank"]]
+
+    out = ev.groupby("user_id").map_groups(topk, batch_format="pandas").to_pandas()
+    return out.astype({"user_id": "int64", "event_id": "int64"}) \
+              .sort_values(["user_id", "rank"]).reset_index(drop=True)
+
+
+def lineitem_distinct_flags(sf_dir: str) -> pd.DataFrame:
+    """Distinct (returnflag, linestatus) pairs via Dataset.unique-style
+    dedup (per-batch distinct → tiny global distinct)."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+
+    def distinct(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates()
+
+    out = li.map_batches(distinct, batch_format="pandas").to_pandas() \
+            .drop_duplicates().sort_values(["l_returnflag", "l_linestatus"])
+    return out.reset_index(drop=True)

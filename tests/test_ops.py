@@ -179,3 +179,14 @@ def test_metrics_prometheus_render():
     assert "raycrawl_pages_success_total 10" in text
     assert '# TYPE raycrawl_pages_per_second gauge' in text
     assert 'raycrawl_frontier_depth{shard="0"} 4' in text
+
+
+def test_dedup_survivors_connected_components():
+    from raycrawl.ops.dedup import dedup_survivors
+
+    pairs = pd.DataFrame({"id_a": [1, 2, 7], "id_b": [2, 3, 9]})
+    out = dedup_survivors([0, 1, 2, 3, 7, 9, 11], pairs)
+    canon = dict(zip(out["doc_id"], out["canonical_id"]))
+    assert canon == {0: 0, 1: 1, 2: 1, 3: 1, 7: 7, 9: 7, 11: 11}
+    survivors = sorted(out[out["doc_id"] == out["canonical_id"]]["doc_id"])
+    assert survivors == [0, 1, 7, 11]
