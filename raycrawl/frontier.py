@@ -51,6 +51,7 @@ class FrontierShardLocal:
         seed_host_only: bool = False,
         seed_host: Optional[str] = None,
         respect_robots: bool = True,
+        wave_seconds: float = 1.0,
     ) -> None:
         self.shard_id = shard_id
         self.seen = ExactShadow(capacity) if exact_shadow else CuckooFilter(capacity)
@@ -59,8 +60,11 @@ class FrontierShardLocal:
         self.respect_robots = respect_robots
         self.rate = politeness_rate
         self.burst = politeness_burst if politeness_burst != math.inf else politeness_rate
+        self.wave_seconds = wave_seconds
         self.tokens: dict[str, float] = {}
         self.last_wave: dict[str, int] = {}
+        # per-host rate overrides derived from robots Crawl-delay directives
+        self.host_rate: dict[str, float] = {}
         # lineage counters (Prometheus-style, harvested by the driver)
         self.n_offered = 0
         self.n_admitted = 0
@@ -72,6 +76,11 @@ class FrontierShardLocal:
     def load_robots(self, bodies: dict[str, Optional[str]]) -> None:
         for host, body in bodies.items():
             self.robots.load(host, body)
+            delay = self.robots.crawl_delay(host)
+            if delay is not None and delay > 0:
+                # Crawl-delay of d seconds → wave_seconds/d pops per wave,
+                # never exceeding the globally configured politeness rate
+                self.host_rate[host] = min(self.rate, self.wave_seconds / delay)
 
     # -- admission (two-phase) --------------------------------------------
     def check_batch(
@@ -111,11 +120,14 @@ class FrontierShardLocal:
 
     # -- politeness + pop --------------------------------------------------
     def _refill(self, host: str, wave: int) -> float:
-        if self.rate == math.inf:
+        rate = self.host_rate.get(host, self.rate)
+        if rate == math.inf:
             return math.inf
+        burst = max(1.0, min(self.burst, rate)) if host in self.host_rate \
+            else self.burst
         last = self.last_wave.get(host, wave)
-        tok = self.tokens.get(host, self.burst)
-        tok = min(self.burst, tok + self.rate * (wave - last))
+        tok = self.tokens.get(host, burst)
+        tok = min(burst, tok + rate * (wave - last))
         self.last_wave[host] = wave
         self.tokens[host] = tok
         return tok
@@ -131,7 +143,7 @@ class FrontierShardLocal:
             depth, seq, url, host, parent = heapq.heappop(self.heap)
             tok = self._refill(host, wave)
             if tok >= 1.0:
-                if self.rate != math.inf:
+                if tok != math.inf:
                     self.tokens[host] = tok - 1.0
                 popped.append((depth, seq, url, parent))
             else:
@@ -149,8 +161,9 @@ class FrontierShardLocal:
         for depth, seq, url, parent in items:
             host = host_of(url)
             heapq.heappush(self.heap, (depth, seq, url, host, parent))
-            if self.rate != math.inf:
-                self.tokens[host] = min(self.burst, self.tokens.get(host, 0.0) + 1.0)
+            if self.rate != math.inf or host in self.host_rate:
+                self.tokens[host] = min(max(1.0, self.burst if self.burst != math.inf else 1.0),
+                                        self.tokens.get(host, 0.0) + 1.0)
         self.n_popped -= len(items)
 
     def queue_size(self) -> int:
@@ -182,6 +195,8 @@ class FrontierShardLocal:
             "last_wave": self.last_wave,
             "rate": self.rate,
             "burst": self.burst,
+            "host_rate": self.host_rate,
+            "wave_seconds": self.wave_seconds,
             "counters": (self.n_offered, self.n_admitted, self.n_dup,
                          self.n_robots_blocked, self.n_popped),
         }
@@ -200,6 +215,8 @@ class FrontierShardLocal:
         self.last_wave = state["last_wave"]
         self.rate = state["rate"]
         self.burst = state["burst"]
+        self.host_rate = state.get("host_rate", {})
+        self.wave_seconds = state.get("wave_seconds", 1.0)
         (self.n_offered, self.n_admitted, self.n_dup,
          self.n_robots_blocked, self.n_popped) = state["counters"]
 

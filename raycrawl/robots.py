@@ -46,3 +46,15 @@ class RobotsCache:
         if rp is None:
             return True  # missing/unfetchable robots → allow all
         return rp.can_fetch(agent, url)
+
+    def crawl_delay(self, host: str, agent: str = "*") -> Optional[float]:
+        """Crawl-delay directive for a host (seconds), None when absent —
+        consumed by the frontier's politeness token buckets."""
+        rp = self._parsers.get(host)
+        if rp is None:
+            return None
+        try:
+            d = rp.crawl_delay(agent)
+        except AttributeError:
+            return None
+        return float(d) if d is not None else None

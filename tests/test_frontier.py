@@ -94,3 +94,28 @@ def test_cuckoo_scale_mode_no_exact_shadow():
     out = s.check_batch([(i, _k(u), u, "h.example")
                          for i, u in enumerate(urls)])
     assert all(not ok for _, ok in out)  # all already seen
+
+
+def test_robots_crawl_delay_overrides_politeness():
+    s = FrontierShardLocal(0, respect_robots=True, wave_seconds=1.0)
+    # Crawl-delay: 2 seconds → 0.5 pops/wave for this host
+    s.load_robots({"slow.example": "User-agent: *\nCrawl-delay: 2\n",
+                   "fast.example": "User-agent: *\nAllow: /\n"})
+    items = []
+    for i in range(4):
+        for host in ("slow.example", "fast.example"):
+            u = f"https://{host}/p{i}"
+            items.append((len(items), 0, u, host, None, url_key(u)))
+    s.insert_batch(items)
+    pops_by_wave = []
+    for w in range(8):
+        popped = s.pop_batch(wave=w, budget=100)
+        pops_by_wave.append([u.split("/")[2] for (_, _, u, _) in popped])
+        if s.queue_size() == 0:
+            break
+    # fast host unthrottled (all 4 in wave 0); slow host ≤1 per wave and
+    # only every other wave (rate 0.5)
+    assert pops_by_wave[0].count("fast.example") == 4
+    slow_counts = [w.count("slow.example") for w in pops_by_wave]
+    assert max(slow_counts) == 1
+    assert sum(slow_counts) == 4
