@@ -9,9 +9,12 @@ Prints ONE JSON line:
   {"metric": ..., "value": <headline sec>, "unit": "sec",
    "queries": {...}, "sf": ..., "num_cpus": N, "pages_per_sec": ...}
 
-``--scaling``: runs the headline in two fresh processes (RAY_GRAFT_CPUS=8
-and =32) on the same corpus and reports both throughputs + scaling
-efficiency (the sandbox substitute for N vs 4N nodes — BASELINE.md).
+``--scaling``: runs the headline in fresh processes at
+RAYCRAWL_SCALING_LEVELS (default 4,16,32 CPUs) on the same corpus and
+reports throughput at each level + pairwise scaling efficiencies (the
+criterion pair is N=4 vs 4N=16) + a CPU-throttle probe quantifying this
+box's per-core slowdown under load — the sandbox substitute for N vs 4N
+nodes (BASELINE.md).
 """
 
 from __future__ import annotations
