@@ -146,13 +146,47 @@ def _q_chunk_semantic(sf_dir: str):
     from raycrawl.chunker import ChunkStage
     from raycrawl.extract import scrape_dataset
 
+    import pandas as pd
+
     pages = rd.read_parquet(_docs_corpus(sf_dir), columns=["url", "warc_ts", "html"])
     extracted = scrape_dataset(pages, concurrency=_pool(0.4), batch_size=64)
     chunks = extracted.select_columns(["url", "markdown"]).map_batches(
         ChunkStage, batch_format="pyarrow", concurrency=_pool(0.3))
-    return chunks.select_columns(
+    df = chunks.select_columns(
         ["url", "position", "chunk_type", "word_count"]).to_pandas()
+    df["doc_id"] = df["url"].str.extract(r"/doc(\d+)\.html$").astype("int64")
+    return df[["doc_id", "position", "chunk_type", "word_count"]]
 
+
+
+
+def _q_crawl_bfs_docs(sf_dir: str):
+    """Crawl ordering with an exact SQL oracle: BFS over the docs0-host
+    4-ary lattice visits members in rank order (seq == rank, depth ==
+    4-ary tree depth of the rank) — the seen set and pop order of the
+    frontier machinery are checked value-for-value against SQL."""
+    import pandas as pd
+
+    from raycrawl.pipeline import CrawlConfig, crawl
+
+    corpus = _docs_corpus(sf_dir)
+    import duckdb as _dd
+
+    first_doc = _dd.sql(
+        f"SELECT min(doc_id) FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE doc_id % 16 = 0").fetchone()[0]
+    seed = f"https://docs0.example/d0/doc{first_doc}.html"
+    out_dir = f"/tmp/raycrawl_q/crawl_docs_{os.path.basename(os.path.normpath(sf_dir))}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = CrawlConfig(seed_url=seed, max_depth=10, max_pages=100000,
+                      respect_robots=False, num_shards=4,
+                      out_dir=out_dir)
+    outcome = crawl(corpus, cfg)
+    res = outcome.results().select(["seq", "depth", "url"]).to_pandas()
+    res["doc_id"] = res["url"].str.extract(r"/doc(\d+)\.html$").astype("int64")
+    return res[["seq", "depth", "doc_id"]]
 
 
 def _q_chunk_sentence(sf_dir: str):
@@ -402,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": _q_extract_links,
         "crawl_bfs": _q_crawl_bfs,
         "crawl_seen": _q_crawl_seen,
+        "crawl_bfs_docs": _q_crawl_bfs_docs,
         "chunk_semantic": _q_chunk_semantic,
         "chunk_sentence": _q_chunk_sentence,
         "chunk_stats": _q_chunk_stats,
@@ -457,6 +492,32 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+        ),
+        "crawl_bfs_docs": (
+            "WITH ranked AS (SELECT doc_id, "
+            "  row_number() OVER (ORDER BY doc_id) - 1 AS rnk "
+            "  FROM documents WHERE doc_id % 16 = 0) "
+            "SELECT CAST(rnk AS BIGINT) AS seq, "
+            "CAST(CASE WHEN rnk = 0 THEN 0 WHEN rnk <= 4 THEN 1 "
+            "WHEN rnk <= 20 THEN 2 WHEN rnk <= 84 THEN 3 "
+            "WHEN rnk <= 340 THEN 4 WHEN rnk <= 1364 THEN 5 "
+            "WHEN rnk <= 5460 THEN 6 ELSE 7 END AS INTEGER) AS depth, "
+            "doc_id FROM ranked"
+        ),
+        "chunk_semantic": (
+            # documents-corpus pages render to exactly one semantic chunk:
+            # body words + 2 markdown-link tokens per child in the 4-ary
+            # lattice (header line dropped by the chunker quirk)
+            "WITH ranked AS (SELECT doc_id, doc_id % 16 AS h, "
+            "  row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) - 1 AS rnk, "
+            "  count(*) OVER (PARTITION BY doc_id % 16) AS n, "
+            "  CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "  length(regexp_split_to_array(trim(text), '\\s+')) END AS tw "
+            "  FROM documents) "
+            "SELECT doc_id, CAST(0 AS INTEGER) AS position, "
+            "'text' AS chunk_type, "
+            "CAST(tw + 2 * GREATEST(0, LEAST(n - 1, 4*rnk + 4) - 4*rnk) AS INTEGER) AS word_count "
+            "FROM ranked"
         ),
         "text_token_count": (
             "SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 1 ELSE "
