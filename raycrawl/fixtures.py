@@ -197,8 +197,12 @@ def feature_corpus(
     pages_per_host: int = 16,
     with_private: bool = True,
     size_factor: int = 1,
+    host_sizes: Optional[list[int]] = None,
 ) -> pa.Table:
-    """The conformance corpus as one Arrow table in the PAGES schema."""
+    """The conformance corpus as one Arrow table in the PAGES schema.
+
+    ``host_sizes`` overrides ``pages_per_host`` per host (skew scenarios —
+    FIXTURES.md §3: a hot host owning 40% of all URLs)."""
     urls, tss, htmls, texts, langs = [], [], [], [], []
     row = 0
 
@@ -211,6 +215,7 @@ def feature_corpus(
         langs.append(lang.split("-")[0] if lang else "")
         row += 1
 
+    sizes = host_sizes if host_sizes is not None else [pages_per_host] * n_hosts
     for h in range(n_hosts):
         host = f"h{h}.example"
         other = f"h{(h + 1) % n_hosts}.example"
@@ -218,8 +223,8 @@ def feature_corpus(
         if robots is not None:
             emit(f"https://{host}/robots.txt",
                  f"<html><body><pre>{robots}</pre></body></html>", "", robots)
-        for j in range(pages_per_host):
-            html, lang, text = _page_html(h, host, other, j, pages_per_host,
+        for j in range(sizes[h]):
+            html, lang, text = _page_html(h, host, other, j, sizes[h],
                                           with_private, size_factor)
             emit(page_url(host, j), html, lang, text)
             if with_private and j % 7 == 3:

@@ -120,7 +120,7 @@ class WaveExtractor:
         )
 
 
-@ray.remote
+@ray.remote(max_restarts=2, max_task_retries=2)
 class WaveWorker:
     """Persistent fetch+extract worker, reused across all waves.
 
@@ -131,6 +131,10 @@ class WaveWorker:
     are the right Ray tool. Each ``process`` call reads only the wave URLs'
     rows from its corpus bucket files (parquet predicate pushdown) and runs
     the same ``WaveExtractor`` logic the bulk pipeline uses.
+
+    Fault tolerance: workers are stateless between calls, so Ray restarts
+    them transparently (max_restarts/max_task_retries); frontier shards are
+    stateful — their recovery path is the per-wave checkpoint (resume=True).
     """
 
     def __init__(self, base_domain: str, exclude: Optional[list[str]],

@@ -170,3 +170,30 @@ def test_multi_seed_crawl_matches_oracle():
     assert got == exp
     hosts = {u.split("/")[2] for u in out.seen().column("url").to_pylist()}
     assert hosts == {"h0.example", "h2.example"}
+
+
+def test_skewed_host_politeness_surfaces_frontier_depth():
+    """Skew (one host owns most URLs) + per-host politeness: the hot host's
+    backlog shows up as frontier depth over many waves — never a deadlock —
+    while small hosts drain quickly (SURVEY.md R4)."""
+    import json
+
+    corpus_dir = cached_corpus("feature", n_hosts=4, host_sizes=[120, 10, 10, 10],
+                               with_private=False)
+    seeds = [f"https://h{i}.example/d0/p0.html" for i in range(4)]
+    out_dir = "/tmp/raycrawl_test_skew"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = CrawlConfig(seed_url=seeds, max_depth=10, max_pages=500,
+                      exclude_patterns=[r"/skip/", r"\.(jpg|png)$"],
+                      num_shards=4, wave_budget=64,
+                      politeness_rate=4.0, politeness_burst=4.0,
+                      out_dir=out_dir)
+    out = crawl(corpus_dir, cfg)
+    assert out.stats["pages_success"] == 150  # 120 + 3×10, no deadlock
+    with open(f"{out_dir}/checkpoint/manifest.json") as f:
+        waves = json.load(f)["waves"]
+    # hot-host backlog visible mid-crawl, fully drained at the end
+    assert max(w["frontier_depth"] for w in waves) > 20
+    assert waves[-1]["frontier_depth"] == 0
+    # politeness bound: ≤ 4 pops per host per wave ⇒ ≥ 120/4 = 30 waves
+    assert out.stats["waves"] >= 30
