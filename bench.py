@@ -143,8 +143,8 @@ def main() -> None:
 
     DataContext.get_current().enable_progress_bars = False
 
-    h = headline(NUM_CPUS)
-    cb = crawl_bench(NUM_CPUS)
+    cb = crawl_bench(NUM_CPUS)   # first: avoids actor-teardown contention
+    h = headline(NUM_CPUS)       # from the 3-pass headline run
     queries = run_queries(SF_DIR)
     result = {
         "metric": "fetch+extract pages/sec (headline) + per-query sec",
