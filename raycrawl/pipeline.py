@@ -54,6 +54,7 @@ class CrawlConfig:
     wave_budget: int = 256          # max pops per wave across all shards
     politeness_rate: float = math.inf   # pops per host per wave
     politeness_burst: float = math.inf
+    politeness_wave_seconds: float = 1.0  # virtual seconds per wave (Crawl-delay mapping)
     extract_concurrency: int = 4
     batch_size: int = 32
     out_dir: Optional[str] = None   # results + checkpoints; tmp dir when None
@@ -246,6 +247,7 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
             exact_shadow=cfg.exact_shadow,
             politeness_rate=cfg.politeness_rate,
             politeness_burst=cfg.politeness_burst,
+            wave_seconds=cfg.politeness_wave_seconds,
             seed_host_only=seed_host_only,
             seed_host=seed_host,
             respect_robots=cfg.respect_robots,
