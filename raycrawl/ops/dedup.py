@@ -192,8 +192,11 @@ def minhash_candidates(ds, num_hashes: int = 128, bands: int = 32,
                                                batch_format="pandas")]
     allp = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
         {"band": [], "band_hash": [], id_col: []})
+    # only buckets with ≥2 members can produce pairs — the duplicated mask
+    # drops the singleton majority before the Python group loop
+    dup = allp[allp.duplicated(["band", "band_hash"], keep=False)]
     seen_pairs: set[tuple[int, int]] = set()
-    for _, group in allp.groupby(["band", "band_hash"]):
+    for _, group in dup.groupby(["band", "band_hash"], sort=False):
         ids = sorted(group[id_col].tolist())
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
