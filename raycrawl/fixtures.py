@@ -311,7 +311,11 @@ def cached_corpus(kind: str, sf_dir: Optional[str] = None, **kwargs) -> str:
     kind='feature' uses feature_corpus(**kwargs); kind='documents' derives
     from sf_dir. Cache key = parameters hash, so repeat calls are free.
     """
-    key_src = f"{kind}|{sf_dir}|{sorted(kwargs.items())}|v3"
+    # key includes this module's source hash so cached corpora are
+    # invalidated automatically whenever the generators change
+    with open(__file__, "rb") as fsrc:
+        code_ver = hashlib.sha1(fsrc.read()).hexdigest()[:8]
+    key_src = f"{kind}|{sf_dir}|{sorted(kwargs.items())}|{code_ver}"
     key = hashlib.sha1(key_src.encode()).hexdigest()[:12]
     out_dir = f"/tmp/raycrawl_corpus/{kind}_{key}"
     done = os.path.join(out_dir, "_DONE")
