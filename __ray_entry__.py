@@ -301,6 +301,33 @@ def _q_lang_id(sf_dir: str):
     return lang_id(docs).to_pandas()
 
 
+
+def _q_token_count_bpe(sf_dir: str):
+    import ray.data as rd
+
+    from raycrawl.ops.textstats import token_count_bpe
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return token_count_bpe(docs).to_pandas()
+
+
+def _q_approx_distinct_orders(sf_dir: str):
+    """HLL sketch count-distinct of l_orderkey (mergeable per-batch
+    sketches). Rows-only: approximate by design; accuracy is asserted
+    against the exact count in tests/test_ops.py."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raycrawl.ops.sketch import approx_distinct
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey"])
+    est = approx_distinct(li, "l_orderkey", p=14)
+    return pd.DataFrame({"approx_distinct_orders": pd.Series([est],
+                                                             dtype="float64")})
+
+
 def _q_fingerprints(sf_dir: str):
     import ray.data as rd
 
@@ -404,6 +431,13 @@ def _q_events_top_per_user(sf_dir: str):
     return events_top_per_user(sf_dir)
 
 
+
+def _q_events_asof(sf_dir: str):
+    from raycrawl.ops.relational import events_asof_prev_purchase
+
+    return events_asof_prev_purchase(sf_dir)
+
+
 def _q_distinct_flags(sf_dir: str):
     from raycrawl.ops.relational import lineitem_distinct_flags
 
@@ -448,6 +482,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
         "text_fingerprints": _q_fingerprints,
+        "text_token_count_bpe": _q_token_count_bpe,
+        "approx_distinct_orders": _q_approx_distinct_orders,
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_ivf": _q_knn_ivf,
         "q1_pricing_summary": _q_q1,
@@ -460,6 +496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_revenue_delta": _q_q6,
         "events_latest": _q_events_latest,
         "events_top_per_user": _q_events_top_per_user,
+        "events_asof_prev_purchase": _q_events_asof,
         "lineitem_distinct_flags": _q_distinct_flags,
         "dedup_survivors": _q_dedup_survivors,
     }
@@ -634,6 +671,16 @@ def oracle_sql() -> dict[str, str]:
             "  FROM events) "
             "SELECT user_id, event_id, value_millis, CAST(rank AS BIGINT) AS rank "
             "FROM r WHERE rank <= 3"
+        ),
+        "events_asof_prev_purchase": (
+            "WITH m AS (SELECT event_id, user_id, ts, "
+            "  CASE WHEN event_type = 'purchase' THEN event_id END AS pid "
+            "  FROM events) "
+            "SELECT event_id, user_id, "
+            "CAST(COALESCE(last_value(pid IGNORE NULLS) OVER ("
+            "  PARTITION BY user_id ORDER BY ts "
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS BIGINT) "
+            "AS prev_purchase_id FROM m"
         ),
         "lineitem_distinct_flags": (
             "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"

@@ -271,3 +271,31 @@ def lineitem_distinct_flags(sf_dir: str) -> pd.DataFrame:
     out = li.map_batches(distinct, batch_format="pandas").to_pandas() \
             .drop_duplicates().sort_values(["l_returnflag", "l_linestatus"])
     return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# as-of join (guide pattern: sort within key groups + pd.merge_asof)
+# ---------------------------------------------------------------------------
+
+def events_asof_prev_purchase(sf_dir: str) -> pd.DataFrame:
+    """For every event, attach the most recent strictly-earlier 'purchase'
+    event of the same user (as-of backward join): groupby(user) co-locates
+    each key, pd.merge_asof does the ordered match within the group."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        right = g[g["event_type"] == "purchase"][["ts", "event_id"]] \
+            .rename(columns={"event_id": "prev_purchase_id"})
+        if len(right) == 0:
+            out = g.assign(prev_purchase_id=-1)
+        else:
+            out = pd.merge_asof(g, right, on="ts", direction="backward",
+                                allow_exact_matches=False)
+        out["prev_purchase_id"] = (out["prev_purchase_id"].fillna(-1)
+                                   .astype("int64"))
+        return out[["event_id", "user_id", "prev_purchase_id"]]
+
+    out = ev.groupby("user_id").map_groups(asof, batch_format="pandas").to_pandas()
+    return (out.astype({"event_id": "int64", "user_id": "int64"})
+            .sort_values("event_id").reset_index(drop=True))

@@ -1,0 +1,93 @@
+"""Mergeable sketches for distributed approximate aggregation.
+
+``HyperLogLog`` (Flajolet et al. 2007, public algorithm): per-batch
+sketches built inside ``map_batches`` (one serialized register array per
+batch — the guide's "emit one sketch per batch, merge in a tiny second
+stage" pattern), merged by elementwise max. At 2^p registers the standard
+error is ~1.04/sqrt(2^p) (~0.8% at p=14). The shuffle payload is
+``concurrency × 2^p`` bytes regardless of input size — the scale path for
+count-distinct over 10^10 keys where exact dedup would be an all-to-all.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+
+class HyperLogLog:
+    def __init__(self, p: int = 14) -> None:
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        """hashes: uint64 array."""
+        idx = (hashes >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = hashes << np.uint64(self.p)
+        # rank = position of the leftmost 1-bit in the remaining 64-p bits
+        ranks = np.zeros(len(hashes), dtype=np.uint8)
+        remaining = rest.copy()
+        mask_top = np.uint64(1) << np.uint64(63)
+        live = np.ones(len(hashes), dtype=bool)
+        for r in range(1, 64 - self.p + 2):
+            if not live.any():
+                break
+            top = (remaining & mask_top) != 0
+            newly = live & top
+            ranks[newly] = r
+            live &= ~top
+            remaining = remaining << np.uint64(1)
+        ranks[live] = 64 - self.p + 1
+        np.maximum.at(self.registers, idx, ranks)
+
+    def add_values(self, values) -> None:
+        hs = np.fromiter(
+            (int.from_bytes(hashlib.sha1(str(v).encode()).digest()[:8], "big")
+             for v in values),
+            dtype=np.uint64, count=len(values))
+        if len(hs):
+            self.add_hashes(hs)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        self.registers = np.maximum(self.registers, other.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        if est <= 2.5 * m:
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                est = m * np.log(m / zeros)  # small-range correction
+        return float(est)
+
+    def serialize(self) -> bytes:
+        return bytes([self.p]) + self.registers.tobytes()
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "HyperLogLog":
+        h = cls(p=blob[0])
+        h.registers = np.frombuffer(blob[1:], dtype=np.uint8).copy()
+        return h
+
+
+def approx_distinct(ds, col: str, p: int = 14) -> float:
+    """Approximate count-distinct of a column: per-batch HLL partials →
+    driver merge (bytes payload = batches × 2^p)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = HyperLogLog(p)
+        h.add_values(batch[col].tolist())
+        return pd.DataFrame({"sketch": [h.serialize()]})
+
+    merged = HyperLogLog(p)
+    for b in ds.map_batches(partial, batch_format="pandas",
+                            batch_size=65536).iter_batches(batch_format="pandas"):
+        for blob in b["sketch"]:
+            merged.merge(HyperLogLog.deserialize(bytes(blob)))
+    return merged.estimate()

@@ -134,3 +134,29 @@ def fingerprints(ds, id_col: str = "doc_id", text_col: str = "text"):
                              "fingerprint": fps.astype("int64")})
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+# GPT-2-style pre-tokenizer pattern (Radford et al. 2019, public), adapted
+# to stdlib `re` (no \p classes): contractions, letter runs, digit runs,
+# punctuation runs, whitespace handling.
+_BPE_SPLIT_RE = re.compile(
+    r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-zÀ-ÿĀ-￿]+| ?[0-9]+"
+    r"| ?[^\sA-Za-zÀ-ÿĀ-￿0-9]+|\s+(?!\S)|\s+")
+
+
+def bpe_ish_tokens(text: str) -> list[str]:
+    """BPE-ish pre-tokenization (the split step of GPT-2's tokenizer —
+    merges are model-specific and out of scope); deterministic, used for
+    model-facing token accounting."""
+    return _BPE_SPLIT_RE.findall(text)
+
+
+def token_count_bpe(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, n_bpe_tokens): BPE-ish pre-token counts per document."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        counts = batch[text_col].fillna("").apply(lambda t: len(bpe_ish_tokens(t)))
+        return pd.DataFrame({id_col: batch[id_col],
+                             "n_bpe_tokens": counts.astype("int64")})
+
+    return ds.map_batches(f, batch_format="pandas")

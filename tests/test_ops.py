@@ -190,3 +190,32 @@ def test_dedup_survivors_connected_components():
     assert canon == {0: 0, 1: 1, 2: 1, 3: 1, 7: 7, 9: 7, 11: 11}
     survivors = sorted(out[out["doc_id"] == out["canonical_id"]]["doc_id"])
     assert survivors == [0, 1, 7, 11]
+
+
+def test_hll_accuracy_and_merge():
+    from raycrawl.ops.sketch import HyperLogLog, approx_distinct
+
+    h1, h2 = HyperLogLog(12), HyperLogLog(12)
+    h1.add_values(range(0, 60_000))
+    h2.add_values(range(40_000, 100_000))  # overlap 40k-60k
+    h1.merge(h2)
+    est = h1.estimate()
+    assert abs(est - 100_000) / 100_000 < 0.05
+    # serialization round-trip preserves the estimate
+    h3 = HyperLogLog.deserialize(h1.serialize())
+    assert h3.estimate() == est
+    # distributed path vs exact
+    li = rd.read_parquet("/root/testdata/sf0.01/lineitem.parquet",
+                         columns=["l_orderkey"])
+    approx = approx_distinct(li, "l_orderkey", p=12)
+    exact = li.to_pandas()["l_orderkey"].nunique()
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_bpe_ish_tokens():
+    from raycrawl.ops.textstats import bpe_ish_tokens
+
+    toks = bpe_ish_tokens("I'll say: it's 42 items, okay?")
+    assert "".join(toks) == "I'll say: it's 42 items, okay?"
+    assert "'ll" in toks and " 42" in toks and "'s" in toks
+    assert bpe_ish_tokens("") == []
