@@ -338,6 +338,38 @@ def _q_fingerprints(sf_dir: str):
     return fingerprints(docs).to_pandas()
 
 
+
+def _q_pipeline_quality_dedup(sf_dir: str):
+    """Composite training-data-prep pipeline with an exact oracle:
+    quality filter (≥20 words) → exact dedup (min doc_id per content hash)
+    → token count for the survivors. Each stage is the corresponding
+    Ray Data operator composed end-to-end."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raycrawl.ops.dedup import add_text_hash, exact_dedup
+    from raycrawl.ops.textstats import token_count
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def quality_filter(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        n_words = pa.array(
+            [len(t.strip().split()) if t and t.strip() else 0 for t in texts],
+            pa.int64())
+        return b.filter(pc.greater_equal(n_words, 20))
+
+    good = docs.map_batches(quality_filter, batch_format="pyarrow")
+    survivors = set(exact_dedup(good).to_pandas()["doc_id"])
+    kept = good.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("doc_id"),
+                                    pa.array(sorted(survivors), pa.int64()))),
+        batch_format="pyarrow")
+    return token_count(kept).to_pandas()
+
+
 def _q_knn_bruteforce(sf_dir: str):
     import ray.data as rd
 
@@ -484,6 +516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprints": _q_fingerprints,
         "text_token_count_bpe": _q_token_count_bpe,
         "approx_distinct_orders": _q_approx_distinct_orders,
+        "pipeline_quality_dedup": _q_pipeline_quality_dedup,
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_ivf": _q_knn_ivf,
         "q1_pricing_summary": _q_q1,
@@ -594,6 +627,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
+        ),
+        "pipeline_quality_dedup": (
+            "WITH good AS (SELECT doc_id, text FROM documents "
+            "  WHERE CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "  length(regexp_split_to_array(trim(text), '\\s+')) END >= 20), "
+            "keep AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY md5(text)) "
+            "SELECT g.doc_id, CAST(CASE WHEN trim(g.text) = '' THEN 1 ELSE "
+            "length(regexp_split_to_array(trim(g.text), '\\s+')) END AS BIGINT) "
+            "AS n_tokens FROM good g JOIN keep k ON g.doc_id = k.doc_id"
         ),
         "knn_bruteforce": (
             "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10), "
