@@ -1,6 +1,10 @@
 """Deduplication operators (exact, MinHash-LSH, SimHash, n-gram Jaccard,
 embedding-cosine) as Ray Data pipelines.
 
+Public algorithms: MinHash/LSH banding (Broder 1997, "On the resemblance
+and containment of documents"; banding per Leskovec-Rajaraman-Ullman,
+Mining of Massive Datasets ch. 3), SimHash (Charikar 2002).
+
 Scale notes (the design constraint, not an afterthought):
 
 - exact dedup = vectorized content-hash inside ``map_batches`` (one row per
