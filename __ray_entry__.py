@@ -714,15 +714,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_id, value_millis, CAST(rank AS BIGINT) AS rank "
             "FROM r WHERE rank <= 3"
         ),
+        # tie-safe + strictly-earlier (matches merge_asof with
+        # allow_exact_matches=False): among strictly-earlier purchases pick
+        # max ts, ties broken by max event_id — NOT a ROWS window over ts
+        # alone, which is nondeterministic among same-ts rows (ADVICE fix)
         "events_asof_prev_purchase": (
-            "WITH m AS (SELECT event_id, user_id, ts, "
-            "  CASE WHEN event_type = 'purchase' THEN event_id END AS pid "
-            "  FROM events) "
-            "SELECT event_id, user_id, "
-            "CAST(COALESCE(last_value(pid IGNORE NULLS) OVER ("
-            "  PARTITION BY user_id ORDER BY ts "
-            "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS BIGINT) "
-            "AS prev_purchase_id FROM m"
+            "SELECT e.event_id, e.user_id, CAST(COALESCE((("
+            "  SELECT p.event_id FROM events p "
+            "  WHERE p.user_id = e.user_id AND p.event_type = 'purchase' "
+            "  AND p.ts < e.ts "
+            "  ORDER BY p.ts DESC, p.event_id DESC LIMIT 1)), -1) AS BIGINT) "
+            "AS prev_purchase_id FROM events e"
         ),
         "lineitem_distinct_flags": (
             "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"

@@ -22,6 +22,8 @@ import struct
 _SLOTS_PER_BUCKET = 4
 _MAX_KICKS = 500
 _EMPTY = 0
+_MAX_STASH = 64  # homeless-victim stash bound; beyond this the filter is
+                 # catastrophically over capacity and add() raises
 
 
 def _fp_hash(fp: int) -> int:
@@ -45,6 +47,10 @@ class CuckooFilter:
         self.table = bytearray(nb * _SLOTS_PER_BUCKET * 4)  # 4-byte fps
         self.count = 0
         self._lcg = 0x2545F4914F6CDD1D  # deterministic eviction seed
+        # victim stash: (bucket_index, fp) entries whose eviction chain hit
+        # MAX_KICKS. Consulted by contains()/delete() so the no-false-negative
+        # guarantee holds even at saturation (standard cuckoo-with-stash).
+        self.stash: list[tuple[int, int]] = []
 
     # -- key decomposition -------------------------------------------------
     def _parts(self, key: bytes) -> tuple[int, int, int]:
@@ -78,10 +84,17 @@ class CuckooFilter:
     # -- public API ---------------------------------------------------------
     def contains(self, key: bytes) -> bool:
         fp, i1, i2 = self._parts(key)
-        return fp in self._bucket_fps(i1) or fp in self._bucket_fps(i2)
+        if fp in self._bucket_fps(i1) or fp in self._bucket_fps(i2):
+            return True
+        # a stashed victim with this fingerprint whose bucket pair matches
+        return any(f == fp and i in (i1, i2) for (i, f) in self.stash)
 
     def add(self, key: bytes) -> bool:
-        """Insert; returns False only when the filter is over-full."""
+        """Insert. Always succeeds (no silent membership loss): if the
+        eviction chain exhausts MAX_KICKS the homeless victim goes to the
+        stash, preserving the no-false-negative property. Raises
+        RuntimeError when the stash itself overflows (the filter is
+        catastrophically over capacity — resize upstream)."""
         fp, i1, i2 = self._parts(key)
         if self._try_put(i1, fp) or self._try_put(i2, fp):
             self.count += 1
@@ -99,7 +112,15 @@ class CuckooFilter:
             if self._try_put(i, fp):
                 self.count += 1
                 return True
-        return False
+        # keep the final homeless victim in the stash instead of dropping it
+        # (dropping would silently evict a previously-added key)
+        if len(self.stash) >= _MAX_STASH:
+            raise RuntimeError(
+                f"cuckoo filter over capacity (load={self.load_factor:.3f}, "
+                f"stash full at {_MAX_STASH}) — resize the filter")
+        self.stash.append((i, fp))
+        self.count += 1
+        return True
 
     def delete(self, key: bytes) -> bool:
         fp, i1, i2 = self._parts(key)
@@ -111,6 +132,11 @@ class CuckooFilter:
                     struct.pack_into("<I", self.table, off, _EMPTY)
                     self.count -= 1
                     return True
+        for n, (i, f) in enumerate(self.stash):
+            if f == fp and i in (i1, i2):
+                self.stash.pop(n)
+                self.count -= 1
+                return True
         return False
 
     @property
@@ -119,18 +145,26 @@ class CuckooFilter:
 
     # -- snapshot -----------------------------------------------------------
     def serialize(self) -> bytes:
-        header = struct.pack("<QQQ", self.num_buckets, self.count, self._lcg)
-        return header + bytes(self.table)
+        header = struct.pack("<QQQQ", self.num_buckets, self.count, self._lcg,
+                             len(self.stash))
+        stash = b"".join(struct.pack("<QI", i, fp) for (i, fp) in self.stash)
+        return header + stash + bytes(self.table)
 
     @classmethod
     def deserialize(cls, blob: bytes) -> "CuckooFilter":
-        num_buckets, count, lcg = struct.unpack_from("<QQQ", blob, 0)
+        num_buckets, count, lcg, n_stash = struct.unpack_from("<QQQQ", blob, 0)
         f = cls.__new__(cls)
         f.num_buckets = num_buckets
         f._mask = num_buckets - 1
         f.count = count
         f._lcg = lcg
-        f.table = bytearray(blob[24:])
+        off = 32
+        f.stash = []
+        for _ in range(n_stash):
+            i, fp = struct.unpack_from("<QI", blob, off)
+            f.stash.append((i, fp))
+            off += 12
+        f.table = bytearray(blob[off:])
         return f
 
 

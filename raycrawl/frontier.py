@@ -71,6 +71,7 @@ class FrontierShardLocal:
         self.n_dup = 0
         self.n_robots_blocked = 0
         self.n_popped = 0
+        self.n_insert_dup = 0
 
     # -- robots -----------------------------------------------------------
     def load_robots(self, bodies: dict[str, Optional[str]]) -> None:
@@ -108,11 +109,17 @@ class FrontierShardLocal:
     def insert_batch(
         self, items: list[tuple[int, int, str, str, Optional[str], bytes]]
     ) -> int:
-        """items: (seq, depth, url, host, parent_url, url_key)."""
+        """items: (seq, depth, url, host, parent_url, url_key).
+
+        ``add`` on the raw cuckoo filter always succeeds (victims go to the
+        stash; see cuckoo.py) — the only False return is ExactShadow's
+        exact-duplicate signal, which means the key was already confirmed in
+        an earlier batch; the URL is still queued so no admitted seq is ever
+        dropped."""
         n = 0
         for seq, depth, url, host, parent, key in items:
             if not self.seen.add(key):
-                continue  # lost a race with a false duplicate; skip
+                self.n_insert_dup += 1
             heapq.heappush(self.heap, (depth, seq, url, host, parent))
             n += 1
         self.n_admitted += n
@@ -177,6 +184,7 @@ class FrontierShardLocal:
             "dup_hits": self.n_dup,
             "robots_blocked": self.n_robots_blocked,
             "popped": self.n_popped,
+            "insert_dups": self.n_insert_dup,
             "queued": len(self.heap),
             "seen": getattr(self.seen, "count", None)
             if not isinstance(self.seen, ExactShadow)

@@ -223,11 +223,24 @@ class CrawlOutcome:
 
 
 def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
+    import hashlib
+    import shutil
+
     t0 = time.time()
-    out_dir = cfg.out_dir or f"/tmp/raycrawl_run/{abs(hash((corpus_path, str(cfg.seed_url), cfg.max_depth, cfg.max_pages))):x}"
+    # sha1 (not PYTHONHASHSEED-salted hash()) so resume=True with the default
+    # out_dir finds the previous run's checkpoint across processes
+    cfg_key = hashlib.sha1(
+        f"{corpus_path}|{cfg.seed_url}|{cfg.max_depth}|{cfg.max_pages}".encode()
+    ).hexdigest()[:16]
+    out_dir = cfg.out_dir or f"/tmp/raycrawl_run/{cfg_key}"
     results_dir = os.path.join(out_dir, "results")
     seen_dir = os.path.join(out_dir, "seen")
     ckpt_dir = os.path.join(out_dir, "checkpoint")
+    if not cfg.resume:
+        # a fresh run must not concatenate stale wave dirs from a longer
+        # previous run into its results/seen output
+        for d in (results_dir, seen_dir, ckpt_dir):
+            shutil.rmtree(d, ignore_errors=True)
     for d in (results_dir, seen_dir, ckpt_dir):
         os.makedirs(d, exist_ok=True)
 
@@ -292,7 +305,11 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
         next_seq = m["next_seq"]
         pages_success = m["pages_success"]
         pages_failed = m["pages_failed"]
-        snaps = [open(os.path.join(ckpt_dir, f"shard{i}.bin"), "rb").read()
+        # the manifest names its snapshot generation, so a crash between
+        # snapshot write and manifest rename can never pair a stale manifest
+        # with newer snapshots (ADVICE crash-atomicity fix)
+        gen_dir = os.path.join(ckpt_dir, m.get("gen", ""))
+        snaps = [open(os.path.join(gen_dir, f"shard{i}.bin"), "rb").read()
                  for i in range(S)]
         ray.get([s.restore.remote(b) for s, b in zip(shards, snaps)])
     else:
@@ -449,10 +466,20 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
             _write_seen_wave(seen_dir, wave + 1, seen_rows)
 
         # --- checkpoint at the wave boundary (R3) -------------------------
+        # crash-atomic: snapshots land in a fresh generation dir, the
+        # manifest (which names the generation) is written to a temp file
+        # and os.rename'd into place, THEN older generations are removed —
+        # a crash at any point leaves a manifest whose generation dir is
+        # complete and matching.
         snaps = ray.get([s.snapshot.remote() for s in shards])
+        gen = f"gen-{wave}"
+        gen_dir = os.path.join(ckpt_dir, gen)
+        os.makedirs(gen_dir, exist_ok=True)
         for i, blob in enumerate(snaps):
-            with open(os.path.join(ckpt_dir, f"shard{i}.bin"), "wb") as f:
+            tmp = os.path.join(gen_dir, f"shard{i}.bin.tmp")
+            with open(tmp, "wb") as f:
                 f.write(blob)
+            os.rename(tmp, os.path.join(gen_dir, f"shard{i}.bin"))
         shard_stats = ray.get([s.stats.remote() for s in shards])
         frontier_depth = sum(st["queued"] for st in shard_stats)
         wave_stats.append({
@@ -460,12 +487,19 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
             "success": pages_success, "failed": pages_failed,
             "frontier_depth": frontier_depth,
         })
-        with open(manifest_path, "w") as f:
-            json.dump({"wave": wave, "next_seq": next_seq,
+        tmp_manifest = manifest_path + ".tmp"
+        with open(tmp_manifest, "w") as f:
+            json.dump({"wave": wave, "next_seq": next_seq, "gen": gen,
                        "pages_success": pages_success,
                        "pages_failed": pages_failed,
                        "shard_stats": shard_stats,
                        "waves": wave_stats}, f)
+        os.rename(tmp_manifest, manifest_path)
+        import shutil as _shutil
+
+        for old in glob.glob(os.path.join(ckpt_dir, "gen-*")):
+            if os.path.basename(old) != gen:
+                _shutil.rmtree(old, ignore_errors=True)
         wave += 1
         waves_done += 1
 

@@ -16,10 +16,37 @@ from __future__ import annotations
 import hashlib
 import re
 from typing import Optional
-from urllib.parse import quote, unquote, urljoin, urlparse
+from urllib.parse import quote, urljoin, urlparse
 
 _DEFAULT_PORTS = {"http": 80, "https": 443, "ftp": 21, "ws": 80, "wss": 443}
 _HOSTPORT_RE = re.compile(r"^(?P<host>\[[^\]]*\]|[^:]*)(?::(?P<port>\d+))?$")
+
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~")
+_HEX = set("0123456789abcdefABCDEF")
+
+
+def _normalize_pct(path: str) -> str:
+    """RFC 3986 §6.2.2.2 percent-encoding normalization: decode ONLY
+    escapes of unreserved characters, uppercase the hex of every other
+    escape, and leave reserved escapes (%2F etc.) encoded — so /a%2Fb and
+    /a/b stay distinct URLs (ADVICE fix: quote(unquote(...)) conflated
+    them). Malformed '%' sequences pass through as literals."""
+    out: list[str] = []
+    i, n = 0, len(path)
+    while i < n:
+        c = path[i]
+        if c == "%" and i + 2 < n and path[i + 1] in _HEX and path[i + 2] in _HEX:
+            ch = chr(int(path[i + 1 : i + 3], 16))
+            if ch in _UNRESERVED:
+                out.append(ch)
+            else:
+                out.append("%" + path[i + 1 : i + 3].upper())
+            i += 3
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
 
 
 def normalize_url(url: str, base_url: str) -> Optional[str]:
@@ -56,7 +83,10 @@ def canonicalize(url: str) -> str:
     else:
         netloc = netloc.lower()
     path = parsed.path or "/"
-    path = quote(unquote(path), safe="/:@!$&'()*+,;=~-._")
+    # percent-normalize existing escapes per RFC 3986, then quote any raw
+    # characters that must be escaped ('%' is in the safe set so normalized
+    # escapes — and literal malformed '%' — pass through untouched)
+    path = quote(_normalize_pct(path), safe="%/:@!$&'()*+,;=~-._")
     return parsed._replace(
         scheme=scheme, netloc=netloc, path=path, params="", query="", fragment=""
     ).geturl()

@@ -68,3 +68,35 @@ def test_property_membership(ks):
         f.add(k)
     for k in ks:
         assert f.contains(k)  # no false negatives, ever
+
+
+def test_saturated_filter_never_loses_members():
+    """ADVICE regression: at over-capacity the eviction chain's homeless
+    victim must land in the stash, not be silently dropped."""
+    f = CuckooFilter(capacity=64)  # rounds to a small table
+    ks = keys(f.num_buckets * 4 + 40)  # well past 100% load
+    added = []
+    try:
+        for k in ks:
+            assert f.add(k)
+            added.append(k)
+    except RuntimeError:
+        pass  # stash overflow is allowed to raise — but never lie
+    for k in added:
+        assert f.contains(k), "member lost after saturation"
+
+
+def test_stash_survives_serialize_roundtrip():
+    f = CuckooFilter(capacity=64)
+    ks = keys(f.num_buckets * 4 + 20)
+    kept = []
+    try:
+        for k in ks:
+            f.add(k)
+            kept.append(k)
+    except RuntimeError:
+        pass
+    g = CuckooFilter.deserialize(f.serialize())
+    assert g.stash == f.stash
+    for k in kept:
+        assert g.contains(k)

@@ -33,3 +33,16 @@ def test_host_shard_deterministic_and_spread():
     shards = {host_shard(f"h{i}.example", 8) for i in range(100)}
     assert shards == set(range(8))
     assert host_shard("h0.example", 8) == host_shard("h0.example", 8)
+
+
+def test_percent_encoding_rfc3986():
+    """ADVICE regression: reserved escapes stay encoded (distinct URLs),
+    unreserved escapes decode, hex is uppercased, literal % passes through."""
+    from raycrawl.urlnorm import canonicalize
+
+    assert canonicalize("https://h/a%2Fb") != canonicalize("https://h/a/b")
+    assert canonicalize("https://h/a%2fb") == canonicalize("https://h/a%2Fb")
+    assert canonicalize("https://h/%7Euser") == canonicalize("https://h/~user")
+    assert canonicalize("https://h/%41bc") == canonicalize("https://h/Abc")
+    assert canonicalize("https://h/100%stale") == "https://h/100%stale"
+    assert canonicalize("https://h/a b") == "https://h/a%20b"
