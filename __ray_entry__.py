@@ -40,6 +40,54 @@ def _feature_corpus_dir() -> str:
     return cached_corpus("feature", **T2)
 
 
+def _crawl_oracle_dir() -> str:
+    """Materialize the single-threaded conformance oracle's crawl order and
+    seen set (raycrawl/oracle.py — an independent serial model of the
+    reference BFS that shares none of the distributed frontier machinery)
+    as Parquet, so the driver's DuckDB oracle can compare the Ray engine's
+    crawl_bfs/crawl_seen output value-for-value against it. Cached keyed by
+    the sources that define the semantics; called from oracle_sql() so the
+    files exist regardless of query/oracle evaluation order."""
+    import hashlib
+
+    import raycrawl.extract
+    import raycrawl.fixtures
+    import raycrawl.oracle
+
+    h = hashlib.sha1()
+    for mod in (raycrawl.oracle, raycrawl.fixtures, raycrawl.extract):
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    out_dir = f"/tmp/raycrawl_oracle/{h.hexdigest()[:12]}"
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return out_dir
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raycrawl.fixtures import feature_corpus
+    from raycrawl.gen_golden import CRAWL_KW, SEED, T2
+    from raycrawl.oracle import crawl_oracle
+
+    os.makedirs(out_dir, exist_ok=True)
+    res = crawl_oracle(feature_corpus(**T2), SEED, **CRAWL_KW)
+    pq.write_table(
+        pa.table({"seq": pa.array([p.seq for p in res.pages], pa.int64()),
+                  "depth": pa.array([p.depth for p in res.pages], pa.int32()),
+                  "url": pa.array([p.url for p in res.pages], pa.string()),
+                  "parent_url": pa.array([p.parent_url or "" for p in res.pages],
+                                         pa.string())}),
+        os.path.join(out_dir, "crawl_bfs.parquet"))
+    pq.write_table(
+        pa.table({"url": pa.array([u for (u, _, _, _) in res.seen], pa.string()),
+                  "depth": pa.array([d for (_, d, _, _) in res.seen], pa.int32()),
+                  "seq": pa.array([s for (_, _, s, _) in res.seen], pa.int64())}),
+        os.path.join(out_dir, "crawl_seen.parquet"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
 # ---------------------------------------------------------------------------
 # entry: flagship pipeline (read → actor-pool extract → columns)
 # ---------------------------------------------------------------------------
@@ -124,7 +172,9 @@ def _q_crawl_bfs(sf_dir: str):
     shutil.rmtree(out_dir, ignore_errors=True)
     cfg = CrawlConfig(seed_url=SEED, num_shards=4, out_dir=out_dir, **CRAWL_KW)
     outcome = crawl(_feature_corpus_dir(), cfg)
-    return outcome.results().select(["seq", "depth", "url", "parent_url"])
+    df = outcome.results().select(["seq", "depth", "url", "parent_url"]).to_pandas()
+    df["parent_url"] = df["parent_url"].fillna("")  # seed row; '' in the oracle
+    return df
 
 
 def _q_crawl_seen(sf_dir: str):
@@ -314,8 +364,11 @@ def _q_token_count_bpe(sf_dir: str):
 
 def _q_approx_distinct_orders(sf_dir: str):
     """HLL sketch count-distinct of l_orderkey (mergeable per-batch
-    sketches). Rows-only: approximate by design; accuracy is asserted
-    against the exact count in tests/test_ops.py."""
+    sketches). Exactly SQL-checkable: the md5-keyed sketch and its
+    integer-harmonic-sum estimate are deterministic functions of the data
+    that the DuckDB oracle recomputes register-for-register; the estimate is
+    rounded to BIGINT on both sides (absorbs sub-ulp libm ln differences).
+    Accuracy vs the exact count is separately asserted in tests/test_ops.py."""
     import pandas as pd
     import ray.data as rd
 
@@ -323,9 +376,11 @@ def _q_approx_distinct_orders(sf_dir: str):
 
     li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
                          columns=["l_orderkey"])
+    import math
+
     est = approx_distinct(li, "l_orderkey", p=14)
-    return pd.DataFrame({"approx_distinct_orders": pd.Series([est],
-                                                             dtype="float64")})
+    return pd.DataFrame({"approx_distinct_orders": pd.Series(
+        [int(math.floor(est + 0.5))], dtype="int64")})
 
 
 def _q_fingerprints(sf_dir: str):
@@ -380,12 +435,18 @@ def _q_knn_bruteforce(sf_dir: str):
 
 
 def _q_knn_ivf(sf_dir: str):
+    """IVF with nprobe == nlist: probes every bucket, so the result is
+    exact and oracle-checkable against the brute-force SQL — while still
+    exercising the full index-build + partition-pruned-read machinery.
+    (nprobe < nlist recall is covered by tests/test_ops.py.)"""
     import ray.data as rd
 
     from raycrawl.ops.knn import knn_ivf
 
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return knn_ivf(emb, query_ids=list(range(10)), k=10)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return knn_ivf(emb, query_ids=list(range(10)), k=10, nlist=16, nprobe=16,
+                   index_dir=f"/tmp/raycrawl_ivf/q_{tag}_16")
 
 
 def _q_q1(sf_dir: str):
@@ -547,7 +608,19 @@ _ES = "('el','la','los','las','de','y','un','una','es','que','por','con')"
 
 
 def oracle_sql() -> dict[str, str]:
+    oracle_dir = _crawl_oracle_dir()
     return {
+        # crawl conformance: the Ray sharded-frontier engine vs the
+        # independent single-threaded reference model (raycrawl/oracle.py),
+        # exact (seq, depth, url, parent) / seen-set equality
+        "crawl_bfs": (
+            f"SELECT seq, depth, url, parent_url "
+            f"FROM read_parquet('{oracle_dir}/crawl_bfs.parquet')"
+        ),
+        "crawl_seen": (
+            f"SELECT url, depth, seq "
+            f"FROM read_parquet('{oracle_dir}/crawl_seen.parquet')"
+        ),
         "extract_pages": (
             "SELECT 'Doc ' || CAST(doc_id AS VARCHAR) AS title, "
             "lang AS language, CAST(200 AS INTEGER) AS status_code FROM documents"
@@ -589,6 +662,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(tw + 2 * GREATEST(0, LEAST(n - 1, 4*rnk + 4) - 4*rnk) AS INTEGER) AS word_count "
             "FROM ranked"
         ),
+        "chunk_stats": (
+            # A3 aggregate over the chunk_semantic closed form: every
+            # documents-corpus page renders to exactly one 'text' chunk
+            "WITH ranked AS (SELECT doc_id, doc_id % 16 AS h, "
+            "  row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) - 1 AS rnk, "
+            "  count(*) OVER (PARTITION BY doc_id % 16) AS n, "
+            "  CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "  length(regexp_split_to_array(trim(text), '\\s+')) END AS tw "
+            "  FROM documents), "
+            "c AS (SELECT CAST(tw + 2 * GREATEST(0, LEAST(n - 1, 4*rnk + 4) - 4*rnk) AS INTEGER) AS word_count "
+            "FROM ranked) "
+            "SELECT 'text' AS chunk_type, CAST(count(*) AS BIGINT) AS total_chunks, "
+            "CAST(sum(word_count) AS BIGINT) AS total_words, "
+            "CAST(sum(word_count) AS DOUBLE) / count(*) AS avg_words FROM c"
+        ),
         "text_token_count": (
             "SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 1 ELSE "
             "length(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) "
@@ -623,10 +711,76 @@ def oracle_sql() -> dict[str, str]:
             "WHEN es >= 1 AND es > en AND es > fr AND es > de THEN 'es' "
             "ELSE 'und' END AS lang_pred FROM s"
         ),
+        # simhash recomputed exactly: md5 64-bit token hashes, ±1 votes per
+        # bit, bit set iff vote > 0, two's-complement int64 view
+        "dedup_simhash": (
+            "WITH w AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] "
+            "  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks FROM documents), "
+            "t AS (SELECT doc_id, unnest(toks) AS tok FROM w), "
+            "h AS (SELECT doc_id, ('0x'||substr(md5(tok),1,16))::UBIGINT AS hv FROM t), "
+            "bit AS (SELECT doc_id, i, "
+            "  sum(CASE WHEN (hv >> (63-i)) & 1::UBIGINT = 1::UBIGINT THEN 1 ELSE -1 END) AS vote "
+            "  FROM h, (SELECT unnest(generate_series(0, 63)) AS i) bits "
+            "  GROUP BY doc_id, i), "
+            "fp AS (SELECT doc_id, sum(CASE WHEN vote > 0 "
+            "  THEN (1::HUGEINT << (63-i)) ELSE 0::HUGEINT END) AS ufp "
+            "  FROM bit GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(COALESCE(CASE WHEN f.ufp >= (1::HUGEINT << 63) "
+            "  THEN f.ufp - (1::HUGEINT << 64) ELSE f.ufp END, 0) AS BIGINT) AS simhash "
+            "FROM documents d LEFT JOIN fp f ON d.doc_id = f.doc_id"
+        ),
         "dedup_embedding_pairs": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
+        ),
+        # identical RE2-safe BPE-ish pre-tokenizer regex run by DuckDB
+        "text_token_count_bpe": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "'''(?:[sdmt]|ll|ve|re)| ?[A-Za-zÀ-ÿĀ-￿]+| ?[0-9]+"
+            "| ?[^\\sA-Za-zÀ-ÿĀ-￿0-9]+|\\s+')) AS BIGINT) "
+            "AS n_bpe_tokens FROM documents"
+        ),
+        # winnowing fingerprints recomputed exactly: md5 token hashes,
+        # 5-token sliding-window minima (ROWS frame), XOR of DISTINCT minima,
+        # short docs (<5 tokens) XOR all hashes (with multiplicity), 63-bit mask
+        "text_fingerprints": (
+            "WITH w AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] "
+            "  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks FROM documents), "
+            "t AS (SELECT doc_id, unnest(toks) AS tok, "
+            "  unnest(generate_series(1, len(toks))) AS pos FROM w), "
+            "h AS (SELECT doc_id, pos, ('0x'||substr(md5(tok),1,16))::UBIGINT AS hv FROM t), "
+            "win AS (SELECT doc_id, pos, "
+            "  min(hv) OVER (PARTITION BY doc_id ORDER BY pos "
+            "    ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS mh, "
+            "  count(*) OVER (PARTITION BY doc_id) AS n, hv FROM h), "
+            "longf AS (SELECT doc_id, bit_xor(mh) AS fp FROM "
+            "  (SELECT DISTINCT doc_id, mh FROM win WHERE n >= 5 AND pos <= n - 4) "
+            "  GROUP BY doc_id), "
+            "shortf AS (SELECT doc_id, bit_xor(hv) AS fp FROM win WHERE n < 5 GROUP BY doc_id), "
+            "allf AS (SELECT * FROM longf UNION ALL SELECT * FROM shortf) "
+            "SELECT d.doc_id, CAST(COALESCE(f.fp & 9223372036854775807::UBIGINT, "
+            "  0::UBIGINT) AS BIGINT) AS fingerprint "
+            "FROM documents d LEFT JOIN allf f ON d.doc_id = f.doc_id"
+        ),
+        # HLL p=14 recomputed exactly: same md5 64-bit hash, same registers
+        # (bucket = top 14 bits, rank = leading zeros of low 50 bits + 1),
+        # same integer harmonic sum S = Σ 2^(51-reg), same correction branch
+        "approx_distinct_orders": (
+            "WITH h AS (SELECT DISTINCT "
+            "  ('0x'||substr(md5(CAST(l_orderkey AS VARCHAR)),1,16))::UBIGINT AS hv "
+            "  FROM lineitem), "
+            "b AS (SELECT hv >> 50 AS bucket, hv & 1125899906842623::UBIGINT AS low FROM h), "
+            "r AS (SELECT bucket, max(CASE WHEN low = 0::UBIGINT THEN 51 "
+            "  ELSE 51 - length(bin(low)) END) AS reg FROM b GROUP BY bucket), "
+            "s AS (SELECT sum((1::HUGEINT << (51 - reg))) AS s_present, "
+            "  count(*) AS n_present FROM r), "
+            "e AS (SELECT CAST(s_present + (16384 - n_present) * (1::HUGEINT << 51) AS DOUBLE) "
+            "  / 2251799813685248.0 AS denom, 16384 - n_present AS v FROM s), "
+            "est AS (SELECT 0.7213/(1.0 + 1.079/16384.0)*16384.0*16384.0/denom AS raw, v FROM e) "
+            "SELECT CAST(floor((CASE WHEN raw <= 2.5*16384.0 AND v > 0 "
+            "  THEN 16384.0 * ln(16384.0 / v) ELSE raw END) + 0.5) AS BIGINT) "
+            "AS approx_distinct_orders FROM est"
         ),
         "pipeline_quality_dedup": (
             "WITH good AS (SELECT doc_id, text FROM documents "
@@ -638,6 +792,18 @@ def oracle_sql() -> dict[str, str]:
             "AS n_tokens FROM good g JOIN keep k ON g.doc_id = k.doc_id"
         ),
         "knn_bruteforce": (
+            "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10), "
+            "sims AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+            "  round(list_cosine_similarity(q.embedding, e.embedding), 6) AS sim "
+            "  FROM q JOIN embeddings e ON e.vec_id != q.vec_id), "
+            "ranked AS (SELECT query_id, neighbor_id, "
+            "  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank "
+            "  FROM sims) "
+            "SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank "
+            "FROM ranked WHERE rank <= 10"
+        ),
+        # nprobe == nlist IVF is exact → identical to the brute-force oracle
+        "knn_ivf": (
             "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10), "
             "sims AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
             "  round(list_cosine_similarity(q.embedding, e.embedding), 6) AS sim "

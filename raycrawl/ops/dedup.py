@@ -262,14 +262,21 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, ngram: int = 3,
 # ---------------------------------------------------------------------------
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word features (Charikar 2002, public alg)."""
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in _WORD_RE.findall(text):
-        h = int.from_bytes(hashlib.sha1(tok.encode()).digest()[:8], "big")
-        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
-        acc += np.where(bits.astype(bool), 1, -1)
+    """64-bit SimHash over word features (Charikar 2002, public alg).
+
+    Feature hash = md5 first-8-bytes big-endian (SQL-reproducible:
+    ('0x'||substr(md5(tok),1,16))::UBIGINT), bit votes vectorized via one
+    unpackbits over the whole token batch. Bit i of the fingerprint (MSB
+    first) is 1 iff Σ_tokens (±1 per bit) > 0."""
+    toks = _WORD_RE.findall(text)
+    if not toks:
+        return 0
+    digs = b"".join(hashlib.md5(t.encode()).digest()[:8] for t in toks)
+    bits = np.unpackbits(np.frombuffer(digs, dtype=np.uint8)
+                         .reshape(len(toks), 8), axis=1)
+    votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
     out = 0
-    for i, v in enumerate(acc):
+    for i, v in enumerate(votes):
         if v > 0:
             out |= 1 << (63 - i)
     return out

@@ -12,6 +12,7 @@ count-distinct over 10^10 keys where exact dedup would be an all-to-all.
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -44,8 +45,11 @@ class HyperLogLog:
         np.maximum.at(self.registers, idx, ranks)
 
     def add_values(self, values) -> None:
+        # md5 first-8-bytes big-endian: reproducible in DuckDB as
+        # ('0x'||substr(md5(CAST(v AS VARCHAR)),1,16))::UBIGINT, which makes
+        # the whole sketch (registers AND estimate) exactly SQL-checkable
         hs = np.fromiter(
-            (int.from_bytes(hashlib.sha1(str(v).encode()).digest()[:8], "big")
+            (int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "big")
              for v in values),
             dtype=np.uint64, count=len(values))
         if len(hs):
@@ -57,13 +61,20 @@ class HyperLogLog:
         return self
 
     def estimate(self) -> float:
+        """Flajolet estimate with small-range correction. The harmonic sum
+        is computed as the EXACT integer S = Σ 2^(max_rank − reg) (every
+        term is an integer since reg ≤ max_rank), then one float division —
+        so the estimate is a deterministic function of the registers that a
+        SQL engine reproduces bit-for-bit (no float-summation-order drift)."""
         m = float(self.m)
         alpha = 0.7213 / (1 + 1.079 / m)
-        est = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        max_rank = 64 - self.p + 1
+        s_int = sum(1 << (max_rank - int(r)) for r in self.registers)
+        est = alpha * m * m / (s_int / float(1 << max_rank))
         if est <= 2.5 * m:
             zeros = int((self.registers == 0).sum())
             if zeros:
-                est = m * np.log(m / zeros)  # small-range correction
+                est = m * math.log(m / zeros)  # small-range correction
         return float(est)
 
     def serialize(self) -> bytes:

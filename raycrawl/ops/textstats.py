@@ -106,12 +106,15 @@ def lang_id(ds, concurrency: int = 4):
 
 def rolling_fingerprint(text: str, window: int = 5) -> int:
     """Winnowing-style document fingerprint (Schleimer et al. 2003, public
-    alg): Rabin-ish rolling hash over word windows, min selection, XOR-fold
-    to one 63-bit value. Deterministic, whitespace-tokenized."""
+    alg): hash per word token, sliding-window min selection, XOR-fold of
+    the distinct window minima to one 63-bit value. Deterministic,
+    whitespace-tokenized; token hash = md5 first-8-bytes big-endian so a
+    SQL engine reproduces the fingerprint exactly (window min via a ROWS
+    window frame + bit_xor of DISTINCT minima)."""
     toks = _WS_SPLIT_RE.split(text.strip()) if text.strip() else []
     if not toks:
         return 0
-    hs = [int.from_bytes(hashlib.sha1(t.encode()).digest()[:8], "big")
+    hs = [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
           for t in toks]
     if len(hs) < window:
         acc = 0
@@ -137,11 +140,13 @@ def fingerprints(ds, id_col: str = "doc_id", text_col: str = "text"):
 
 
 # GPT-2-style pre-tokenizer pattern (Radford et al. 2019, public), adapted
-# to stdlib `re` (no \p classes): contractions, letter runs, digit runs,
-# punctuation runs, whitespace handling.
+# to stdlib `re` AND RE2 (no \p classes, no lookahead — GPT-2's
+# `\s+(?!\S)` branch is dropped so DuckDB's regexp_extract_all counts the
+# identical tokens): contractions, letter runs, digit runs, punctuation
+# runs, whitespace runs.
 _BPE_SPLIT_RE = re.compile(
     r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-zÀ-ÿĀ-￿]+| ?[0-9]+"
-    r"| ?[^\sA-Za-zÀ-ÿĀ-￿0-9]+|\s+(?!\S)|\s+")
+    r"| ?[^\sA-Za-zÀ-ÿĀ-￿0-9]+|\s+")
 
 
 def bpe_ish_tokens(text: str) -> list[str]:
