@@ -416,12 +416,19 @@ def _q_pipeline_quality_dedup(sf_dir: str):
             pa.int64())
         return b.filter(pc.greater_equal(n_words, 20))
 
+    import ray
+
     good = docs.map_batches(quality_filter, batch_format="pyarrow")
-    survivors = set(exact_dedup(good).to_pandas()["doc_id"])
-    kept = good.map_batches(
-        lambda b: b.filter(pc.is_in(b.column("doc_id"),
-                                    pa.array(sorted(survivors), pa.int64()))),
-        batch_format="pyarrow")
+    # survivor set built ONCE on the driver (it is the small side),
+    # broadcast via ray.put and read per batch — not rebuilt per batch
+    survivors = pa.array(
+        sorted(set(exact_dedup(good).to_pandas()["doc_id"])), pa.int64())
+    surv_ref = ray.put(survivors)
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b.column("doc_id"), ray.get(surv_ref)))
+
+    kept = good.map_batches(keep, batch_format="pyarrow")
     return token_count(kept).to_pandas()
 
 
@@ -710,6 +717,44 @@ def oracle_sql() -> dict[str, str]:
             "WHEN de >= 1 AND de > en AND de > fr AND de >= es THEN 'de' "
             "WHEN es >= 1 AND es > en AND es > fr AND es > de THEN 'es' "
             "ELSE 'und' END AS lang_pred FROM s"
+        ),
+        # brute-force 3-gram Jaccard in SQL — exact because every true pair
+        # in this corpus has j >= 0.889 (measured), where LSH recall at
+        # 128 hashes / 32 bands is 1 - (1 - 0.889^4)^32 ≈ 1 - 2e-14
+        "dedup_minhash_pairs": (
+            "WITH w AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] "
+            "  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN [] "
+            "  WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
+            "  ELSE list_distinct(list_transform(generate_series(1, len(toks)-2), "
+            "    i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) END AS s FROM w), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "  len(list_intersect(a.s, b.s)) AS inter, len(a.s) + len(b.s) AS tot "
+            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id), "
+            "j AS (SELECT id_a, id_b, CASE WHEN tot - inter = 0 THEN 1.0 "
+            "  ELSE CAST(inter AS DOUBLE) / (tot - inter) END AS jaccard_sim FROM p) "
+            "SELECT id_a, id_b, jaccard_sim FROM j WHERE jaccard_sim >= 0.5"
+        ),
+        # near-dup clusters: min-reachable label over the verified pair
+        # graph (recursive CTE), matching driver-side union-find min labels
+        "dedup_survivors": (
+            "WITH RECURSIVE w AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] "
+            "  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN [] "
+            "  WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
+            "  ELSE list_distinct(list_transform(generate_series(1, len(toks)-2), "
+            "    i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) END AS s FROM w), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "  len(list_intersect(a.s, b.s)) AS inter, len(a.s) + len(b.s) AS tot "
+            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id), "
+            "pairs AS (SELECT id_a, id_b FROM p WHERE (CASE WHEN tot - inter = 0 "
+            "  THEN 1.0 ELSE CAST(inter AS DOUBLE) / (tot - inter) END) >= 0.5), "
+            "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+            "  UNION SELECT id_b, id_a FROM pairs), "
+            "reach(id, r) AS (SELECT doc_id, doc_id FROM documents "
+            "  UNION SELECT x.id, e.b FROM reach x JOIN edges e ON e.a = x.r) "
+            "SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canonical_id "
+            "FROM reach GROUP BY id"
         ),
         # simhash recomputed exactly: md5 64-bit token hashes, ±1 votes per
         # bit, bit set iff vote > 0, two's-complement int64 view

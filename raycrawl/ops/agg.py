@@ -26,6 +26,33 @@ from typing import Callable
 import pandas as pd
 
 
+_AUTO_SHUFFLE_ROWS = 2_000_000  # input rows above which 'auto' assumes the
+# key partials no longer belong on the driver (keys ≤ rows, and at cluster
+# scale the shuffle's fixed cost amortizes)
+
+
+def aggregate_partials_ds(
+    ds,
+    partial_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    keys: list[str],
+    agg_spec: dict[str, str],
+    batch_size: int = 65536,
+    shuffle_partitions: int = 32,
+):
+    """Shuffle-merged aggregation returned AS A DATASET — for consumers
+    that continue distributed (per-block top-k, further map_batches)
+    instead of collecting the per-key table to the driver."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    partials = ds.map_batches(partial_fn, batch_format="pandas",
+                              batch_size=batch_size)
+    ctor = {"sum": Sum, "min": Min, "max": Max}
+    aggs = [ctor[how](col, alias_name=col) for col, how in agg_spec.items()]
+    return (partials.repartition(shuffle_partitions)
+            .groupby(keys[0] if len(keys) == 1 else keys)
+            .aggregate(*aggs))
+
+
 def aggregate_partials(
     ds,
     partial_fn: Callable[[pd.DataFrame], pd.DataFrame],
@@ -34,17 +61,21 @@ def aggregate_partials(
     reduce: str = "driver",
     batch_size: int = 65536,
     shuffle_partitions: int = 32,
+    cardinality_hint: "int | None" = None,
 ) -> pd.DataFrame:
+    """reduce='auto' picks shuffle when ``cardinality_hint`` (an upper
+    bound on the key cardinality, e.g. the input row count from parquet
+    metadata) exceeds ``_AUTO_SHUFFLE_ROWS`` — unbounded-key aggregations
+    must not default to a driver merge at scale."""
+    if reduce == "auto":
+        reduce = "shuffle" if (cardinality_hint or 0) > _AUTO_SHUFFLE_ROWS \
+            else "driver"
+    if reduce == "shuffle":
+        return aggregate_partials_ds(
+            ds, partial_fn, keys, agg_spec, batch_size=batch_size,
+            shuffle_partitions=shuffle_partitions).to_pandas()
     partials = ds.map_batches(partial_fn, batch_format="pandas",
                               batch_size=batch_size)
-    if reduce == "shuffle":
-        from ray.data.aggregate import Max, Min, Sum
-
-        ctor = {"sum": Sum, "min": Min, "max": Max}
-        aggs = [ctor[how](col, alias_name=col) for col, how in agg_spec.items()]
-        return (partials.repartition(shuffle_partitions)
-                .groupby(keys[0] if len(keys) == 1 else keys)
-                .aggregate(*aggs).to_pandas())
     frames = [b for b in partials.iter_batches(batch_size=batch_size,
                                                batch_format="pandas")]
     if not frames:

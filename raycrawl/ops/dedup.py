@@ -127,11 +127,15 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
 class MinHashStage:
     """Actor stage: doc rows → exploded (band, band_hash, doc_id) rows.
     Permutation parameters built once per actor (seeded, identical across
-    the pool)."""
+    the pool). Band keys are 64-bit splitmix-mixed digests of each band's
+    signature rows, computed with one vectorized pass over the whole batch
+    (no per-band hashlib calls, and an 8-byte shuffle payload instead of a
+    16-char hex string)."""
 
     def __init__(self, num_hashes: int = 128, bands: int = 32, ngram: int = 3,
                  id_col: str = "doc_id", text_col: str = "text") -> None:
         self.a, self.b = _minhash_params(num_hashes)
+        self.num_hashes = num_hashes
         self.bands = bands
         self.rows_per_band = num_hashes // bands
         self.ngram = ngram
@@ -139,48 +143,56 @@ class MinHashStage:
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_pylist()
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         texts = batch.column(self.text_col).to_pylist()
-        out_band, out_hash, out_id = [], [], []
-        r = self.rows_per_band
-        for i, text in zip(ids, texts):
-            sig = minhash_signature(text or "", self.a, self.b, self.ngram)
-            for band in range(self.bands):
-                digest = hashlib.sha1(sig[band * r : (band + 1) * r].tobytes()).hexdigest()[:16]
-                out_band.append(band)
-                out_hash.append(digest)
-                out_id.append(i)
-        return pa.table({"band": pa.array(out_band, pa.int32()),
-                         "band_hash": pa.array(out_hash, pa.string()),
-                         self.id_col: pa.array(out_id, pa.int64())})
+        n = len(texts)
+        sigs = np.empty((n, self.num_hashes), dtype=np.uint64)
+        for r, text in enumerate(texts):
+            sigs[r] = minhash_signature(text or "", self.a, self.b, self.ngram)
+        rb = sigs.reshape(n, self.bands, self.rows_per_band)
+        key = np.zeros((n, self.bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for c in range(self.rows_per_band):
+                key = (key ^ rb[:, :, c]) * np.uint64(0x9E3779B97F4A7C15)
+                key ^= key >> np.uint64(29)
+        return pa.table({
+            "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+            "band_hash": pa.array(key.reshape(-1).view(np.int64)),
+            self.id_col: pa.array(np.repeat(ids.astype(np.int64), self.bands)),
+        })
+
+
+_MINHASH_SHUFFLE_THRESHOLD = 100_000  # docs; above this the exploded band
+# table (32 rows/doc) is too big for a driver concat and the distributed
+# groupby's fixed cost amortizes
 
 
 def minhash_candidates(ds, num_hashes: int = 128, bands: int = 32,
                        ngram: int = 3, id_col: str = "doc_id",
                        text_col: str = "text", concurrency: int = 4,
-                       reduce: str = "driver"):
+                       reduce: str = "auto"):
     """Candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
 
-    Signature computation (the heavy part) is always distributed; the
-    bucket-groupby over the exploded (band, band_hash, doc_id) rows uses a
-    driver-side pandas groupby by default — those rows are 24 bytes × 32
-    per doc, and Ray's all-to-all shuffle has tens of seconds of fixed
-    overhead that only amortizes at ≥10^7 docs (pass reduce='shuffle'
-    there; same semantics)."""
+    Signature computation (the heavy part) is always distributed. The
+    bucket reduce defaults to 'auto': a distributed
+    ``groupby(band, band_hash)`` shuffle when the corpus exceeds
+    ``_MINHASH_SHUFFLE_THRESHOLD`` docs (the scale-safe path — only
+    (band, key, id) triples move, never texts), else a driver-side pandas
+    merge (Ray's all-to-all has tens of seconds of fixed overhead that
+    only amortizes at that size). Both paths generate within-bucket pairs
+    with vectorized index math — no Python pair loops."""
     exploded = ds.map_batches(
         MinHashStage, batch_format="pyarrow", concurrency=concurrency,
         fn_constructor_kwargs=dict(num_hashes=num_hashes, bands=bands,
                                    ngram=ngram, id_col=id_col, text_col=text_col))
+    if reduce == "auto":
+        n = ds.count()  # metadata-cheap on parquet-backed datasets
+        reduce = "shuffle" if (n or 0) > _MINHASH_SHUFFLE_THRESHOLD else "driver"
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group[id_col].tolist())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"id_a": pd.Series(a, dtype="int64"),
-                             "id_b": pd.Series(b, dtype="int64")})
+        ids = np.sort(group[id_col].to_numpy(dtype=np.int64))
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
     if reduce == "shuffle":
         cand = exploded.groupby(["band", "band_hash"]).map_groups(
@@ -197,17 +209,19 @@ def minhash_candidates(ds, num_hashes: int = 128, bands: int = 32,
     allp = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
         {"band": [], "band_hash": [], id_col: []})
     # only buckets with ≥2 members can produce pairs — the duplicated mask
-    # drops the singleton majority before the Python group loop
+    # drops the singleton majority, then one self-merge builds all
+    # within-bucket pairs vectorized
     dup = allp[allp.duplicated(["band", "band_hash"], keep=False)]
-    seen_pairs: set[tuple[int, int]] = set()
-    for _, group in dup.groupby(["band", "band_hash"], sort=False):
-        ids = sorted(group[id_col].tolist())
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                seen_pairs.add((ids[i], ids[j]))
-    out = pd.DataFrame(sorted(seen_pairs), columns=["id_a", "id_b"]) \
-        if seen_pairs else pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                         "id_b": pd.Series(dtype="int64")})
+    if len(dup) == 0:
+        return rd.from_pandas(pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64")}))
+    m = dup.merge(dup, on=["band", "band_hash"], suffixes=("_a", "_b"))
+    m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+    out = (m[[f"{id_col}_a", f"{id_col}_b"]]
+           .rename(columns={f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"})
+           .drop_duplicates().sort_values(["id_a", "id_b"])
+           .reset_index(drop=True))
     return rd.from_pandas(out)
 
 
@@ -220,17 +234,67 @@ def jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     return inter / union if union else 0.0
 
 
+_VERIFY_BROADCAST_LIMIT = 20_000  # candidate docs; above this a dict of
+# full texts no longer belongs in one object — switch to the bucket join
+
+
 def minhash_dedup_pairs(ds, threshold: float = 0.8, ngram: int = 3,
                         id_col: str = "doc_id", text_col: str = "text",
-                        concurrency: int = 4):
+                        concurrency: int = 4, verify: str = "auto"):
     """Verified near-dup pairs: LSH candidates → exact n-gram Jaccard ≥
-    threshold. Verification broadcasts only the candidate docs' texts."""
+    threshold.
+
+    Verification strategies (``verify``):
+    - 'broadcast' — one dict of the candidate docs' texts is ``ray.put``
+      and read per batch; optimal while the candidate set is small.
+    - 'join' — the scale path: candidate pairs are bucket-hash-joined
+      (ops/join.py) against the docs table twice (id_a side, id_b side),
+      so each verify task reads only its bucket's texts — no O(candidates)
+      driver dict, no unbounded broadcast. On a duplicate-heavy corpus the
+      candidate set is O(corpus), which is why this is the default above
+      ``_VERIFY_BROADCAST_LIMIT``.
+    - 'auto' — pick by candidate-doc count.
+    """
     import ray
+    import ray.data as rd
 
     cand = minhash_candidates(ds, ngram=ngram, id_col=id_col,
                               text_col=text_col, concurrency=concurrency)
     cand_tbl = cand.to_pandas()
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64"),
+                          "jaccard_sim": pd.Series([], dtype="float64")})
+    if len(cand_tbl) == 0:
+        return rd.from_pandas(empty)
     need_ids = sorted(set(cand_tbl["id_a"]) | set(cand_tbl["id_b"]))
+    if verify == "auto":
+        verify = "broadcast" if len(need_ids) <= _VERIFY_BROADCAST_LIMIT \
+            else "join"
+
+    if verify == "join":
+        from .join import bucket_hash_join
+
+        pairs_ds = rd.from_pandas(cand_tbl[["id_a", "id_b"]])
+        docs_a = ds.select_columns([id_col, text_col]).map_batches(
+            lambda b: b.rename_columns(["__ja", "__ta"]),
+            batch_format="pyarrow")
+        docs_b = ds.select_columns([id_col, text_col]).map_batches(
+            lambda b: b.rename_columns(["__jb", "__tb"]),
+            batch_format="pyarrow")
+        j1 = bucket_hash_join(pairs_ds, docs_a, left_on="id_a",
+                              right_on="__ja")
+        j2 = bucket_hash_join(j1, docs_b, left_on="id_b", right_on="__jb")
+
+        def score(batch: pd.DataFrame) -> pd.DataFrame:
+            if len(batch) == 0:
+                return empty
+            sims = [jaccard(a or "", b or "", ngram)
+                    for a, b in zip(batch["__ta"], batch["__tb"])]
+            out = batch[["id_a", "id_b"]].assign(jaccard_sim=sims)
+            return out[out["jaccard_sim"] >= threshold]
+
+        return j2.map_batches(score, batch_format="pandas")
+
     texts_tbl = (
         ds.map_batches(
             lambda b: b.filter(pc.is_in(b.column(id_col),
@@ -241,20 +305,14 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, ngram: int = 3,
     texts = dict(zip(texts_tbl[id_col], texts_tbl[text_col]))
     texts_ref = ray.put(texts)
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+    def bverify(batch: pd.DataFrame) -> pd.DataFrame:
         tx = ray.get(texts_ref)
         sims = [jaccard(tx.get(a, ""), tx.get(b, ""), ngram)
                 for a, b in zip(batch["id_a"], batch["id_b"])]
         batch = batch.assign(jaccard_sim=sims)
         return batch[batch["jaccard_sim"] >= threshold]
 
-    import ray.data as rd
-
-    if len(cand_tbl) == 0:
-        return rd.from_pandas(pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                            "id_b": pd.Series([], dtype="int64"),
-                                            "jaccard_sim": pd.Series([], dtype="float64")}))
-    return rd.from_pandas(cand_tbl).map_batches(verify, batch_format="pandas")
+    return rd.from_pandas(cand_tbl).map_batches(bverify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -100,7 +100,22 @@ def region_customer_stats(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 def top_orders_by_revenue(sf_dir: str, k: int = 10) -> pd.DataFrame:
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    """Per-order revenue (keys UNBOUNDED — grows with the data) → top-k.
+
+    Because an order's lineitems can span batches, the per-key sums need a
+    real merge; above the auto threshold that merge is a distributed
+    groupby shuffle whose output never leaves the cluster — each block
+    emits its own top-k partial and only ``blocks × k`` rows reach the
+    driver. Below the threshold the measured-cheaper driver merge is used.
+    Either way the driver never holds the full per-order table at scale."""
+    import pyarrow.parquet as pq
+
+    from .agg import _AUTO_SHUFFLE_ROWS, aggregate_partials_ds
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    li = rd.read_parquet(path,
+                         columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    n_rows = pq.read_metadata(path).num_rows  # cardinality hint, metadata-only
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b.assign(revenue_cents=np.floor(
@@ -109,8 +124,18 @@ def top_orders_by_revenue(sf_dir: str, k: int = 10) -> pd.DataFrame:
         return (b.groupby("l_orderkey", as_index=False)
                  .agg(revenue_cents=("revenue_cents", "sum")))
 
-    rev = aggregate_partials(li, partial, keys=["l_orderkey"],
-                             agg_spec={"revenue_cents": "sum"})
+    if n_rows > _AUTO_SHUFFLE_ROWS:
+        rev_ds = aggregate_partials_ds(li, partial, keys=["l_orderkey"],
+                                       agg_spec={"revenue_cents": "sum"})
+
+        def topk_block(b: pd.DataFrame) -> pd.DataFrame:
+            return b.sort_values(["revenue_cents", "l_orderkey"],
+                                 ascending=[False, True]).head(k)
+
+        rev = rev_ds.map_batches(topk_block, batch_format="pandas").to_pandas()
+    else:
+        rev = aggregate_partials(li, partial, keys=["l_orderkey"],
+                                 agg_spec={"revenue_cents": "sum"})
     top = rev.sort_values(["revenue_cents", "l_orderkey"],
                           ascending=[False, True]).head(k)
 
@@ -232,11 +257,20 @@ def q6_revenue_delta(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 def events_latest(sf_dir: str, k: int = 10) -> pd.DataFrame:
-    """The k most recent events via Dataset.sort(desc) + limit; value as
-    exact millis for the oracle, ties broken by event_id."""
+    """The k most recent events — per-batch top-k partials merged by a tiny
+    driver nlargest (the knn partial-top-k pattern): no key spans batches
+    for a global top-k, so this touches NO sort shuffle, unlike
+    ``Dataset.sort(desc).limit(k)`` which moves every block. Ties broken by
+    event_id; value as exact millis for the oracle."""
     ev = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
-    top = ev.sort(["ts", "event_id"], descending=[True, True]).limit(k)
-    df = top.to_pandas()
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["ts", "event_id"], ascending=False).head(k)
+
+    tops = ev.map_batches(partial, batch_format="pandas",
+                          batch_size=65536).to_pandas()
+    df = (tops.sort_values(["ts", "event_id"], ascending=False).head(k)
+          .reset_index(drop=True))
     df["value_millis"] = np.floor(df["value"] * 1000 + 0.5).astype("int64")
     return df[["event_id", "ts", "event_type", "value_millis"]]
 

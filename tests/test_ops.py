@@ -256,3 +256,48 @@ def test_knn_ivf_recall_and_pruning(tmp_path):
     # least some probe choice; with nprobe=1 it is at most n_queries buckets
     one = knn_ivf(emb, query_ids=[0], k=5, nlist=8, nprobe=1, index_dir=idx)
     assert len(one) <= 5
+
+
+def test_minhash_scale_paths_match_default():
+    """reduce='shuffle' and verify='join' (the scale-safe paths) must
+    produce exactly the pairs the small-scale paths produce. Small
+    synthetic corpus — the point is path equivalence, not volume (the
+    shuffle/join fixed costs dominate at any test size)."""
+    from raycrawl.ops.dedup import minhash_candidates, minhash_dedup_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    texts = []
+    for i in range(30):
+        if i % 5 == 0:
+            texts.append(base)                      # exact-dup cluster
+        elif i % 5 == 1:
+            texts.append(base.replace("eta theta", f"eta theta{i//5}"))
+        else:
+            texts.append(f"unique document {i} " + " ".join(
+                f"w{i}x{j}" for j in range(60)))
+    docs = _docs(texts)
+    drv = minhash_candidates(docs, reduce="driver").to_pandas()
+    shf = minhash_candidates(docs, reduce="shuffle").to_pandas()
+    key = lambda df: sorted(map(tuple, df[["id_a", "id_b"]].to_numpy()))
+    assert key(drv) == key(shf)
+    assert len(drv) > 0
+
+    bc = minhash_dedup_pairs(docs, threshold=0.5, verify="broadcast").to_pandas()
+    jn = minhash_dedup_pairs(docs, threshold=0.5, verify="join").to_pandas()
+    assert key(bc) == key(jn)
+    sim_b = dict(zip(map(tuple, bc[["id_a", "id_b"]].to_numpy()), bc["jaccard_sim"]))
+    sim_j = dict(zip(map(tuple, jn[["id_a", "id_b"]].to_numpy()), jn["jaccard_sim"]))
+    assert sim_b == sim_j
+
+
+def test_top_orders_shuffle_path_matches_driver(monkeypatch):
+    """Force the auto threshold to 0 so the distributed groupby + per-block
+    top-k path runs, and check it equals the driver-merge path."""
+    import raycrawl.ops.agg as agg
+    import raycrawl.ops.relational as rel
+
+    expected = rel.top_orders_by_revenue("/root/testdata/sf0.001")
+    monkeypatch.setattr(agg, "_AUTO_SHUFFLE_ROWS", 0)
+    got = rel.top_orders_by_revenue("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  expected.reset_index(drop=True))
