@@ -558,6 +558,52 @@ def _q_dedup_survivors(sf_dir: str):
     return dedup_survivors(ids, pairs)
 
 
+def _q_convert_docx(sf_dir: str):
+    """S7/M24 end-to-end with an exact oracle: documents rows → real .docx
+    files (stdlib zip builder, byte-stable) → read_binary_files →
+    ConvertStage actor pool → (doc_id, markdown). Expected markdown is a
+    closed-form function of the row ('# Document N' heading + the text
+    paragraph), so the whole parse-render path is hash-checked in SQL."""
+    import hashlib
+
+    import duckdb as _dd
+    import pandas as pd
+    import ray.data as rd
+
+    import raycrawl.convert_office as co
+    import raycrawl.office_fixtures as of
+    from raycrawl.convert import ConvertStage
+
+    with open(of.__file__, "rb") as f1, open(co.__file__, "rb") as f2:
+        ver = hashlib.sha1(f1.read() + f2.read()).hexdigest()[:10]
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    files_dir = f"/tmp/raycrawl_docx/{tag}_{ver}"
+    done = os.path.join(files_dir, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(files_dir, exist_ok=True)
+        rows = _dd.sql(
+            f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+        for doc_id, text in rows:
+            blob = of.build_docx(
+                [of.docx_paragraph(f"Document {doc_id}", style="Heading1"),
+                 of.docx_paragraph(text or "")],
+                title=f"Document {doc_id}")
+            with open(os.path.join(files_dir, f"doc{doc_id}.docx"), "wb") as f:
+                f.write(blob)
+        with open(done, "w") as f:
+            f.write("ok")
+
+    ds = rd.read_binary_files(files_dir, include_paths=True,
+                              file_extensions=["docx"])
+    out = ds.map_batches(ConvertStage, batch_format="pyarrow",
+                         concurrency=_pool(0.4)).to_pandas()
+    out["doc_id"] = (out["path"].str.extract(r"doc(\d+)\.docx$")
+                     .astype("int64"))
+    assert (out["status"] == "ok").all()
+    return out[["doc_id", "markdown"]]
+
+
 def _q_part_brand(sf_dir: str):
     from raycrawl.ops.relational import part_brand_stats
 
@@ -600,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_prev_purchase": _q_events_asof,
         "lineitem_distinct_flags": _q_distinct_flags,
         "dedup_survivors": _q_dedup_survivors,
+        "convert_docx": _q_convert_docx,
     }
 
 
@@ -939,6 +986,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lineitem_distinct_flags": (
             "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+        ),
+        # closed-form expected markdown of the generated .docx per row
+        "convert_docx": (
+            "SELECT doc_id, CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' "
+            "THEN '# Document ' || CAST(doc_id AS VARCHAR) "
+            "ELSE '# Document ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) "
+            "  || trim(text, ' ' || chr(9) || chr(10) || chr(13)) END AS markdown "
+            "FROM documents"
         ),
         "part_brand_stats": (
             "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts, "

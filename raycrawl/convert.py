@@ -13,12 +13,12 @@ Reimplements the reference's converter core over Ray Data:
 - ``ConvertStage``: ``read_binary_files → map_batches(ConvertStage)`` —
   binary file rows in, (path, markdown, metadata_json, n_elements) out.
 
-PDF/DOCX/XLSX binary parsers (reference M23-M25) depend on
-PyPDF2/python-docx/openpyxl which are absent in this sandbox; they are
-registered behind import guards and raise ``NotImplementedError`` with a
-clear message when the dependency is missing. Markdown and plain-text
-converters are implemented natively so the Ray-side plumbing (schema,
-batching, registry dispatch, error rows) is fully real and tested.
+PDF/DOCX/XLSX parsers (reference M23-M25) are implemented NATIVELY on
+stdlib (zipfile + ElementTree for OOXML in ``convert_office.py``; zlib
+FlateDecode + a content-stream operator scan for PDF in
+``convert_pdf.py``) — PyPDF2/python-docx/openpyxl are absent here, so
+those modules replicate the reference converters' observable behavior
+directly, quirks included (see their docstrings).
 """
 
 from __future__ import annotations
@@ -251,14 +251,6 @@ def _missing(dep: str, kind: str) -> Callable[[bytes], tuple[str, dict]]:
     return conv
 
 
-def _try_pdf() -> Callable[[bytes], tuple[str, dict]]:
-    try:
-        import PyPDF2  # noqa: F401
-    except ImportError:
-        return _missing("PyPDF2", "PDF")
-    raise AssertionError("unreachable in this sandbox")
-
-
 _REGISTRY: dict[str, Callable[[bytes], tuple[str, dict]]] = {}
 
 
@@ -275,11 +267,29 @@ def get_converter(file_type: str) -> Callable[[bytes], tuple[str, dict]]:
         raise ConversionError(f"unsupported file type: {file_type}")
 
 
+def _convert_pdf(content: bytes) -> tuple[str, dict]:
+    from .convert_pdf import convert_pdf
+
+    return convert_pdf(content)
+
+
+def _convert_docx(content: bytes) -> tuple[str, dict]:
+    from .convert_office import convert_docx
+
+    return convert_docx(content)
+
+
+def _convert_xlsx(content: bytes) -> tuple[str, dict]:
+    from .convert_office import convert_xlsx
+
+    return convert_xlsx(content)
+
+
 register_converter("txt", convert_text)
 register_converter("md", convert_markdown)
-register_converter("pdf", _missing("PyPDF2", "PDF"))
-register_converter("docx", _missing("python-docx", "DOCX"))
-register_converter("xlsx", _missing("openpyxl", "XLSX"))
+register_converter("pdf", _convert_pdf)    # native zlib+operator scan (convert_pdf.py)
+register_converter("docx", _convert_docx)  # native zip+XML (convert_office.py)
+register_converter("xlsx", _convert_xlsx)  # native zip+XML (convert_office.py)
 
 
 CONVERTED = pa.schema([

@@ -1,0 +1,360 @@
+"""Native minimal PDF → markdown converter (SURVEY.md M23) — stdlib only
+(zlib FlateDecode + content-stream text-operator scan); PyPDF2 is absent.
+
+Behavioral spec is the reference PDF converter
+(/root/reference/services/converters/converters/pdf_converter.py),
+replicated on top of this module's own text extractor:
+
+- per page: a level-2 ``Page N`` marker heading (pdf_converter.py:113-121);
+- table sniffing over the page text with the reference's two regex
+  patterns + cell splitting (pdf_converter.py:212-279);
+- paragraph split on blank lines, heading/list heuristics and level rules
+  (pdf_converter.py:281-447): numbered/ALL-CAPS/Chapter-Section patterns,
+  list markers (bullets, numbers, letters, checkboxes, dashes), list-marker
+  stripping, ordered detection from the first item;
+- /Info metadata incl. the ``D:YYYYMMDDHHMMSS`` date conversion
+  (pdf_converter.py:84-110);
+- images: XObject /Subtype /Image count (re-encode path needs a codec;
+  raw bytes are NOT embedded to keep markdown bounded).
+
+Text-extractor spec (this engine's PyPDF2-replacement, documented
+contract): text-showing ops (Tj, ', ", TJ — numbers in TJ ignored) append
+to the current line; Td/TD/T*/'/" start a new line; a Td/TD whose ty
+descends more than ``PARA_DROP`` (20pt) emits a paragraph break (blank
+line). Supports literal strings with octal/char escapes, hex strings, and
+FlateDecode streams. Object resolution is a tolerant whole-file object
+scan (no xref dependence), which also survives mildly damaged files.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from datetime import datetime
+
+from .convert import DocumentElement, DocumentStructure, ElementType
+
+PARA_DROP = 20.0
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj(.*?)endobj", re.DOTALL)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_REF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+\d+\s+R")
+_KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.DOTALL)
+_NUMREF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_INFO_ENTRY_RE = re.compile(rb"/(\w+)\s*\((.*?)(?<!\\)\)", re.DOTALL)
+
+
+class _Pdf:
+    def __init__(self, content: bytes) -> None:
+        self.objects: dict[int, bytes] = {}
+        for m in _OBJ_RE.finditer(content):
+            self.objects[int(m.group(1))] = m.group(3)
+
+    def dict_refs(self, body: bytes) -> dict[str, int]:
+        return {k.decode(): int(v) for k, v in _REF_RE.findall(body)}
+
+    def stream_of(self, body: bytes) -> bytes:
+        m = _STREAM_RE.search(body)
+        if not m:
+            return b""
+        data = m.group(1)
+        if b"/FlateDecode" in body.split(b"stream", 1)[0]:
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                pass
+        return data
+
+    def pages(self) -> list[bytes]:
+        """Page content streams in document order (walk Root→Pages→Kids)."""
+        root_id = None
+        for oid, body in self.objects.items():
+            if b"/Type" in body and b"/Catalog" in body:
+                root_id = oid
+                break
+        if root_id is None:
+            return []
+        pages_ref = self.dict_refs(self.objects[root_id]).get("Pages")
+        out: list[bytes] = []
+
+        def walk(oid: int) -> None:
+            body = self.objects.get(oid, b"")
+            if b"/Page" in body and b"/Pages" not in body:
+                c = self.dict_refs(body).get("Contents")
+                if c is not None:
+                    out.append(self.stream_of(self.objects.get(c, b"")))
+                else:
+                    out.append(b"")
+                return
+            km = _KIDS_RE.search(body)
+            if km:
+                for ref in _NUMREF_RE.findall(km.group(1)):
+                    walk(int(ref))
+
+        if pages_ref is not None:
+            walk(pages_ref)
+        return out
+
+    def page_image_counts(self) -> int:
+        return sum(1 for body in self.objects.values()
+                   if b"/Subtype" in body and b"/Image" in body)
+
+    def info(self) -> dict[str, str]:
+        for body in self.objects.values():
+            if b"/Title" in body or b"/Producer" in body or b"/Author" in body:
+                if b"/Type" in body and b"/Page" in body:
+                    continue
+                entries = {}
+                for k, v in _INFO_ENTRY_RE.findall(body):
+                    entries[k.decode()] = _unescape_string(v).decode(
+                        "latin-1", errors="replace")
+                if entries:
+                    return entries
+        return {}
+
+
+def _unescape_string(raw: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        c = raw[i]
+        if c == 0x5C and i + 1 < len(raw):  # backslash
+            n = raw[i + 1 : i + 2]
+            if n in (b"n", b"r", b"t", b"b", b"f"):
+                out += {b"n": b"\n", b"r": b"\r", b"t": b"\t",
+                        b"b": b"\b", b"f": b"\f"}[n]
+                i += 2
+            elif n in (b"(", b")", b"\\"):
+                out += n
+                i += 2
+            elif n.isdigit():
+                j = i + 1
+                digits = b""
+                while j < len(raw) and raw[j : j + 1].isdigit() and len(digits) < 3:
+                    digits += raw[j : j + 1]
+                    j += 1
+                out.append(int(digits, 8) & 0xFF)
+                i = j
+            else:
+                i += 1
+        else:
+            out.append(c)
+            i += 1
+    return bytes(out)
+
+
+_TOKEN_RE = re.compile(
+    rb"\((?:[^()\\]|\\.)*\)"      # literal string
+    rb"|<[0-9A-Fa-f\s]*>"         # hex string
+    rb"|\[|\]"
+    rb"|[-+]?\d*\.?\d+"           # number
+    rb"|/\w+"
+    rb"|[A-Za-z'\"*]+")
+
+
+def extract_page_text(stream: bytes) -> str:
+    """The documented text-extractor contract (module docstring)."""
+    lines: list[str] = [""]
+    tokens = _TOKEN_RE.findall(stream)
+
+    def show(raw: bytes) -> str:
+        if raw.startswith(b"("):
+            return _unescape_string(raw[1:-1]).decode("latin-1",
+                                                      errors="replace")
+        if raw.startswith(b"<"):
+            hx = re.sub(rb"\s", b"", raw[1:-1])
+            if len(hx) % 2:
+                hx += b"0"
+            return bytes.fromhex(hx.decode()).decode("latin-1",
+                                                     errors="replace")
+        return ""
+
+    stack: list[bytes] = []
+    in_array = False
+    for tok in tokens:
+        if tok == b"[":
+            in_array = True
+            continue
+        if tok == b"]":
+            in_array = False
+            continue
+        if tok.startswith((b"(", b"<")) :
+            if in_array:
+                lines[-1] += show(tok)  # TJ array element
+            else:
+                stack.append(tok)
+            continue
+        op = tok
+        if op in (b"Tj",):
+            if stack:
+                lines[-1] += show(stack[-1])
+            stack.clear()
+        elif op in (b"'", b'"'):
+            lines.append("")
+            if stack:
+                lines[-1] += show(stack[-1])
+            stack.clear()
+        elif op == b"TJ":
+            stack.clear()  # array elements already appended
+        elif op in (b"Td", b"TD"):
+            # last two numbers on the stack are tx ty
+            nums = [t for t in stack if re.fullmatch(rb"[-+]?\d*\.?\d+", t)]
+            ty = float(nums[-1]) if nums else 0.0
+            if lines[-1] != "" or len(lines) > 1:
+                lines.append("")
+                if ty <= -PARA_DROP:
+                    lines.append("")
+            stack.clear()
+        elif op == b"T*":
+            lines.append("")
+            stack.clear()
+        elif re.fullmatch(rb"[-+]?\d*\.?\d+", op):
+            stack.append(op)
+        elif op.startswith(b"/"):
+            stack.append(op)
+        else:
+            stack.clear()
+    return "\n".join(lines).strip("\n")
+
+
+# ---------------------------------------------------------------------------
+# reference heuristics (pdf_converter.py:281-447)
+# ---------------------------------------------------------------------------
+
+_HEADING_PATTERNS = [r"^\d+[\.\)]\s", r"^[A-Z][^a-z]+$",
+                     r"^(?:Chapter|Section|Part)\s+\d+", r"^\d+\.\d+\s"]
+_LIST_PATTERNS = [r"^\s*[\-\*•]\s", r"^\s*\d+[\.\)]\s", r"^\s*[a-z][\.\)]\s",
+                  r"^\s*\[[xX\s]\]", r"^\s*[-–—]\s"]
+_TABLE_PATTERNS = [
+    r"[\|\+][-\+]+[\|\+][\s\S]+?[\|\+][-\+]+[\|\+]",
+    r"(\s{2,}\S+){3,}[\s\S]+?(\s{2,}\S+){3,}",
+]
+
+
+def _is_heading(text: str) -> bool:
+    if len(text) > 100:
+        return False
+    text = text.strip()
+    if not text or text[-1] in {".", "?", "!"}:
+        return False
+    return any(re.match(p, text) for p in _HEADING_PATTERNS)
+
+
+def _heading_level(text: str) -> int:
+    text = text.strip()
+    if re.match(r"^(?:Chapter|Book)\s+\d+", text, re.I):
+        return 1
+    if re.match(r"^(?:Section|Part)\s+\d+", text, re.I):
+        return 2
+    if re.match(r"^\d+\.\d+\s", text):
+        return 3
+    if re.match(r"^\d+[\.\)]\s", text):
+        return 3
+    if text.isupper():
+        return 2
+    return 3
+
+
+def _is_list_item(text: str) -> bool:
+    text = text.strip()
+    return bool(text) and any(re.match(p, text) for p in _LIST_PATTERNS)
+
+
+def _parse_table_text(table_text: str) -> list[list[str]]:
+    rows = []
+    for line in table_text.split("\n"):
+        if re.match(r"^[\|\+][-\+]+[\|\+]$", line):
+            continue
+        if "|" in line:
+            cells = [c.strip() for c in line.split("|")]
+            if cells and not cells[0]:
+                cells = cells[1:]
+            if cells and not cells[-1]:
+                cells = cells[:-1]
+        else:
+            cells = [c.strip() for c in re.split(r"\s{2,}", line.strip())]
+        if cells:
+            rows.append(cells)
+    return rows
+
+
+def convert_pdf(content: bytes) -> tuple[str, dict]:
+    pdf = _Pdf(content)
+    structure = DocumentStructure()
+    info = pdf.info()
+    if info:
+        meta_fields = dict(info)
+        for key in ("CreationDate", "ModDate"):
+            if key in meta_fields:
+                try:
+                    ds = meta_fields[key].strip("D:").split("+")[0]
+                    meta_fields[key] = datetime.strptime(
+                        ds, "%Y%m%d%H%M%S").isoformat()
+                except (ValueError, AttributeError):
+                    pass
+        structure.add_element(DocumentElement(
+            type=ElementType.METADATA, content=meta_fields,
+            metadata={"source": "pdf_metadata"}))
+
+    pages = pdf.pages()
+    tables_found = 0
+    for page_num, stream in enumerate(pages, 1):
+        structure.add_element(DocumentElement(
+            type=ElementType.HEADING, content=f"Page {page_num}",
+            metadata={"type": "page_marker", "page_number": page_num},
+            level=2))
+        text = extract_page_text(stream)
+
+        # table sniffing (reference order: tables first, then text flow)
+        for pattern in _TABLE_PATTERNS:
+            for match in re.finditer(pattern, text):
+                rows = _parse_table_text(match.group())
+                if rows and len(rows) > 1:
+                    structure.add_element(DocumentElement(
+                        type=ElementType.TABLE, content=rows,
+                        metadata={"page": page_num, "has_header": True}))
+                    tables_found += 1
+
+        if not text.strip():
+            continue
+        current_list: list[str] = []
+
+        def flush_list() -> None:
+            nonlocal current_list
+            if not current_list:
+                return
+            first = current_list[0].strip()
+            is_ordered = bool(re.match(r"^\s*\d+[\.\)]\s", first))
+            cleaned = []
+            for item in current_list:
+                if is_ordered:
+                    item = re.sub(r"^\s*\d+[\.\)]\s*", "", item)
+                else:
+                    item = re.sub(r"^\s*(?:[\-\*•]|\[[xX\s]\]|[-–—])\s*", "",
+                                  item)
+                cleaned.append(item.strip())
+            structure.add_element(DocumentElement(
+                type=ElementType.LIST, content=cleaned,
+                metadata={"ordered": is_ordered}))
+            current_list = []
+
+        for para in text.split("\n\n"):
+            if not para.strip():
+                continue
+            if _is_heading(para):
+                flush_list()
+                structure.add_element(DocumentElement(
+                    type=ElementType.HEADING, content=para.strip(),
+                    level=_heading_level(para)))
+            elif _is_list_item(para):
+                current_list.append(para.strip())
+            else:
+                flush_list()
+                structure.add_element(DocumentElement(
+                    type=ElementType.PARAGRAPH, content=para.strip()))
+        flush_list()
+
+    markdown = structure.to_markdown()
+    meta = {"pages": len(pages), "tables_count": tables_found,
+            "images_count": pdf.page_image_counts(), "equations_count": None}
+    return markdown, meta

@@ -77,9 +77,11 @@ def test_registry_dispatch_and_unknown():
     assert get_converter("custom")(b"x")[0] == "custom!"
 
 
-def test_pdf_stub_raises_not_implemented():
-    with pytest.raises(NotImplementedError):
-        get_converter("pdf")(b"%PDF-1.4")
+def test_pdf_converter_is_native_now():
+    # PDF is a real native converter (convert_pdf.py); an object-less file
+    # converts to empty markdown with zero pages rather than raising
+    md, meta = get_converter("pdf")(b"%PDF-1.4")
+    assert md == "" and meta["pages"] == 0
 
 
 def test_convert_stage_batch():
@@ -90,7 +92,7 @@ def test_convert_stage_batch():
     out = ConvertStage()(batch)
     rows = out.to_pylist()
     assert rows[0]["status"] == "ok" and "hello" in rows[0]["markdown"]
-    assert rows[1]["status"] == "error" and "NotImplementedError" in rows[1]["error"]
+    assert rows[1]["status"] == "ok" and rows[1]["markdown"] == ""
     assert rows[2]["status"] == "error"
     assert rows[3]["status"] == "ok" and rows[3]["markdown"].startswith("# Title")
 
