@@ -240,19 +240,32 @@ def _q_crawl_bfs_docs(sf_dir: str):
 
 
 def _q_chunk_sentence(sf_dir: str):
+    """C2 sentence chunker over the documents table (split → short-merge →
+    64-word packing with 8-word overlap), exactly reproduced by the
+    recursive-CTE oracle: sentence split + short-sentence merge are window
+    functions; the sequential packing fold is the recursive CTE."""
+    import pandas as pd
+    import pyarrow as pa
     import ray.data as rd
 
     from raycrawl.chunker import ChunkStage
-    from raycrawl.extract import scrape_dataset
 
-    pages = rd.read_parquet(_docs_corpus(sf_dir), columns=["url", "warc_ts", "html"])
-    extracted = scrape_dataset(pages, concurrency=_pool(0.4), batch_size=64)
-    chunks = extracted.select_columns(["url", "markdown"]).map_batches(
-        ChunkStage, batch_format="pyarrow", concurrency=_pool(0.3),
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": pa.array([str(i) for i in b.column("doc_id").to_pylist()],
+                            pa.string()),
+            "markdown": b.column("text").cast(pa.large_string())})
+
+    chunks = docs.map_batches(to_pages, batch_format="pyarrow").map_batches(
+        ChunkStage, batch_format="pyarrow", concurrency=_pool(0.4),
         fn_constructor_kwargs={"chunker": "sentence", "max_chunk_size": 64,
                                "chunk_overlap": 8})
-    return chunks.select_columns(
-        ["url", "position", "word_count"]).to_pandas()
+    df = chunks.select_columns(["url", "position", "word_count"]).to_pandas()
+    df["doc_id"] = df["url"].astype("int64")
+    return df[["doc_id", "position", "word_count"]]
 
 
 def _q_chunk_stats(sf_dir: str):
@@ -715,6 +728,59 @@ def oracle_sql() -> dict[str, str]:
             "'text' AS chunk_type, "
             "CAST(tw + 2 * GREATEST(0, LEAST(n - 1, 4*rnk + 4) - 4*rnk) AS INTEGER) AS word_count "
             "FROM ranked"
+        ),
+        # sentence chunker recomputed exactly: the lookbehind-free split
+        # (punct+ws → sentinel, then split on sentinel|newlines), the
+        # <12-char merge-forward as a prefix-sum unit id, and the greedy
+        # 64-word packing with ≤8-word suffix overlap as a recursive CTE
+        # stepping one unit per iteration per doc
+        "chunk_sentence": (
+            "WITH RECURSIVE "
+            "s0 AS (SELECT doc_id, regexp_split_to_array("
+            "  regexp_replace(text, '([.!?])(\\s+)', '\\1' || chr(1), 'g'), "
+            "  chr(1) || '|\\n+') AS pieces FROM documents), "
+            "s1 AS (SELECT doc_id, trim(p) AS s, idx FROM "
+            "  (SELECT doc_id, unnest(pieces) AS p, "
+            "   unnest(generate_series(1, len(pieces))) AS idx FROM s0)), "
+            "s2 AS (SELECT doc_id, s, "
+            "  row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS pos "
+            "  FROM s1 WHERE length(s) > 0), "
+            "u0 AS (SELECT doc_id, s, pos, "
+            "  sum(CASE WHEN pos = 1 OR length(s) >= 12 THEN 1 ELSE 0 END) "
+            "    OVER (PARTITION BY doc_id ORDER BY pos) AS uid, "
+            "  length(regexp_split_to_array(s, '\\s+')) AS nw FROM s2), "
+            "units AS (SELECT doc_id, uid, CAST(sum(nw) AS BIGINT) AS w "
+            "  FROM u0 GROUP BY doc_id, uid), "
+            "nunits AS (SELECT doc_id, max(uid) AS n FROM units GROUP BY doc_id), "
+            "walk(doc_id, i, cur, chunks) AS ("
+            "  SELECT doc_id, CAST(0 AS BIGINT), CAST([] AS BIGINT[]), "
+            "    CAST([] AS BIGINT[]) FROM nunits "
+            "  UNION ALL "
+            "  SELECT w.doc_id, w.i + 1, "
+            "    CASE WHEN len(w.cur) > 0 AND coalesce(list_sum(w.cur), 0) + u.w > 64 "
+            "    THEN list_append(CASE "
+            "      WHEN coalesce(list_sum(w.cur[-8:]), 0) <= 8 THEN w.cur[-8:] "
+            "      WHEN coalesce(list_sum(w.cur[-7:]), 0) <= 8 THEN w.cur[-7:] "
+            "      WHEN coalesce(list_sum(w.cur[-6:]), 0) <= 8 THEN w.cur[-6:] "
+            "      WHEN coalesce(list_sum(w.cur[-5:]), 0) <= 8 THEN w.cur[-5:] "
+            "      WHEN coalesce(list_sum(w.cur[-4:]), 0) <= 8 THEN w.cur[-4:] "
+            "      WHEN coalesce(list_sum(w.cur[-3:]), 0) <= 8 THEN w.cur[-3:] "
+            "      WHEN coalesce(list_sum(w.cur[-2:]), 0) <= 8 THEN w.cur[-2:] "
+            "      WHEN coalesce(list_sum(w.cur[-1:]), 0) <= 8 THEN w.cur[-1:] "
+            "      ELSE CAST([] AS BIGINT[]) END, u.w) "
+            "    ELSE list_append(w.cur, u.w) END, "
+            "    CASE WHEN len(w.cur) > 0 AND coalesce(list_sum(w.cur), 0) + u.w > 64 "
+            "    THEN list_append(w.chunks, coalesce(list_sum(w.cur), 0)) "
+            "    ELSE w.chunks END "
+            "  FROM walk w JOIN units u ON u.doc_id = w.doc_id AND u.uid = w.i + 1), "
+            "fin AS (SELECT w.doc_id, "
+            "  list_append(w.chunks, coalesce(list_sum(w.cur), 0)) AS chunks "
+            "  FROM walk w JOIN nunits n ON n.doc_id = w.doc_id AND w.i = n.n "
+            "  WHERE len(w.cur) > 0) "
+            "SELECT doc_id, CAST(idx - 1 AS INTEGER) AS position, "
+            "  CAST(c AS INTEGER) AS word_count FROM "
+            "  (SELECT doc_id, unnest(chunks) AS c, "
+            "   unnest(generate_series(1, len(chunks))) AS idx FROM fin)"
         ),
         "chunk_stats": (
             # A3 aggregate over the chunk_semantic closed form: every

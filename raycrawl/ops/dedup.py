@@ -402,10 +402,13 @@ def simhash_near_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
 
 def embedding_dup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
                         vec_col: str = "embedding"):
-    """Pairs with cosine similarity ≥ threshold. Broadcast-matrix design:
-    the normalized matrix is ``ray.put`` once and every batch does one
-    numpy matmul against it — valid while the matrix fits a worker
-    (small-side lookup); the IVF variant in knn.py is the scale path."""
+    """EXACT pairs with cosine similarity ≥ threshold. Broadcast-matrix
+    design: the normalized matrix is ``ray.put`` once and every batch does
+    one numpy matmul against it — valid while the matrix fits a worker
+    (small-side lookup). At corpus scale use
+    ``embedding_dup_pairs_bucketed`` (centroid-bucketed candidate
+    generation over the knn.build_ivf_index partitions — approximate, with
+    a recall contract tested against this exact op)."""
     import ray
 
     all_tbl = ds.select_columns([id_col, vec_col]).to_pandas()
@@ -431,6 +434,64 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
                              "cosine_sim": pd.Series(qs, dtype="float64")})
 
     return ds.map_batches(scan, batch_format="pandas", batch_size=256)
+
+
+def embedding_dup_pairs_bucketed(ds, threshold: float = 0.95,
+                                 nlist: int = 16, nassign: int = 2,
+                                 sample_size: int = 4096,
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding"):
+    """Scale path for embedding near-dup: every vector is assigned to its
+    ``nassign`` nearest coarse centroids (multi-assignment raises recall
+    for pairs straddling a bucket boundary), pairs are generated ONLY
+    within each bucket via ``groupby(bucket).map_groups`` — no worker ever
+    holds more than one bucket's matrix, nothing is broadcast except the
+    tiny centroid matrix — and a final ``groupby(id_a, id_b)`` dedups the
+    multi-assigned pairs. Approximate (recall vs the exact op asserted in
+    tests); within-bucket similarities are exact, so no false pairs."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    from .knn import _kmeans, _matrix
+
+    sample = ds.limit(sample_size).select_columns([vec_col]).to_pandas()
+    centroids = _kmeans(_matrix(sample[vec_col]), nlist)
+    cref = ray.put(centroids)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = ray.get(cref)
+        mat = _matrix(batch[vec_col])
+        top = np.argsort(-(mat @ cents.T), axis=1)[:, :nassign]
+        frames = []
+        for j in range(top.shape[1]):
+            f = batch[[id_col, vec_col]].copy()
+            f["bucket"] = top[:, j].astype("int32")
+            frames.append(f)
+        return pd.concat(frames, ignore_index=True)
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        mat = np.asarray([np.asarray(v, dtype=np.float64)
+                          for v in g[vec_col]])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                               1e-12)
+        sims = mat @ mat.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= threshold
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        out = pd.DataFrame({"id_a": lo.astype("int64"),
+                            "id_b": hi.astype("int64"),
+                            "cosine_sim": sims[ia[keep], ib[keep]]})
+        return out[out["id_a"] != out["id_b"]]
+
+    assigned = ds.map_batches(assign, batch_format="pandas")
+    cand = assigned.groupby("bucket").map_groups(pairs_in_bucket,
+                                                batch_format="pandas")
+    # multi-assignment can emit a pair from up to nassign shared buckets
+    return cand.groupby(["id_a", "id_b"]).aggregate(
+        Max("cosine_sim", alias_name="cosine_sim"))
 
 
 # ---------------------------------------------------------------------------

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+from functools import lru_cache
 from typing import Optional
 from urllib.parse import quote, urljoin, urlparse
 
@@ -59,6 +60,7 @@ def normalize_url(url: str, base_url: str) -> Optional[str]:
         return None
 
 
+@lru_cache(maxsize=1 << 16)
 def canonicalize(url: str) -> str:
     """Canonical URL form used for dedup keys.
 
@@ -85,18 +87,23 @@ def canonicalize(url: str) -> str:
     path = parsed.path or "/"
     # percent-normalize existing escapes per RFC 3986, then quote any raw
     # characters that must be escaped ('%' is in the safe set so normalized
-    # escapes — and literal malformed '%' — pass through untouched)
-    path = quote(_normalize_pct(path), safe="%/:@!$&'()*+,;=~-._")
+    # escapes — and literal malformed '%' — pass through untouched);
+    # escape-free paths (the overwhelming majority) skip the char loop
+    if "%" in path:
+        path = _normalize_pct(path)
+    path = quote(path, safe="%/:@!$&'()*+,;=~-._")
     return parsed._replace(
         scheme=scheme, netloc=netloc, path=path, params="", query="", fragment=""
     ).geturl()
 
 
+@lru_cache(maxsize=1 << 16)
 def url_key(url: str) -> bytes:
     """20-byte SHA-1 of the canonical URL (north_star key scheme)."""
     return hashlib.sha1(canonicalize(url).encode("utf-8")).digest()
 
 
+@lru_cache(maxsize=1 << 16)
 def host_of(url: str) -> str:
     return urlparse(url).netloc.lower()
 

@@ -214,3 +214,55 @@ def test_parsers_agree_on_corpora():
             html = h.decode()
             assert tree_eq(parse_html(html, parser="stdlib"),
                            parse_html(html, parser="fast"))
+
+
+# ---------------------------------------------------------------------------
+# M4 byte-parity golden coverage for edge cases (VERDICT round-1 item 7):
+# nested lists, aligned tables, blockquote/pre constructs — frozen outputs
+# of the html2text-configured subset so the "configured subset" claim is
+# backed by coverage, not construction.
+# ---------------------------------------------------------------------------
+
+def test_markdown_nested_lists_golden():
+    md = html_to_markdown(
+        "<ul><li>a<ul><li>a1</li><li>a2<ul><li>deep</li></ul></li></ul></li>"
+        "<li>b</li></ul>")
+    assert md == "* a\n  * a1\n  * a2\n    * deep\n* b"
+    md2 = html_to_markdown("<ul><li>top<ol><li>one</li><li>two</li></ol></li></ul>")
+    assert md2 == "* top\n  1. one\n  2. two"
+
+
+def test_markdown_table_golden():
+    md = html_to_markdown(
+        "<table><thead><tr><th>Name</th><th>Qty</th></tr></thead>"
+        "<tbody><tr><td>apple pie</td><td>2</td></tr>"
+        "<tr><td>b</td><td>10</td></tr></tbody></table>")
+    assert md == ("| Name | Qty |\n| --- | --- |\n"
+                  "| apple pie | 2 |\n| b | 10 |")
+
+
+def test_markdown_blockquote_golden():
+    assert html_to_markdown(
+        "<blockquote><p>first para</p><p>second para</p></blockquote>"
+    ) == "> first para\n>\n> second para"
+    assert html_to_markdown(
+        "<blockquote>outer<blockquote>inner</blockquote></blockquote>"
+    ) == "> outer\n>\n> > inner"
+
+
+def test_markdown_pre_golden():
+    assert html_to_markdown(
+        "<pre><code>line1\n\nline3\n    indented</code></pre>"
+    ) == "```\nline1\n\nline3\n    indented\n```"
+
+
+def test_markdown_links_images_hr_golden():
+    assert html_to_markdown('<a href="/x" title="T">text</a>') == '[text](/x "T")'
+    assert html_to_markdown('<a href="/x"><img src="/i.png" alt="pic"></a>') \
+        == '[\n\n![pic](/i.png "i.png")\n\n](/x)'
+    assert html_to_markdown("<p>above</p><hr><p>below</p>") \
+        == "above\n\n* * *\n\nbelow"
+    assert html_to_markdown("<p>use <code>f(x)</code> here</p>") \
+        == "use `f(x)` here"
+    assert html_to_markdown("<p><strong>bold <em>and italic</em></strong> tail</p>") \
+        == "**bold *and italic*** tail"
