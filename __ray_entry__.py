@@ -7,10 +7,14 @@ here (or in raycrawl) calls ray.init()/ray.shutdown().
 pipelines run over a deterministic pages corpus in the BASELINE.json
 input_hint shape (synthesized from the driver's ``documents`` table or the
 FIXTURES.md feature matrix — no external data); training-data ops (dedup /
-similarity / text analysis) and relational pipelines run directly over the
-sf tables. Every SQL-expressible query has a DuckDB oracle with matching
-column names; genuinely non-SQL ops (crawl state machine, markdown
-rendering, LSH/IVF) are rows-only as the contract allows.
+similarity / text analysis), converters and relational pipelines run over
+the sf tables. EVERY query has an exact DuckDB oracle with matching column
+names — including the formerly rows-only ops: the crawl state machine is
+compared against the independent single-threaded conformance model
+materialized as parquet; MinHash pairs against brute-force n-gram Jaccard;
+HLL/simhash/winnowing recomputed bit-exactly via md5-keyed SQL; IVF run at
+nprobe == nlist (exact); the sentence chunker's packing fold as a recursive
+CTE; converters against closed-form expected markdown.
 """
 
 from __future__ import annotations
@@ -617,6 +621,48 @@ def _q_convert_docx(sf_dir: str):
     return out[["doc_id", "markdown"]]
 
 
+def _q_convert_xlsx(sf_dir: str):
+    """S7/M25 end-to-end with an exact oracle: documents rows → real .xlsx
+    workbooks (one 'D' sheet: header + one data row) → read_binary_files →
+    ConvertStage → (doc_id, markdown); the width-padded pipe-table render
+    is reconstructed closed-form in SQL with rpad/repeat."""
+    import hashlib
+
+    import duckdb as _dd
+    import ray.data as rd
+
+    import raycrawl.convert_office as co
+    import raycrawl.office_fixtures as of
+    from raycrawl.convert import ConvertStage
+
+    with open(of.__file__, "rb") as f1, open(co.__file__, "rb") as f2:
+        ver = hashlib.sha1(f1.read() + f2.read()).hexdigest()[:10]
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    files_dir = f"/tmp/raycrawl_xlsx/{tag}_{ver}"
+    done = os.path.join(files_dir, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(files_dir, exist_ok=True)
+        rows = _dd.sql(
+            f"SELECT doc_id, length(text) FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+        for doc_id, n_chars in rows:
+            blob = of.build_xlsx(
+                {"D": [["doc_id", "n_chars"], [int(doc_id), int(n_chars)]]})
+            with open(os.path.join(files_dir, f"doc{doc_id}.xlsx"), "wb") as f:
+                f.write(blob)
+        with open(done, "w") as f:
+            f.write("ok")
+
+    ds = rd.read_binary_files(files_dir, include_paths=True,
+                              file_extensions=["xlsx"])
+    out = ds.map_batches(ConvertStage, batch_format="pyarrow",
+                         concurrency=_pool(0.4)).to_pandas()
+    out["doc_id"] = (out["path"].str.extract(r"doc(\d+)\.xlsx$")
+                     .astype("int64"))
+    assert (out["status"] == "ok").all()
+    return out[["doc_id", "markdown"]]
+
+
 def _q_part_brand(sf_dir: str):
     from raycrawl.ops.relational import part_brand_stats
 
@@ -660,6 +706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_distinct_flags": _q_distinct_flags,
         "dedup_survivors": _q_dedup_survivors,
         "convert_docx": _q_convert_docx,
+        "convert_xlsx": _q_convert_xlsx,
     }
 
 
@@ -1060,6 +1107,20 @@ def oracle_sql() -> dict[str, str]:
             "ELSE '# Document ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) "
             "  || trim(text, ' ' || chr(9) || chr(10) || chr(13)) END AS markdown "
             "FROM documents"
+        ),
+        # closed-form expected markdown of the generated .xlsx per row:
+        # '## Sheet: D' + the width-padded pipe table (rpad/repeat)
+        "convert_xlsx": (
+            "WITH v AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS c1, "
+            "  CAST(length(text) AS VARCHAR) AS c2 FROM documents), "
+            "w AS (SELECT doc_id, c1, c2, "
+            "  CAST(GREATEST(6, length(c1)) AS INTEGER) AS w1, CAST(GREATEST(7, length(c2)) AS INTEGER) AS w2 FROM v) "
+            "SELECT doc_id, "
+            "'## Sheet: D' || chr(10) || chr(10) || "
+            "'| ' || rpad('doc_id', w1, ' ') || ' | ' || rpad('n_chars', w2, ' ') || ' |' || chr(10) || "
+            "'|:' || repeat('-', w1) || '|:' || repeat('-', w2) || '|' || chr(10) || "
+            "'| ' || rpad(c1, w1, ' ') || ' | ' || rpad(c2, w2, ' ') || ' |' "
+            "AS markdown FROM w"
         ),
         "part_brand_stats": (
             "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts, "

@@ -58,6 +58,64 @@ class FakeImageDecoder:
         return rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
 
 
+class FakeImageCodec:
+    """Deterministic encode stand-in with a realistic size model (bytes ≈
+    pixels × bits-per-pixel by format) so the KB-budget arithmetic in
+    ``encode_image`` is exercised for real. Swap for PIL's ``Image.save``
+    in production; ``encode(array, format) -> bytes`` is the contract."""
+
+    _BPP = {"PNG": 1.0, "JPEG": 0.35, "WEBP": 0.30}
+
+    def encode(self, img: np.ndarray, format: str = "PNG") -> bytes:
+        h, w = img.shape[:2]
+        size = max(16, int(h * w * self._BPP.get(format.upper(), 1.0)))
+        sig = hashlib.sha1(img.tobytes() + format.encode()).digest()
+        reps = (size + len(sig) - 1) // len(sig)
+        return (sig * reps)[:size]
+
+
+def _resize_nearest(img: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    yi = (np.arange(max(1, new_h)) * h // max(1, new_h)).clip(0, h - 1)
+    xi = (np.arange(max(1, new_w)) * w // max(1, new_w)).clip(0, w - 1)
+    return img[yi][:, xi]
+
+
+def encode_image(image_data: bytes, width: int, height: int,
+                 format: str = "PNG", max_size_kb: int = 500,
+                 decoder: Optional[object] = None,
+                 codec: Optional[object] = None) -> Optional[str]:
+    """M26 — the reference's resize-to-KB-budget + base64 data-URI encode
+    (file_utils.py:38-75), arithmetic replicated exactly:
+
+    - current_size = len(image_data) / 1024 KB; when over ``max_size_kb``,
+      scale_factor = (max_size_kb / current_size) ** 0.5 and the image is
+      resized ONCE to (int(w*s), int(h*s)) — the reference is single-shot,
+      not a loop, so the output may still exceed the budget slightly;
+    - re-encode in ``format`` and return ``data:image/<fmt>;base64,...``;
+    - any codec failure returns None (reference parity).
+
+    decoder/codec default to the deterministic fakes (PIL absent); the
+    budget/resize arithmetic is the real, tested part."""
+    import base64
+
+    try:
+        decoder = decoder or FakeImageDecoder()
+        codec = codec or FakeImageCodec()
+        img = decoder(image_data, width, height)
+        current_size = len(image_data) / 1024
+        if current_size > max_size_kb:
+            scale_factor = (max_size_kb / current_size) ** 0.5
+            new_width = int(img.shape[1] * scale_factor)
+            new_height = int(img.shape[0] * scale_factor)
+            img = _resize_nearest(img, new_width, new_height)
+        encoded = base64.b64encode(codec.encode(img, format)).decode("utf-8")
+        mime_type = f"image/{format.lower()}"
+        return f"data:{mime_type};base64,{encoded}"
+    except Exception:
+        return None
+
+
 class ImageFeatureStage:
     """Actor-pool stage: decode → resize (nearest-neighbor, pure numpy) →
     per-channel mean/std features. batch_size MUST stay small (payloads are

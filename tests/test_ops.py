@@ -328,3 +328,41 @@ def test_embedding_dup_pairs_bucketed_recall(tmp_path):
     assert len(e) > 0  # the sf0.01 table has planted near-dup pairs
     assert a <= e  # no false pairs (within-bucket sims are exact)
     assert len(a & e) / len(e) >= 0.9, f"recall {len(a & e)}/{len(e)}"
+
+
+def test_encode_image_kb_budget_arithmetic():
+    """M26: over-budget images are resized by (max_kb/current_kb)**0.5
+    exactly once; under-budget images pass through unresized; output is a
+    base64 data URI; codec failure returns None."""
+    import base64
+
+    from raycrawl.ops.multimodal import (
+        FakeImageCodec,
+        FakeImageDecoder,
+        encode_image,
+    )
+
+    payload_small = b"x" * (10 * 1024)       # 10 KB < budget
+    uri = encode_image(payload_small, 64, 64, max_size_kb=500)
+    assert uri.startswith("data:image/png;base64,")
+    # under budget: encoded size corresponds to the FULL 64x64 image
+    raw = base64.b64decode(uri.split(",", 1)[1])
+    assert len(raw) == len(FakeImageCodec().encode(
+        FakeImageDecoder()(payload_small, 64, 64), "PNG"))
+
+    payload_big = b"y" * (2000 * 1024)       # 2000 KB > 500 KB budget
+    uri2 = encode_image(payload_big, 200, 100, max_size_kb=500)
+    raw2 = base64.b64decode(uri2.split(",", 1)[1])
+    s = (500 / 2000) ** 0.5                  # exactly the reference formula
+    exp_w, exp_h = int(200 * s), int(100 * s)
+    assert len(raw2) == max(16, int(exp_w * exp_h * 1.0))
+
+    class Boom:
+        def encode(self, img, format="PNG"):
+            raise RuntimeError("no codec")
+
+    assert encode_image(payload_small, 8, 8, codec=Boom()) is None
+
+    # jpeg mime + smaller size model
+    uri3 = encode_image(payload_small, 64, 64, format="JPEG")
+    assert uri3.startswith("data:image/jpeg;base64,")
