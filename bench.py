@@ -124,10 +124,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     import __ray_entry__ as entrymod
 
     q = entrymod.queries()
-    picks = ["extract_pages", "chunk_semantic", "crawl_bfs", "dedup_exact",
-             "dedup_minhash_pairs", "knn_bruteforce", "q1_pricing_summary",
-             "top_orders_by_revenue", "events_hourly", "events_sessionize",
-             "text_quality", "dedup_embedding_pairs"]
+    picks = ["extract_pages", "chunk_semantic", "chunk_sentence", "crawl_bfs",
+             "dedup_exact", "dedup_minhash_pairs", "knn_bruteforce", "knn_ivf",
+             "q1_pricing_summary", "top_orders_by_revenue", "events_hourly",
+             "events_sessionize", "text_quality", "dedup_embedding_pairs",
+             "convert_docx"]
     out = {}
     for name in picks:
         t0 = time.time()
