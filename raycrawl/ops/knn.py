@@ -133,8 +133,11 @@ def build_ivf_index(ds, index_dir: str, nlist: int = 16,
         return batch
 
     os.makedirs(index_dir, exist_ok=True)
-    ds.map_batches(assign, batch_format="pandas").write_parquet(
-        index_dir, partition_cols=["ivf_bucket"])
+    # coalesce write tasks so each bucket partition gets a handful of
+    # files, not one per upstream block (files = write-tasks × buckets)
+    n_blocks = max(1, ds.count() // 100_000 + 1)
+    ds.map_batches(assign, batch_format="pandas").repartition(
+        n_blocks).write_parquet(index_dir, partition_cols=["ivf_bucket"])
     with open(os.path.join(index_dir, "_centroids.json"), "w") as f:
         json.dump(centroids.tolist(), f)
     with open(done, "w") as f:
