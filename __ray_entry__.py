@@ -583,7 +583,6 @@ def _q_convert_docx(sf_dir: str):
     paragraph), so the whole parse-render path is hash-checked in SQL."""
     import hashlib
 
-    import duckdb as _dd
     import pandas as pd
     import ray.data as rd
 
@@ -598,16 +597,21 @@ def _q_convert_docx(sf_dir: str):
     done = os.path.join(files_dir, "_DONE")
     if not os.path.exists(done):
         os.makedirs(files_dir, exist_ok=True)
-        rows = _dd.sql(
-            f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
-        ).fetchall()
-        for doc_id, text in rows:
-            blob = of.build_docx(
-                [of.docx_paragraph(f"Document {doc_id}", style="Heading1"),
-                 of.docx_paragraph(text or "")],
-                title=f"Document {doc_id}")
-            with open(os.path.join(files_dir, f"doc{doc_id}.docx"), "wb") as f:
-                f.write(blob)
+
+        def write_files(b: "pd.DataFrame") -> "pd.DataFrame":
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                blob = of.build_docx(
+                    [of.docx_paragraph(f"Document {doc_id}", style="Heading1"),
+                     of.docx_paragraph(text or "")],
+                    title=f"Document {doc_id}")
+                with open(os.path.join(files_dir, f"doc{doc_id}.docx"),
+                          "wb") as f:
+                    f.write(blob)
+            return pd.DataFrame({"n": [len(b)]})
+
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"]).map_batches(
+            write_files, batch_format="pandas", batch_size=512).count()
         with open(done, "w") as f:
             f.write("ok")
 
@@ -628,7 +632,6 @@ def _q_convert_xlsx(sf_dir: str):
     is reconstructed closed-form in SQL with rpad/repeat."""
     import hashlib
 
-    import duckdb as _dd
     import ray.data as rd
 
     import raycrawl.convert_office as co
@@ -641,15 +644,23 @@ def _q_convert_xlsx(sf_dir: str):
     files_dir = f"/tmp/raycrawl_xlsx/{tag}_{ver}"
     done = os.path.join(files_dir, "_DONE")
     if not os.path.exists(done):
+        import pandas as pd
+
         os.makedirs(files_dir, exist_ok=True)
-        rows = _dd.sql(
-            f"SELECT doc_id, length(text) FROM read_parquet('{sf_dir}/documents.parquet')"
-        ).fetchall()
-        for doc_id, n_chars in rows:
-            blob = of.build_xlsx(
-                {"D": [["doc_id", "n_chars"], [int(doc_id), int(n_chars)]]})
-            with open(os.path.join(files_dir, f"doc{doc_id}.xlsx"), "wb") as f:
-                f.write(blob)
+
+        def write_files(b: "pd.DataFrame") -> "pd.DataFrame":
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                blob = of.build_xlsx(
+                    {"D": [["doc_id", "n_chars"],
+                           [int(doc_id), len(text or "")]]})
+                with open(os.path.join(files_dir, f"doc{doc_id}.xlsx"),
+                          "wb") as f:
+                    f.write(blob)
+            return pd.DataFrame({"n": [len(b)]})
+
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"]).map_batches(
+            write_files, batch_format="pandas", batch_size=512).count()
         with open(done, "w") as f:
             f.write("ok")
 
