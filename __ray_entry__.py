@@ -87,9 +87,27 @@ def _crawl_oracle_dir() -> str:
                   "depth": pa.array([d for (_, d, _, _) in res.seen], pa.int32()),
                   "seq": pa.array([s for (_, _, s, _) in res.seen], pa.int64())}),
         os.path.join(out_dir, "crawl_seen.parquet"))
+    # ST5/ST6 conformance: multi-seed + per-host politeness token buckets
+    # (rate 2 pops/host/wave) + per-host robots — the serial model's
+    # (seq, depth, url) assignments; row order is processing order, which
+    # differs from the engine's seq order under throttling, so the compare
+    # is on the (order-insensitive) value sets as the driver does
+    pres = crawl_oracle(feature_corpus(**T2), _POLITE_SEEDS,
+                        wave_budget=256, politeness_rate=2.0, **_POLITE_KW)
+    pq.write_table(
+        pa.table({"seq": pa.array([p.seq for p in pres.pages], pa.int64()),
+                  "depth": pa.array([p.depth for p in pres.pages], pa.int32()),
+                  "url": pa.array([p.url for p in pres.pages], pa.string())}),
+        os.path.join(out_dir, "crawl_polite.parquet"))
     with open(done, "w") as f:
         f.write("ok")
     return out_dir
+
+
+_POLITE_SEEDS = ["https://h0.example/d0/p0.html", "https://h1.example/d0/p0.html"]
+_POLITE_KW = dict(max_depth=3, max_pages=60,
+                  exclude_patterns=[r"/skip/", r"\.(jpg|png)$"],
+                  respect_robots=True)
 
 
 # ---------------------------------------------------------------------------
@@ -192,6 +210,25 @@ def _q_crawl_seen(sf_dir: str):
     cfg = CrawlConfig(seed_url=SEED, num_shards=4, out_dir=out_dir, **CRAWL_KW)
     outcome = crawl(_feature_corpus_dir(), cfg)
     return outcome.seen().select(["url", "depth", "seq"])
+
+
+def _q_crawl_politeness(sf_dir: str):
+    """Multi-seed crawl under per-host politeness throttling (2 pops/host/
+    wave) + per-host robots: the sharded frontier's (seq, depth, url)
+    assignments must equal the serial reference model's — the ST5/ST6
+    token-bucket and robots semantics checked end-to-end by the driver."""
+    import shutil
+
+    from raycrawl.pipeline import CrawlConfig, crawl
+
+    out_dir = ("/tmp/raycrawl_q/crawl_polite_"
+               f"{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = CrawlConfig(seed_url=_POLITE_SEEDS, num_shards=4, wave_budget=256,
+                      politeness_rate=2.0, politeness_burst=2.0,
+                      out_dir=out_dir, **_POLITE_KW)
+    outcome = crawl(_feature_corpus_dir(), cfg)
+    return outcome.results().select(["seq", "depth", "url"])
 
 
 def _q_chunk_semantic(sf_dir: str):
@@ -687,6 +724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_bfs": _q_crawl_bfs,
         "crawl_seen": _q_crawl_seen,
         "crawl_bfs_docs": _q_crawl_bfs_docs,
+        "crawl_politeness": _q_crawl_politeness,
         "chunk_semantic": _q_chunk_semantic,
         "chunk_sentence": _q_chunk_sentence,
         "chunk_stats": _q_chunk_stats,
@@ -745,6 +783,10 @@ def oracle_sql() -> dict[str, str]:
         "crawl_seen": (
             f"SELECT url, depth, seq "
             f"FROM read_parquet('{oracle_dir}/crawl_seen.parquet')"
+        ),
+        "crawl_politeness": (
+            f"SELECT seq, depth, url "
+            f"FROM read_parquet('{oracle_dir}/crawl_polite.parquet')"
         ),
         "extract_pages": (
             "SELECT 'Doc ' || CAST(doc_id AS VARCHAR) AS title, "
