@@ -331,13 +331,16 @@ def _q_chunk_stats(sf_dir: str):
 
 
 def _q_dedup_exact(sf_dir: str):
+    import pyarrow.parquet as pq
     import ray.data as rd
 
     from raycrawl.ops.dedup import exact_dedup
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=["doc_id", "text"])
-    return exact_dedup(docs).to_pandas()
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = rd.read_parquet(path, columns=["doc_id", "text"])
+    return exact_dedup(docs, reduce="auto",
+                       cardinality_hint=pq.read_metadata(path).num_rows
+                       ).to_pandas()
 
 
 def _q_minhash_pairs(sf_dir: str):
@@ -472,11 +475,17 @@ def _q_pipeline_quality_dedup(sf_dir: str):
 
     import ray
 
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
     good = docs.map_batches(quality_filter, batch_format="pyarrow")
     # survivor set built ONCE on the driver (it is the small side),
     # broadcast via ray.put and read per batch — not rebuilt per batch
     survivors = pa.array(
-        sorted(set(exact_dedup(good).to_pandas()["doc_id"])), pa.int64())
+        sorted(set(exact_dedup(good, reduce="auto",
+                               cardinality_hint=n_docs)
+                   .to_pandas()["doc_id"])), pa.int64())
     surv_ref = ray.put(survivors)
 
     def keep(b: pa.Table) -> pa.Table:

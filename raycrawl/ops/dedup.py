@@ -102,9 +102,23 @@ def add_text_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("text_hash", pa.array(hashes, pa.string()))
 
 
-def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+_EXACT_DEDUP_SHUFFLE_ROWS = 2_000_000
+
+
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                reduce: str = "shuffle",
+                cardinality_hint: "int | None" = None):
     """Survivor ids of exact (by-content-hash) dedup: hash-partition +
-    per-group min id. Shuffle payload = (hash, id) partials only."""
+    per-group min id. Shuffle payload = (hash, id) partials only.
+
+    The content-hash key is UNBOUNDED (≈ one per distinct document), so
+    the scale-safe distributed ``groupby(hash)`` shuffle is the DEFAULT.
+    Callers that know the input is small (``cardinality_hint`` — e.g. a
+    parquet metadata row count — at or below ``_EXACT_DEDUP_SHUFFLE_ROWS``)
+    may pass reduce='auto' to merge the per-batch partials on the driver
+    instead, where Ray's all-to-all fixed cost would dominate the work.
+    (No ``ds.count()`` here: counting a transformed dataset would execute
+    its whole upstream pipeline an extra time.)"""
     from ray.data.aggregate import Min
 
     hashed = ds.map_batches(lambda b: add_text_hash(b, text_col),
@@ -116,6 +130,18 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
         return pa.Table.from_pandas(df, preserve_index=False)
 
     partials = hashed.map_batches(partial, batch_format="pyarrow")
+    if reduce == "auto":
+        reduce = "driver" if (cardinality_hint is not None and
+                              cardinality_hint <= _EXACT_DEDUP_SHUFFLE_ROWS) \
+            else "shuffle"
+    if reduce == "driver":
+        import ray.data as rd
+
+        frames = [b for b in partials.iter_batches(batch_format="pandas")]
+        allp = pd.concat(frames, ignore_index=True) if frames else \
+            pd.DataFrame({"text_hash": [], id_col: []})
+        out = allp.groupby("text_hash", as_index=False)[id_col].min()
+        return rd.from_pandas(out[[id_col]].astype({id_col: "int64"}))
     agg = partials.groupby("text_hash").aggregate(Min(id_col, alias_name=id_col))
     return agg.select_columns([id_col])
 
