@@ -363,6 +363,27 @@ def _q_simhash(sf_dir: str):
     return simhash_fingerprints(docs).to_pandas()
 
 
+def _q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs (hamming ≤ 6): banding is pigeonhole-COMPLETE
+    for the hamming budget (any pair within budget shares ≥1 exact band),
+    so the LSH-shaped groupby is exact and the SQL oracle just brute-forces
+    bit_count(xor(fp_a, fp_b)) over the same md5 simhashes."""
+    import ray.data as rd
+
+    from raycrawl.ops.dedup import simhash_near_pairs
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    import pandas as pd
+
+    df = simhash_near_pairs(docs, max_hamming=6).to_pandas()
+    if "id_a" not in df.columns:  # zero-row dataset loses its schema
+        df = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                           "id_b": pd.Series(dtype="int64"),
+                           "hamming": pd.Series(dtype="int64")})
+    return df[["id_a", "id_b", "hamming"]]
+
+
 def _q_embedding_dups(sf_dir: str):
     import ray.data as rd
 
@@ -740,6 +761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_simhash": _q_simhash,
+        "dedup_simhash_pairs": _q_simhash_pairs,
         "dedup_embedding_pairs": _q_embedding_dups,
         "text_token_count": _q_token_count,
         "text_quality": _q_quality,
@@ -939,6 +961,28 @@ def oracle_sql() -> dict[str, str]:
             "WHEN de >= 1 AND de > en AND de > fr AND de >= es THEN 'de' "
             "WHEN es >= 1 AND es > en AND es > fr AND es > de THEN 'es' "
             "ELSE 'und' END AS lang_pred FROM s"
+        ),
+        # simhash near-pairs: banding is pigeonhole-complete, so brute-force
+        # bit_count(xor) over the (already-verified) simhash SQL is exact
+        "dedup_simhash_pairs": (
+            "WITH w AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] "
+            "  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks FROM documents), "
+            "t AS (SELECT doc_id, unnest(toks) AS tok FROM w), "
+            "h AS (SELECT doc_id, ('0x'||substr(md5(tok),1,16))::UBIGINT AS hv FROM t), "
+            "bit AS (SELECT doc_id, i, "
+            "  sum(CASE WHEN (hv >> (63-i)) & 1::UBIGINT = 1::UBIGINT THEN 1 ELSE -1 END) AS vote "
+            "  FROM h, (SELECT unnest(generate_series(0, 63)) AS i) bits "
+            "  GROUP BY doc_id, i), "
+            "fpu AS (SELECT doc_id, sum(CASE WHEN vote > 0 "
+            "  THEN (1::HUGEINT << (63-i)) ELSE 0::HUGEINT END) AS ufp "
+            "  FROM bit GROUP BY doc_id), "
+            "fp AS (SELECT d.doc_id, CAST(COALESCE(CASE WHEN f.ufp >= (1::HUGEINT << 63) "
+            "  THEN f.ufp - (1::HUGEINT << 64) ELSE f.ufp END, 0) AS BIGINT) AS sh "
+            "  FROM documents d LEFT JOIN fpu f ON d.doc_id = f.doc_id) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming "
+            "FROM fp a JOIN fp b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.sh, b.sh)) <= 6"
         ),
         # brute-force 3-gram Jaccard in SQL — exact because every true pair
         # in this corpus has j >= 0.889 (measured), where LSH recall at
