@@ -386,34 +386,32 @@ def simhash_near_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
     fps = simhash_fingerprints(ds, id_col, text_col)
     n_bands = min(16, max_hamming + 1)
     width = 64 // n_bands
-    mask = (1 << width) - 1
+    mask = np.uint64((1 << width) - 1)
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, bands, keys, sims = [], [], [], []
-        for i, h in zip(batch.column(id_col).to_pylist(),
-                        batch.column("simhash").to_pylist()):
-            u = h & ((1 << 64) - 1)
-            for band in range(n_bands):
-                ids.append(i)
-                bands.append(band)
-                keys.append((u >> (band * width)) & mask)
-                sims.append(h)
-        return pa.table({id_col: pa.array(ids, pa.int64()),
-                         "band": pa.array(bands, pa.int32()),
-                         "band_key": pa.array(keys, pa.int64()),
-                         "simhash": pa.array(sims, pa.int64())})
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = batch.column("simhash").to_numpy(zero_copy_only=False)
+        u = sh.astype(np.int64).view(np.uint64)
+        n = len(ids)
+        shifts = (np.arange(n_bands, dtype=np.uint64) * np.uint64(width))
+        keys = ((u[:, None] >> shifts[None, :]) & mask).reshape(-1)
+        return pa.table({id_col: pa.array(np.repeat(ids, n_bands)),
+                         "band": pa.array(np.tile(
+                             np.arange(n_bands, dtype=np.int32), n)),
+                         "band_key": pa.array(keys.view(np.int64)),
+                         "simhash": pa.array(np.repeat(sh, n_bands))})
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(zip(g[id_col], g["simhash"]))
-        a, b, d = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                ham = bin((rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)).count("1")
-                if ham <= max_hamming:
-                    a.append(rows[i][0]); b.append(rows[j][0]); d.append(ham)
-        return pd.DataFrame({"id_a": pd.Series(a, dtype="int64"),
-                             "id_b": pd.Series(b, dtype="int64"),
-                             "hamming": pd.Series(d, dtype="int64")})
+        order = np.argsort(g[id_col].to_numpy())
+        ids = g[id_col].to_numpy()[order].astype(np.int64)
+        sh = g["simhash"].to_numpy()[order].astype(np.int64).view(np.uint64)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        x = sh[ia] ^ sh[ib]
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+        keep = ham <= max_hamming
+        return pd.DataFrame({"id_a": ids[ia[keep]],
+                             "id_b": ids[ib[keep]],
+                             "hamming": ham[keep].astype("int64")})
 
     from ray.data.aggregate import Min
 
