@@ -71,6 +71,8 @@ def crawl_oracle(
     only_main: bool = True,
     wave_budget: int = 256,
     politeness_rate: float = math.inf,
+    politeness_burst: float = math.inf,
+    wave_seconds: float = 1.0,
 ) -> OracleResult:
     url_col = corpus.column("url").to_pylist()
     html_col = corpus.column("html").to_pylist()
@@ -86,10 +88,17 @@ def crawl_oracle(
                              include_patterns)
 
     robots = RobotsCache(seed_host_only=seed_host_only, seed_host=seed_host)
+    # per-host Crawl-delay → rate override (ST6), mirroring
+    # frontier.load_robots: rate_h = min(global_rate, wave_seconds / delay)
+    host_rate: dict[str, float] = {}
     if respect_robots:
         for h in dict.fromkeys(seed_hosts):
             i = by_url.get(f"https://{h}/robots.txt")
             robots.load(h, text_col[i] if i is not None else None)
+            delay = robots.crawl_delay(h)
+            if delay is not None and delay > 0:
+                host_rate[h] = min(politeness_rate,
+                                   wave_seconds / delay)
 
     res = OracleResult()
     seen_keys: set[str] = set()
@@ -114,6 +123,22 @@ def crawl_oracle(
     wave = 0
     tokens: dict[str, float] = {}
     last_wave: dict[str, int] = {}
+    global_burst = politeness_burst if politeness_burst != math.inf \
+        else politeness_rate
+
+    def refill(host: str) -> float:
+        """Mirror of FrontierShardLocal._refill (frontier.py) incl. the
+        Crawl-delay per-host override semantics."""
+        rate = host_rate.get(host, politeness_rate)
+        if rate == math.inf:
+            return math.inf
+        burst = max(1.0, min(global_burst, rate)) if host in host_rate \
+            else global_burst
+        last = last_wave.get(host, wave)
+        tok = min(burst, tokens.get(host, burst) + rate * (wave - last))
+        last_wave[host] = wave
+        tokens[host] = tok
+        return tok
 
     while queue:
         if len(res.pages) >= max_pages:  # crawler_service.py:125-127
@@ -123,19 +148,13 @@ def crawl_oracle(
         held: list[tuple[str, int, int, Optional[str]]] = []
         while queue and len(wave_items) < budget:
             url, depth, seq, parent = queue.popleft()
-            if politeness_rate == math.inf:
-                wave_items.append((url, depth, seq, parent))
-                continue
             host = host_of(url)
-            tok = min(politeness_rate,
-                      tokens.get(host, politeness_rate)
-                      + politeness_rate * (wave - last_wave.get(host, wave)))
-            last_wave[host] = wave
+            tok = refill(host)
             if tok >= 1.0:
-                tokens[host] = tok - 1.0
+                if tok != math.inf:
+                    tokens[host] = tok - 1.0
                 wave_items.append((url, depth, seq, parent))
             else:
-                tokens[host] = tok
                 held.append((url, depth, seq, parent))
         for item in reversed(held):
             queue.appendleft(item)

@@ -197,3 +197,66 @@ def test_skewed_host_politeness_surfaces_frontier_depth():
     assert waves[-1]["frontier_depth"] == 0
     # politeness bound: ≤ 4 pops per host per wave ⇒ ≥ 120/4 = 30 waves
     assert out.stats["waves"] >= 30
+
+
+def test_crawl_delay_override_matches_oracle():
+    """ST6: a robots Crawl-delay maps to a per-host rate override
+    (wave_seconds/delay, burst >= 1). The sharded engine's PROCESSING
+    order — sort by (wave, seq) — must equal the serial model's page
+    sequence, which is sensitive to exactly when each throttled pop
+    happens."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from raycrawl.fixtures import write_corpus
+    from raycrawl.oracle import crawl_oracle
+    from raycrawl.schema import PAGES
+
+    def page(url, links, body="some body text here"):
+        anchors = "".join('<a href="%s">l</a>' % l for l in links)
+        html = ("<html><head><title>t</title></head><body><main>"
+                "<h1>%s</h1><p>%s</p><p>%s</p></main></body></html>"
+                % (url, body, anchors))
+        return url, html, body
+
+    rows = [
+        ("https://slow.example/robots.txt",
+         "<html><body><pre>User-agent: *\nCrawl-delay: 2\n</pre></body></html>",
+         "User-agent: *\nCrawl-delay: 2\n"),
+    ]
+    # slow host: a chain so pops are spread over waves; fast host: a star
+    for i in range(6):
+        nxt = [f"/p{i+1}.html"] if i < 5 else []
+        rows.append(page(f"https://slow.example/p{i}.html", nxt))
+    rows.append(page("https://fast.example/p0.html",
+                     [f"/q{j}.html" for j in range(1, 5)]))
+    for j in range(1, 5):
+        rows.append(page(f"https://fast.example/q{j}.html", []))
+
+    t0 = dt.datetime(2025, 1, 1)
+    tbl = pa.Table.from_arrays(
+        [pa.array([r[0] for r in rows]),
+         pa.array([t0] * len(rows), type=pa.timestamp("us")),
+         pa.array([r[1].encode() for r in rows], type=pa.binary()),
+         pa.array([r[2] for r in rows]),
+         pa.array(["en"] * len(rows))], schema=PAGES)
+    corpus_dir = write_corpus(tbl, "/tmp/raycrawl_test_crawldelay_corpus")
+
+    seeds = ["https://slow.example/p0.html", "https://fast.example/p0.html"]
+    kw = dict(max_depth=8, max_pages=30, respect_robots=True)
+    cfg = CrawlConfig(seed_url=seeds, num_shards=2, wave_budget=16,
+                      out_dir="/tmp/raycrawl_test_crawldelay", **kw)
+    shutil.rmtree(cfg.out_dir, ignore_errors=True)
+    out = crawl(corpus_dir, cfg)
+    orc = crawl_oracle(tbl, seeds, wave_budget=16, **kw)
+
+    res = out.results().select(["wave", "seq", "depth", "url"]).to_pylist()
+    got = [(r["seq"], r["depth"], r["url"])
+           for r in sorted(res, key=lambda r: (r["wave"], r["seq"]))]
+    exp = [(p.seq, p.depth, p.url) for p in orc.pages]
+    assert got == exp
+    # the slow host really was throttled: >= 2 waves between its pops
+    slow_waves = sorted(r["wave"] for r in res if "slow.example" in r["url"])
+    assert all(b - a >= 2 for a, b in zip(slow_waves, slow_waves[1:]))
+    assert len(slow_waves) == 6
