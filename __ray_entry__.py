@@ -540,6 +540,30 @@ def _q_knn_ivf(sf_dir: str):
                    index_dir=f"/tmp/raycrawl_ivf/q_{tag}_16")
 
 
+def _q_knn_semantic(sf_dir: str):
+    """Composite similarity-search pipeline: brute-force top-5 cosine
+    neighbors per query vector, then a broadcast join (ops/join.py)
+    attaching each neighbor document's language — the 'ANN + metadata
+    lookup' shape of a retrieval pipeline, exactly SQL-checkable."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raycrawl.ops.join import broadcast_join
+    from raycrawl.ops.knn import knn_bruteforce
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    knn = knn_bruteforce(emb, query_ids=list(range(10)), k=5)
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "lang"])
+    joined = broadcast_join(docs, knn, left_on="doc_id",
+                            right_on="neighbor_id")
+    out = joined.to_pandas()
+    return (out[["query_id", "neighbor_id", "rank", "lang"]]
+            .astype({"query_id": "int64", "neighbor_id": "int64",
+                     "rank": "int64"})
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
 def _q_q1(sf_dir: str):
     from raycrawl.ops.relational import q1_pricing_summary
 
@@ -771,6 +795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_orders": _q_approx_distinct_orders,
         "pipeline_quality_dedup": _q_pipeline_quality_dedup,
         "knn_bruteforce": _q_knn_bruteforce,
+        "knn_semantic_lookup": _q_knn_semantic,
         "knn_ivf": _q_knn_ivf,
         "q1_pricing_summary": _q_q1,
         "region_customer_stats": _q_region,
@@ -1112,6 +1137,19 @@ def oracle_sql() -> dict[str, str]:
             "  FROM sims) "
             "SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank "
             "FROM ranked WHERE rank <= 10"
+        ),
+        # kNN + broadcast metadata lookup (retrieval-pipeline shape)
+        "knn_semantic_lookup": (
+            "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10), "
+            "sims AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+            "  round(list_cosine_similarity(q.embedding, e.embedding), 6) AS sim "
+            "  FROM q JOIN embeddings e ON e.vec_id != q.vec_id), "
+            "ranked AS (SELECT query_id, neighbor_id, "
+            "  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank "
+            "  FROM sims) "
+            "SELECT r.query_id, r.neighbor_id, CAST(r.rank AS BIGINT) AS rank, d.lang "
+            "FROM ranked r JOIN documents d ON d.doc_id = r.neighbor_id "
+            "WHERE r.rank <= 5"
         ),
         # nprobe == nlist IVF is exact → identical to the brute-force oracle
         "knn_ivf": (
