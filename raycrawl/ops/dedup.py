@@ -284,23 +284,26 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, ngram: int = 3,
     import ray
     import ray.data as rd
 
+    # materialize keeps the candidate pairs IN THE OBJECT STORE (they can
+    # be O(corpus) on duplicate-heavy data — never a driver table on the
+    # scale path) while making count() and downstream reads free
     cand = minhash_candidates(ds, ngram=ngram, id_col=id_col,
-                              text_col=text_col, concurrency=concurrency)
-    cand_tbl = cand.to_pandas()
+                              text_col=text_col,
+                              concurrency=concurrency).materialize()
+    n_pairs = cand.count()
     empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                           "id_b": pd.Series([], dtype="int64"),
                           "jaccard_sim": pd.Series([], dtype="float64")})
-    if len(cand_tbl) == 0:
+    if n_pairs == 0:
         return rd.from_pandas(empty)
-    need_ids = sorted(set(cand_tbl["id_a"]) | set(cand_tbl["id_b"]))
     if verify == "auto":
-        verify = "broadcast" if len(need_ids) <= _VERIFY_BROADCAST_LIMIT \
-            else "join"
+        # pairs ≥ candidate docs / 2, so the pair count is the cheap proxy
+        verify = "broadcast" if n_pairs <= _VERIFY_BROADCAST_LIMIT else "join"
 
     if verify == "join":
         from .join import bucket_hash_join
 
-        pairs_ds = rd.from_pandas(cand_tbl[["id_a", "id_b"]])
+        pairs_ds = cand
         docs_a = ds.select_columns([id_col, text_col]).map_batches(
             lambda b: b.rename_columns(["__ja", "__ta"]),
             batch_format="pyarrow")
@@ -321,6 +324,8 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, ngram: int = 3,
 
         return j2.map_batches(score, batch_format="pandas")
 
+    cand_tbl = cand.to_pandas()  # small by the auto threshold
+    need_ids = sorted(set(cand_tbl["id_a"]) | set(cand_tbl["id_b"]))
     texts_tbl = (
         ds.map_batches(
             lambda b: b.filter(pc.is_in(b.column(id_col),
@@ -338,7 +343,7 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, ngram: int = 3,
         batch = batch.assign(jaccard_sim=sims)
         return batch[batch["jaccard_sim"] >= threshold]
 
-    return rd.from_pandas(cand_tbl).map_batches(bverify, batch_format="pandas")
+    return cand.map_batches(bverify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
