@@ -646,6 +646,12 @@ def _q_events_asof(sf_dir: str):
     return events_asof_prev_purchase(sf_dir)
 
 
+def _q_events_hash_sample(sf_dir: str):
+    from raycrawl.ops.relational import events_hash_sample
+
+    return events_hash_sample(sf_dir)
+
+
 def _q_distinct_flags(sf_dir: str):
     from raycrawl.ops.relational import lineitem_distinct_flags
 
@@ -808,6 +814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest": _q_events_latest,
         "events_top_per_user": _q_events_top_per_user,
         "events_asof_prev_purchase": _q_events_asof,
+        "events_hash_sample": _q_events_hash_sample,
         "lineitem_distinct_flags": _q_distinct_flags,
         "dedup_survivors": _q_dedup_survivors,
         "convert_docx": _q_convert_docx,
@@ -1243,6 +1250,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lineitem_distinct_flags": (
             "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+        ),
+        # deterministic hash sampling (reproducible, partition-independent,
+        # all-or-nothing per user) — same md5 keyed decision in SQL
+        "events_hash_sample": (
+            "SELECT event_id, user_id, event_type FROM events "
+            "WHERE ('0x'||substr(md5('s0'||CAST(user_id AS VARCHAR)),1,16))::UBIGINT "
+            "% 100 < 10"
         ),
         # closed-form expected markdown of the generated .docx per row
         "convert_docx": (

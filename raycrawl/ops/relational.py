@@ -294,6 +294,36 @@ def events_top_per_user(sf_dir: str, k: int = 3) -> pd.DataFrame:
               .sort_values(["user_id", "rank"]).reset_index(drop=True)
 
 
+def hash_sample(ds, key_col: str, percent: int, salt: str = "s0",
+                batch_size: int = 65536):
+    """Deterministic hash sampling: keep rows where
+    md5(salt || key) mod 100 < percent. Unlike ``Dataset.random_sample``
+    this is reproducible across runs/cluster sizes, partition-independent,
+    and consistent BETWEEN tables sharing the key (the standard trick for
+    sampling a user's full history at 100 TB) — and it is exactly
+    SQL-checkable."""
+    import hashlib as _hl
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        keep = [
+            int(_hl.md5(f"{salt}{v}".encode()).hexdigest()[:16], 16) % 100
+            < percent
+            for v in b[key_col]
+        ]
+        return b[pd.Series(keep, index=b.index)]
+
+    return ds.map_batches(f, batch_format="pandas", batch_size=batch_size)
+
+
+def events_hash_sample(sf_dir: str, percent: int = 10) -> pd.DataFrame:
+    """10% deterministic sample of events by user_id (all-or-nothing per
+    user, so sampled users keep their complete event history)."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    out = hash_sample(ev, "user_id", percent).to_pandas()
+    return (out.astype({"event_id": "int64", "user_id": "int64"})
+            .sort_values("event_id").reset_index(drop=True))
+
+
 def lineitem_distinct_flags(sf_dir: str) -> pd.DataFrame:
     """Distinct (returnflag, linestatus) pairs via Dataset.unique-style
     dedup (per-batch distinct → tiny global distinct)."""
