@@ -588,6 +588,12 @@ def _q_events_hourly(sf_dir: str):
     return events_hourly(sf_dir)
 
 
+def _q_events_sliding(sf_dir: str):
+    from raycrawl.ops.relational import events_sliding_window
+
+    return events_sliding_window(sf_dir)
+
+
 def _q_sessionize(sf_dir: str):
     from raycrawl.ops.relational import events_sessionize
 
@@ -807,6 +813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_customer_stats": _q_region,
         "top_orders_by_revenue": _q_top_orders,
         "events_hourly": _q_events_hourly,
+        "events_sliding_1h15m": _q_events_sliding,
         "events_sessionize": _q_sessionize,
         "events_props_json": _q_events_props,
         "part_brand_stats": _q_part_brand,
@@ -1198,6 +1205,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_events, "
             "CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_millis "
             "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
+        # sliding window = cross join with the k slide offsets
+        "events_sliding_1h15m": (
+            "SELECT event_type, "
+            "time_bucket(INTERVAL '15 minutes', ts) - k.i * INTERVAL '15 minutes' AS window_start, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_millis "
+            "FROM events, (SELECT unnest(generate_series(0, 3)) AS i) k "
+            "GROUP BY event_type, window_start"
         ),
         "events_props_json": (
             "SELECT event_type, "

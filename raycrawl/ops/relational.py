@@ -294,6 +294,38 @@ def events_top_per_user(sf_dir: str, k: int = 3) -> pd.DataFrame:
               .sort_values(["user_id", "rank"]).reset_index(drop=True)
 
 
+def events_sliding_window(sf_dir: str, window_min: int = 60,
+                          slide_min: int = 15) -> pd.DataFrame:
+    """Sliding-window aggregate (1 h windows every 15 min): each event is
+    exploded — VECTORIZED, one concat of window_min/slide_min shifted
+    copies per batch — into every window covering it, then the standard
+    map-side-combined aggregation runs per (event_type, window_start).
+    The explode factor (4 here) is the only cost over a tumbling window;
+    no sort, no per-row loop."""
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    k = window_min // slide_min
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        base = b["ts"].dt.floor(f"{slide_min}min")
+        millis = np.floor(b["value"] * 1000 + 0.5).astype("int64")
+        frames = []
+        for i in range(k):
+            frames.append(pd.DataFrame({
+                "event_type": b["event_type"],
+                "window_start": base - pd.Timedelta(minutes=slide_min * i),
+                "n_events": 1, "sum_value_millis": millis}))
+        g = pd.concat(frames, ignore_index=True)
+        return (g.groupby(["event_type", "window_start"], as_index=False)
+                 .agg(n_events=("n_events", "sum"),
+                      sum_value_millis=("sum_value_millis", "sum")))
+
+    out = aggregate_partials(ev, partial, keys=["event_type", "window_start"],
+                             agg_spec={"n_events": "sum",
+                                       "sum_value_millis": "sum"})
+    return (out.sort_values(["event_type", "window_start"])
+            .reset_index(drop=True))
+
+
 def hash_sample(ds, key_col: str, percent: int, salt: str = "s0",
                 batch_size: int = 65536):
     """Deterministic hash sampling: keep rows where
