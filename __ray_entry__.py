@@ -461,6 +461,23 @@ def _q_approx_distinct_orders(sf_dir: str):
         [int(math.floor(est + 0.5))], dtype="int64")})
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """SpaceSaving top-20 suppliers by lineitem rows, run in the exact
+    regime (capacity >= distinct keys → no eviction → exact counts,
+    merge-order-independent); small-capacity approximation guarantees are
+    asserted in tests/test_ops.py."""
+    import ray.data as rd
+
+    from raycrawl.ops.sketch import heavy_hitters
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_suppkey"])
+    out = heavy_hitters(li, "l_suppkey", k=20, capacity=65536)
+    out = out[["l_suppkey", "est_count"]].astype({"l_suppkey": "int64"})
+    out["rank"] = range(1, len(out) + 1)
+    return out.astype({"rank": "int64"})
+
+
 def _q_fingerprints(sf_dir: str):
     import ray.data as rd
 
@@ -805,6 +822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprints": _q_fingerprints,
         "text_token_count_bpe": _q_token_count_bpe,
         "approx_distinct_orders": _q_approx_distinct_orders,
+        "heavy_hitters_suppliers": _q_heavy_hitters,
         "pipeline_quality_dedup": _q_pipeline_quality_dedup,
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_semantic_lookup": _q_knn_semantic,
@@ -1112,6 +1130,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, CAST(COALESCE(f.fp & 9223372036854775807::UBIGINT, "
             "  0::UBIGINT) AS BIGINT) AS fingerprint "
             "FROM documents d LEFT JOIN allf f ON d.doc_id = f.doc_id"
+        ),
+        # SpaceSaving in the exact regime == plain top-k frequency
+        "heavy_hitters_suppliers": (
+            "WITH c AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS est_count "
+            "  FROM lineitem GROUP BY l_suppkey), "
+            "r AS (SELECT l_suppkey, est_count, "
+            "  row_number() OVER (ORDER BY est_count DESC, l_suppkey) AS rank FROM c) "
+            "SELECT l_suppkey, est_count, CAST(rank AS BIGINT) AS rank "
+            "FROM r WHERE rank <= 20"
         ),
         # HLL p=14 recomputed exactly: same md5 64-bit hash, same registers
         # (bucket = top 14 bits, rank = leading zeros of low 50 bits + 1),

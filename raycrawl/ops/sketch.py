@@ -87,6 +87,97 @@ class HyperLogLog:
         return h
 
 
+class SpaceSaving:
+    """SpaceSaving heavy-hitters sketch (Metwally, Agrawal & El Abbadi 2005,
+    public algorithm): at most ``capacity`` counters; an unseen key evicts
+    the minimum counter and inherits its count as error. Guarantees
+    ``true <= est`` and ``est - err <= true``; any key with frequency
+    > N/capacity is retained. Mergeable: counts/errors sum by key, then
+    truncate to the largest ``capacity`` (deterministic key tie-break).
+    With capacity >= distinct keys no eviction ever happens and counts are
+    EXACT regardless of merge order — the regime the oracle query runs in
+    (same trick as IVF at nprobe == nlist); approximation guarantees at
+    small capacity are asserted in tests."""
+
+    def __init__(self, capacity: int = 1024) -> None:
+        self.capacity = capacity
+        self.counts: dict = {}
+        self.errors: dict = {}
+
+    def add_values(self, values) -> None:
+        for v in values:
+            if v in self.counts:
+                self.counts[v] += 1
+            elif len(self.counts) < self.capacity:
+                self.counts[v] = 1
+                self.errors[v] = 0
+            else:
+                # evict the min counter (deterministic tie-break by key str)
+                m = min(self.counts, key=lambda k: (self.counts[k], str(k)))
+                cnt = self.counts.pop(m)
+                self.errors.pop(m)
+                self.counts[v] = cnt + 1
+                self.errors[v] = cnt
+
+    def merge(self, other: "SpaceSaving") -> "SpaceSaving":
+        for k, c in other.counts.items():
+            if k in self.counts:
+                self.counts[k] += c
+                self.errors[k] += other.errors[k]
+            else:
+                self.counts[k] = c
+                self.errors[k] = other.errors[k]
+        if len(self.counts) > self.capacity:
+            keep = sorted(self.counts,
+                          key=lambda k: (-self.counts[k], str(k)))[: self.capacity]
+            keep_set = set(keep)
+            self.counts = {k: self.counts[k] for k in keep_set}
+            self.errors = {k: self.errors[k] for k in keep_set}
+        return self
+
+    def topk(self, k: int) -> list:
+        """[(key, est_count, max_error)] by (count desc, key asc) — natural
+        key order when comparable (matches SQL ORDER BY), str fallback for
+        mixed-type keys."""
+        try:
+            order = sorted(self.counts, key=lambda x: (-self.counts[x], x))
+        except TypeError:
+            order = sorted(self.counts, key=lambda x: (-self.counts[x], str(x)))
+        return [(key, self.counts[key], self.errors[key])
+                for key in order[:k]]
+
+
+def heavy_hitters(ds, col: str, k: int = 20,
+                  capacity: int = 4096) -> "pd.DataFrame":
+    """Distributed top-k frequent values: one SpaceSaving sketch per batch
+    (bounded memory regardless of key cardinality), merged on the driver —
+    payload = batches × capacity counters, never the raw keys."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = SpaceSaving(capacity)
+        s.add_values(batch[col].tolist())
+        import pickle
+
+        return pd.DataFrame({"sketch": [pickle.dumps((s.counts, s.errors))]})
+
+    import pickle
+
+    merged = SpaceSaving(capacity)
+    for b in ds.map_batches(partial, batch_format="pandas",
+                            batch_size=65536).iter_batches(
+                                batch_format="pandas"):
+        for blob in b["sketch"]:
+            other = SpaceSaving(capacity)
+            other.counts, other.errors = pickle.loads(bytes(blob))
+            merged.merge(other)
+    rows = merged.topk(k)
+    return pd.DataFrame({col: [r[0] for r in rows],
+                         "est_count": pd.Series([r[1] for r in rows],
+                                                dtype="int64"),
+                         "max_error": pd.Series([r[2] for r in rows],
+                                                dtype="int64")})
+
+
 def approx_distinct(ds, col: str, p: int = 14) -> float:
     """Approximate count-distinct of a column: per-batch HLL partials →
     driver merge (bytes payload = batches × 2^p)."""

@@ -366,3 +366,39 @@ def test_encode_image_kb_budget_arithmetic():
     # jpeg mime + smaller size model
     uri3 = encode_image(payload_small, 64, 64, format="JPEG")
     assert uri3.startswith("data:image/jpeg;base64,")
+
+
+def test_spacesaving_guarantees_and_merge():
+    """SpaceSaving invariants at SMALL capacity: true <= est <=
+    true + max_error, high-frequency keys retained, merge-order robust at
+    exact capacity."""
+    import random
+
+    from raycrawl.ops.sketch import SpaceSaving, heavy_hitters
+
+    rng = random.Random(7)
+    stream = [f"k{i}" for i in range(40) for _ in range(i + 1)]
+    rng.shuffle(stream)
+    true = {f"k{i}": i + 1 for i in range(40)}
+
+    s = SpaceSaving(capacity=16)
+    s.add_values(stream)
+    for key, est, err in s.topk(16):
+        assert true[key] <= est <= true[key] + err + 0  # est >= true, bounded
+    # heavy keys (freq > N/capacity) must be present
+    n = len(stream)
+    for key, freq in true.items():
+        if freq > n / 16:
+            assert key in s.counts, f"heavy key {key} evicted"
+
+    # exact regime: capacity >= distinct keys -> exact counts however split
+    a, b = SpaceSaving(64), SpaceSaving(64)
+    a.add_values(stream[: n // 2]); b.add_values(stream[n // 2:])
+    m = a.merge(b)
+    assert all(m.counts[k] == true[k] for k in true)
+    assert all(e == 0 for e in m.errors.values())
+
+    # distributed op, exact regime
+    ds = rd.from_pandas(pd.DataFrame({"k": stream}))
+    hh = heavy_hitters(ds, "k", k=5, capacity=64)
+    assert list(hh["est_count"]) == [40, 39, 38, 37, 36]
