@@ -461,6 +461,24 @@ def _q_approx_distinct_orders(sf_dir: str):
         [int(math.floor(est + 0.5))], dtype="int64")})
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs with doc_id % 50 == 0 act as the
+    'eval set'; every document is flagged by its 8-gram overlap with that
+    set — broadcast membership, no shuffle. Exact SQL oracle via a distinct
+    benchmark-shingle semi-join."""
+    import duckdb as _dd
+    import ray.data as rd
+
+    from raycrawl.ops.textstats import decontaminate
+
+    bench = [r[0] for r in _dd.sql(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE doc_id % 50 = 0 ORDER BY doc_id").fetchall()]
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return decontaminate(docs, bench, n=8).to_pandas()
+
+
 def _q_heavy_hitters(sf_dir: str):
     """SpaceSaving top-20 suppliers by lineitem rows, run in the exact
     regime (capacity >= distinct keys → no eviction → exact counts,
@@ -823,6 +841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_token_count_bpe": _q_token_count_bpe,
         "approx_distinct_orders": _q_approx_distinct_orders,
         "heavy_hitters_suppliers": _q_heavy_hitters,
+        "text_decontaminate": _q_decontaminate,
         "pipeline_quality_dedup": _q_pipeline_quality_dedup,
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_semantic_lookup": _q_knn_semantic,
@@ -1130,6 +1149,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, CAST(COALESCE(f.fp & 9223372036854775807::UBIGINT, "
             "  0::UBIGINT) AS BIGINT) AS fingerprint "
             "FROM documents d LEFT JOIN allf f ON d.doc_id = f.doc_id"
+        ),
+        # decontamination: distinct 8-gram semi-join against the benchmark
+        "text_decontaminate": (
+            "WITH w AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] "
+            "  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks FROM documents), "
+            "g AS (SELECT doc_id, CASE WHEN len(toks) < 8 THEN [] "
+            "  ELSE list_distinct(list_transform(generate_series(1, len(toks)-7), "
+            "    i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||"
+            "toks[i+4]||' '||toks[i+5]||' '||toks[i+6]||' '||toks[i+7])) END AS grams FROM w), "
+            "b AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0), "
+            "x AS (SELECT doc_id, unnest(grams) AS gram FROM g), "
+            "o AS (SELECT x.doc_id, count(*) AS n FROM x JOIN b ON x.gram = b.gram "
+            "  GROUP BY x.doc_id) "
+            "SELECT d.doc_id, CAST(COALESCE(o.n, 0) AS BIGINT) AS n_overlap, "
+            "COALESCE(o.n, 0) > 0 AS contaminated "
+            "FROM documents d LEFT JOIN o ON d.doc_id = o.doc_id"
         ),
         # SpaceSaving in the exact regime == plain top-k frequency
         "heavy_hitters_suppliers": (

@@ -156,6 +156,40 @@ def bpe_ish_tokens(text: str) -> list[str]:
     return _BPE_SPLIT_RE.findall(text)
 
 
+def decontaminate(ds, benchmark_texts, n: int = 8, id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Benchmark decontamination (standard pretraining-data step, e.g.
+    GPT-3 appendix C / Dodge et al. 2021): flag documents sharing any
+    word n-gram with a benchmark/eval set. The benchmark's n-gram set is
+    built ONCE and broadcast via ``ray.put`` (small side — eval sets are
+    tiny next to the corpus); every batch checks membership vectorized
+    against the frozen set. Returns (id, n_overlap, contaminated)."""
+    import ray
+
+    bench: set[str] = set()
+    for t in benchmark_texts:
+        toks = _WS_SPLIT_RE.split(t.strip()) if t and t.strip() else []
+        for i in range(max(0, len(toks) - n + 1)):
+            bench.add(" ".join(toks[i : i + n]))
+    bref = ray.put(frozenset(bench))
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        bset = ray.get(bref)
+
+        def overlap(t: str) -> int:
+            toks = _WS_SPLIT_RE.split(t.strip()) if t and t.strip() else []
+            grams = {" ".join(toks[i : i + n])
+                     for i in range(max(0, len(toks) - n + 1))}
+            return len(grams & bset)
+
+        counts = batch[text_col].fillna("").apply(overlap).astype("int64")
+        return pd.DataFrame({id_col: batch[id_col],
+                             "n_overlap": counts,
+                             "contaminated": (counts > 0)})
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
 def token_count_bpe(ds, id_col: str = "doc_id", text_col: str = "text"):
     """(doc_id, n_bpe_tokens): BPE-ish pre-token counts per document."""
 
