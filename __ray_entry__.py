@@ -565,14 +565,21 @@ def _q_knn_ivf(sf_dir: str):
     exact and oracle-checkable against the brute-force SQL — while still
     exercising the full index-build + partition-pruned-read machinery.
     (nprobe < nlist recall is covered by tests/test_ops.py.)"""
+    import hashlib
+
     import ray.data as rd
 
     from raycrawl.ops.knn import knn_ivf
 
-    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    emb = rd.read_parquet(path)
+    # index cache keyed by the INPUT FILE's identity (path + mtime + size),
+    # not just shape — a regenerated table must not hit a stale index
+    st = os.stat(path)
+    key = hashlib.sha1(
+        f"{path}|{st.st_mtime_ns}|{st.st_size}|16".encode()).hexdigest()[:12]
     return knn_ivf(emb, query_ids=list(range(10)), k=10, nlist=16, nprobe=16,
-                   index_dir=f"/tmp/raycrawl_ivf/q_{tag}_16")
+                   index_dir=f"/tmp/raycrawl_ivf/q_{key}")
 
 
 def _q_knn_semantic(sf_dir: str):

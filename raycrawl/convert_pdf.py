@@ -127,10 +127,14 @@ def _unescape_string(raw: bytes) -> bytes:
             elif n in (b"(", b")", b"\\"):
                 out += n
                 i += 2
-            elif n.isdigit():
+            elif n in b"01234567":
+                # octal digits only — '\\8'/'\\9' are spec-invalid escapes
+                # that tolerant parsers treat as literals, not ValueError
                 j = i + 1
                 digits = b""
-                while j < len(raw) and raw[j : j + 1].isdigit() and len(digits) < 3:
+                while (j < len(raw) and raw[j : j + 1] in
+                       (b"0", b"1", b"2", b"3", b"4", b"5", b"6", b"7")
+                       and len(digits) < 3):
                     digits += raw[j : j + 1]
                     j += 1
                 out.append(int(digits, 8) & 0xFF)

@@ -144,26 +144,35 @@ class CuckooFilter:
         return self.count / (self.num_buckets * _SLOTS_PER_BUCKET)
 
     # -- snapshot -----------------------------------------------------------
+    _MAGIC = b"CKF2"  # format version marker: v2 = stash-bearing snapshots
+
     def serialize(self) -> bytes:
-        header = struct.pack("<QQQQ", self.num_buckets, self.count, self._lcg,
-                             len(self.stash))
+        header = self._MAGIC + struct.pack(
+            "<QQQQ", self.num_buckets, self.count, self._lcg, len(self.stash))
         stash = b"".join(struct.pack("<QI", i, fp) for (i, fp) in self.stash)
         return header + stash + bytes(self.table)
 
     @classmethod
     def deserialize(cls, blob: bytes) -> "CuckooFilter":
-        num_buckets, count, lcg, n_stash = struct.unpack_from("<QQQQ", blob, 0)
         f = cls.__new__(cls)
+        f.stash = []
+        if blob[:4] == cls._MAGIC:
+            num_buckets, count, lcg, n_stash = struct.unpack_from(
+                "<QQQQ", blob, 4)
+            off = 36
+            for _ in range(n_stash):
+                i, fp = struct.unpack_from("<QI", blob, off)
+                f.stash.append((i, fp))
+                off += 12
+        else:
+            # legacy (pre-stash) snapshot: 24-byte header, no stash section —
+            # parsed correctly instead of misreading table bytes as a stash
+            num_buckets, count, lcg = struct.unpack_from("<QQQ", blob, 0)
+            off = 24
         f.num_buckets = num_buckets
         f._mask = num_buckets - 1
         f.count = count
         f._lcg = lcg
-        off = 32
-        f.stash = []
-        for _ in range(n_stash):
-            i, fp = struct.unpack_from("<QI", blob, off)
-            f.stash.append((i, fp))
-            off += 12
         f.table = bytearray(blob[off:])
         return f
 

@@ -63,13 +63,15 @@ def aggregate_partials(
     shuffle_partitions: int = 32,
     cardinality_hint: "int | None" = None,
 ) -> pd.DataFrame:
-    """reduce='auto' picks shuffle when ``cardinality_hint`` (an upper
-    bound on the key cardinality, e.g. the input row count from parquet
-    metadata) exceeds ``_AUTO_SHUFFLE_ROWS`` — unbounded-key aggregations
-    must not default to a driver merge at scale."""
+    """reduce='auto' picks the driver merge ONLY when ``cardinality_hint``
+    (an upper bound on the key cardinality, e.g. the input row count from
+    parquet metadata) is provided and small; with no hint 'auto' resolves
+    to the scale-safe shuffle — the no-hint case is exactly the one where
+    keys may be unbounded (same convention as dedup.exact_dedup)."""
     if reduce == "auto":
-        reduce = "shuffle" if (cardinality_hint or 0) > _AUTO_SHUFFLE_ROWS \
-            else "driver"
+        reduce = "driver" if (cardinality_hint is not None and
+                              cardinality_hint <= _AUTO_SHUFFLE_ROWS) \
+            else "shuffle"
     if reduce == "shuffle":
         return aggregate_partials_ds(
             ds, partial_fn, keys, agg_spec, batch_size=batch_size,

@@ -161,9 +161,13 @@ class MinHashStage:
     def __init__(self, num_hashes: int = 128, bands: int = 32, ngram: int = 3,
                  id_col: str = "doc_id", text_col: str = "text") -> None:
         self.a, self.b = _minhash_params(num_hashes)
-        self.num_hashes = num_hashes
-        self.bands = bands
         self.rows_per_band = num_hashes // bands
+        if self.rows_per_band < 1:
+            raise ValueError(f"bands ({bands}) > num_hashes ({num_hashes})")
+        # hashes beyond bands*rows_per_band are ignored (the pre-vectorized
+        # per-band slicing behaved the same way for non-divisible configs)
+        self.num_hashes = bands * self.rows_per_band
+        self.bands = bands
         self.ngram = ngram
         self.id_col = id_col
         self.text_col = text_col
@@ -172,10 +176,11 @@ class MinHashStage:
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         texts = batch.column(self.text_col).to_pylist()
         n = len(texts)
-        sigs = np.empty((n, self.num_hashes), dtype=np.uint64)
+        sigs = np.empty((n, len(self.a)), dtype=np.uint64)
         for r, text in enumerate(texts):
             sigs[r] = minhash_signature(text or "", self.a, self.b, self.ngram)
-        rb = sigs.reshape(n, self.bands, self.rows_per_band)
+        rb = sigs[:, : self.num_hashes].reshape(n, self.bands,
+                                                self.rows_per_band)
         key = np.zeros((n, self.bands), dtype=np.uint64)
         with np.errstate(over="ignore"):
             for c in range(self.rows_per_band):
@@ -196,7 +201,8 @@ _MINHASH_SHUFFLE_THRESHOLD = 100_000  # docs; above this the exploded band
 def minhash_candidates(ds, num_hashes: int = 128, bands: int = 32,
                        ngram: int = 3, id_col: str = "doc_id",
                        text_col: str = "text", concurrency: int = 4,
-                       reduce: str = "auto"):
+                       reduce: str = "auto",
+                       cardinality_hint: "int | None" = None):
     """Candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
 
     Signature computation (the heavy part) is always distributed. The
@@ -212,7 +218,10 @@ def minhash_candidates(ds, num_hashes: int = 128, bands: int = 32,
         fn_constructor_kwargs=dict(num_hashes=num_hashes, bands=bands,
                                    ngram=ngram, id_col=id_col, text_col=text_col))
     if reduce == "auto":
-        n = ds.count()  # metadata-cheap on parquet-backed datasets
+        # prefer the caller-provided hint: ds.count() is metadata-cheap
+        # ONLY for raw parquet-backed datasets — on a transformed dataset
+        # it executes the whole upstream pipeline an extra time
+        n = cardinality_hint if cardinality_hint is not None else ds.count()
         reduce = "shuffle" if (n or 0) > _MINHASH_SHUFFLE_THRESHOLD else "driver"
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
@@ -266,7 +275,8 @@ _VERIFY_BROADCAST_LIMIT = 20_000  # candidate docs; above this a dict of
 
 def minhash_dedup_pairs(ds, threshold: float = 0.8, ngram: int = 3,
                         id_col: str = "doc_id", text_col: str = "text",
-                        concurrency: int = 4, verify: str = "auto"):
+                        concurrency: int = 4, verify: str = "auto",
+                        cardinality_hint: "int | None" = None):
     """Verified near-dup pairs: LSH candidates → exact n-gram Jaccard ≥
     threshold.
 
@@ -288,8 +298,8 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, ngram: int = 3,
     # be O(corpus) on duplicate-heavy data — never a driver table on the
     # scale path) while making count() and downstream reads free
     cand = minhash_candidates(ds, ngram=ngram, id_col=id_col,
-                              text_col=text_col,
-                              concurrency=concurrency).materialize()
+                              text_col=text_col, concurrency=concurrency,
+                              cardinality_hint=cardinality_hint).materialize()
     n_pairs = cand.count()
     empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                           "id_b": pd.Series([], dtype="int64"),

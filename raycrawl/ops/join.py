@@ -45,12 +45,34 @@ def _bucket_of(series: pd.Series, num_buckets: int) -> pd.Series:
     return (pd.util.hash_array(series.to_numpy()) % num_buckets).astype("int64")
 
 
+_STAGE_DIRS: list[str] = []
+
+
+def _cleanup_stage_dirs() -> None:
+    import shutil
+
+    for d in _STAGE_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _STAGE_DIRS.clear()
+
+
 def bucket_hash_join(left_ds, right_ds, left_on: str, right_on: str,
                      num_buckets: int = 32, how: str = "inner",
                      stage_dir: Optional[str] = None):
-    """Explicit partitioned hash join for two large sides."""
-    stage_dir = stage_dir or tempfile.mkdtemp(prefix="raycrawl_join_",
-                                              dir="/tmp")
+    """Explicit partitioned hash join for two large sides.
+
+    The right side is staged to Parquet under ``stage_dir``; the returned
+    dataset is lazy, so the staging cannot be removed eagerly — auto-created
+    temp dirs are registered for atexit cleanup (bounded by process
+    lifetime, not leaked forever). Pass ``stage_dir`` to manage the
+    lifecycle yourself (e.g. to reuse a staged side across joins)."""
+    if stage_dir is None:
+        import atexit
+
+        stage_dir = tempfile.mkdtemp(prefix="raycrawl_join_", dir="/tmp")
+        if not _STAGE_DIRS:
+            atexit.register(_cleanup_stage_dirs)
+        _STAGE_DIRS.append(stage_dir)
 
     def tag_right(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.assign(__bucket=_bucket_of(batch[right_on], num_buckets))

@@ -109,10 +109,17 @@ def build_ivf_index(ds, index_dir: str, nlist: int = 16,
 
     import ray.data as rd  # noqa: F401  (documents the dependency)
 
+    import shutil
+
     done = os.path.join(index_dir, "_DONE")
     if os.path.exists(done):
         with open(os.path.join(index_dir, "_centroids.json")) as f:
             return np.asarray(json.load(f), dtype=np.float64)
+    # crash-safety: a dir without _DONE is a partial build — Ray's
+    # write_parquet would APPEND new files beside the stale ones and the
+    # index would then hold duplicate vectors (cf. pipeline.py gen-dirs)
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir, ignore_errors=True)
 
     sample = ds.limit(sample_size).select_columns([vec_col]).to_pandas()
     centroids = _kmeans(_matrix(sample[vec_col]), nlist)
@@ -159,17 +166,21 @@ def knn_ivf(ds, query_ids: list[int], k: int = 10, nlist: int = 16,
     nprobe == nlist probes everything and is exact (== knn_bruteforce,
     which is how the driver oracle checks it); recall at nprobe < nlist is
     asserted in tests."""
-    import hashlib
-
     import pyarrow.compute as pc
     import ray
     import ray.data as rd
 
-    if index_dir is None:
-        key = hashlib.sha1(
-            f"{ds.schema()}|{ds.count()}|{nlist}|{sample_size}".encode()
-        ).hexdigest()[:12]
-        index_dir = f"/tmp/raycrawl_ivf/{key}"
+    owns_index = index_dir is None
+    if owns_index:
+        # no content-addressed default cache: a (schema, count) key is
+        # content-INSENSITIVE and would silently serve a stale index for a
+        # different dataset of the same shape. Build into a fresh temp dir
+        # and remove it after the query; callers that WANT reuse pass an
+        # explicit index_dir whose staleness they own (key it by content,
+        # e.g. source-file hash + parquet mtimes, as __ray_entry__ does).
+        import tempfile
+
+        index_dir = tempfile.mkdtemp(prefix="raycrawl_ivf_", dir="/tmp")
     centroids = build_ivf_index(ds, index_dir, nlist=nlist,
                                 sample_size=sample_size, id_col=id_col,
                                 vec_col=vec_col)
@@ -227,6 +238,10 @@ def knn_ivf(ds, query_ids: list[int], k: int = 10, nlist: int = 16,
     index = rd.read_parquet(_bucket_files(probed_buckets))
     partials = index.map_batches(partial, batch_format="pandas",
                                  batch_size=1024).to_pandas()
+    if owns_index:
+        import shutil
+
+        shutil.rmtree(index_dir, ignore_errors=True)
     out = {"query_id": [], "neighbor_id": [], "rank": []}
     for qid, grp in partials.groupby("query_id"):
         ranked = sorted(zip(grp["neighbor_id"], grp["sim"]),

@@ -92,8 +92,9 @@ class SpaceSaving:
     public algorithm): at most ``capacity`` counters; an unseen key evicts
     the minimum counter and inherits its count as error. Guarantees
     ``true <= est`` and ``est - err <= true``; any key with frequency
-    > N/capacity is retained. Mergeable: counts/errors sum by key, then
-    truncate to the largest ``capacity`` (deterministic key tie-break).
+    > N/capacity is retained. Mergeable per Agarwal et al. 2012 (absent
+    keys credited the other sketch's min counter — see ``merge``), then
+    truncated to the largest ``capacity`` (deterministic key tie-break).
     With capacity >= distinct keys no eviction ever happens and counts are
     EXACT regardless of merge order — the regime the oracle query runs in
     (same trick as IVF at nprobe == nlist); approximation guarantees at
@@ -103,36 +104,70 @@ class SpaceSaving:
         self.capacity = capacity
         self.counts: dict = {}
         self.errors: dict = {}
+        # lazy min-heap of (count, str(key), key) entries: stale entries
+        # (count no longer current, or key evicted) are skipped on pop —
+        # O(log capacity) eviction instead of an O(capacity) min() scan
+        self._heap: list = []
+
+    def _evict_min(self):
+        import heapq
+
+        while True:
+            cnt, _, key = heapq.heappop(self._heap)
+            if self.counts.get(key) == cnt:
+                del self.counts[key]
+                del self.errors[key]
+                return key, cnt
 
     def add_values(self, values) -> None:
+        import heapq
+
         for v in values:
             if v in self.counts:
-                self.counts[v] += 1
+                c = self.counts[v] + 1
+                self.counts[v] = c
+                heapq.heappush(self._heap, (c, str(v), v))
             elif len(self.counts) < self.capacity:
                 self.counts[v] = 1
                 self.errors[v] = 0
+                heapq.heappush(self._heap, (1, str(v), v))
             else:
-                # evict the min counter (deterministic tie-break by key str)
-                m = min(self.counts, key=lambda k: (self.counts[k], str(k)))
-                cnt = self.counts.pop(m)
-                self.errors.pop(m)
+                _, cnt = self._evict_min()
                 self.counts[v] = cnt + 1
                 self.errors[v] = cnt
+                heapq.heappush(self._heap, (cnt + 1, str(v), v))
 
     def merge(self, other: "SpaceSaving") -> "SpaceSaving":
-        for k, c in other.counts.items():
-            if k in self.counts:
-                self.counts[k] += c
-                self.errors[k] += other.errors[k]
-            else:
-                self.counts[k] = c
-                self.errors[k] = other.errors[k]
-        if len(self.counts) > self.capacity:
-            keep = sorted(self.counts,
-                          key=lambda k: (-self.counts[k], str(k)))[: self.capacity]
-            keep_set = set(keep)
-            self.counts = {k: self.counts[k] for k in keep_set}
-            self.errors = {k: self.errors[k] for k in keep_set}
+        """Mergeable-summaries merge (Agarwal et al. 2012): a key absent
+        from one sketch is credited that sketch's MINIMUM counter as both
+        count and error (its true count there is ≤ that minimum — this is
+        what preserves true ≤ est ≤ true + err across merges; summing only
+        retained keys would undercount keys evicted in some partials).
+        Sketches below capacity never evicted, so their absent-key credit
+        is 0."""
+        import heapq
+
+        min_self = min(self.counts.values()) \
+            if len(self.counts) >= self.capacity else 0
+        min_other = min(other.counts.values()) \
+            if len(other.counts) >= other.capacity else 0
+        counts: dict = {}
+        errors: dict = {}
+        for k in set(self.counts) | set(other.counts):
+            c1 = self.counts.get(k)
+            c2 = other.counts.get(k)
+            counts[k] = ((c1 if c1 is not None else min_self)
+                         + (c2 if c2 is not None else min_other))
+            errors[k] = ((self.errors[k] if c1 is not None else min_self)
+                         + (other.errors[k] if c2 is not None else min_other))
+        if len(counts) > self.capacity:
+            keep = sorted(counts,
+                          key=lambda k: (-counts[k], str(k)))[: self.capacity]
+            counts = {k: counts[k] for k in keep}
+            errors = {k: errors[k] for k in keep}
+        self.counts, self.errors = counts, errors
+        self._heap = [(c, str(k), k) for k, c in counts.items()]
+        heapq.heapify(self._heap)
         return self
 
     def topk(self, k: int) -> list:

@@ -100,3 +100,19 @@ def test_stash_survives_serialize_roundtrip():
     assert g.stash == f.stash
     for k in kept:
         assert g.contains(k)
+
+
+def test_deserialize_legacy_pre_stash_snapshot():
+    """Snapshots written by the pre-stash format (24-byte header, no magic)
+    must parse correctly — not misread table bytes as a stash section."""
+    import struct
+
+    f = CuckooFilter(capacity=256)
+    ks = keys(100)
+    for k in ks:
+        f.add(k)
+    legacy = struct.pack("<QQQ", f.num_buckets, f.count, f._lcg) + bytes(f.table)
+    g = CuckooFilter.deserialize(legacy)
+    assert g.count == f.count and g.stash == []
+    for k in ks:
+        assert g.contains(k)

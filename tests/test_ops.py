@@ -398,6 +398,20 @@ def test_spacesaving_guarantees_and_merge():
     assert all(m.counts[k] == true[k] for k in true)
     assert all(e == 0 for e in m.errors.values())
 
+    # APPROXIMATE merge regime: sketches at capacity, keys evicted in some
+    # partials — merged estimates must still satisfy true <= est <= true+err
+    # (absent keys credited the other sketch's min counter)
+    parts = [stream[i::5] for i in range(5)]
+    acc = SpaceSaving(12)
+    acc.add_values(parts[0])
+    for p in parts[1:]:
+        s2 = SpaceSaving(12)
+        s2.add_values(p)
+        acc.merge(s2)
+    for key, est, err in acc.topk(12):
+        assert est >= true[key], f"{key}: est {est} < true {true[key]}"
+        assert est - err <= true[key], f"{key}: est-err {est-err} > true"
+
     # distributed op, exact regime
     ds = rd.from_pandas(pd.DataFrame({"k": stream}))
     hh = heavy_hitters(ds, "k", k=5, capacity=64)
