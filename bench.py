@@ -112,7 +112,12 @@ def crawl_bench(num_cpus: int) -> dict:
 
     one(2048)   # warm-up: worker spawn + imports + page cache (the
                 # headline pass warms up the same way)
+    # best-of-2 timed runs, mirroring the headline: transient noisy-
+    # neighbor spikes on this shared box can inflate a single run 3x
     sec, out = one(40000)
+    sec2, out2 = one(40000)
+    if sec2 < sec:
+        sec, out = sec2, out2
     return {"sec": round(sec, 3),
             "pages": out.stats["pages_success"],
             "pages_per_sec": round(out.stats["pages_success"] / sec, 1),
