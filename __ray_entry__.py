@@ -720,38 +720,40 @@ def _q_dedup_survivors(sf_dir: str):
     return dedup_survivors(ids, pairs)
 
 
-def _q_convert_docx(sf_dir: str):
-    """S7/M24 end-to-end with an exact oracle: documents rows → real .docx
-    files (stdlib zip builder, byte-stable) → read_binary_files →
-    ConvertStage actor pool → (doc_id, markdown). Expected markdown is a
-    closed-form function of the row ('# Document N' heading + the text
-    paragraph), so the whole parse-render path is hash-checked in SQL."""
+def _office_fixture_query(sf_dir: str, kind: str, build_row,
+                          out_cols=("doc_id", "markdown")):
+    """Shared S7 converter harness: documents rows → real office files on
+    /tmp (cached; key = fixture+converter sources AND the documents table
+    identity (size+mtime), per ADVICE r2 — the sf-dir tag alone missed
+    content changes) → read_binary_files → ConvertStage actor pool →
+    per-doc converter output. ``build_row(doc_id, text) -> bytes``."""
     import hashlib
 
     import pandas as pd
     import ray.data as rd
 
     import raycrawl.convert_office as co
+    import raycrawl.convert_pdf as cp
     import raycrawl.office_fixtures as of
     from raycrawl.convert import ConvertStage
 
-    with open(of.__file__, "rb") as f1, open(co.__file__, "rb") as f2:
-        ver = hashlib.sha1(f1.read() + f2.read()).hexdigest()[:10]
+    h = hashlib.sha1()
+    for mod in (of, co, cp):
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
     tag = os.path.basename(os.path.normpath(sf_dir))
-    files_dir = f"/tmp/raycrawl_docx/{tag}_{ver}"
+    files_dir = f"/tmp/raycrawl_{kind}/{tag}_{h.hexdigest()[:12]}"
     done = os.path.join(files_dir, "_DONE")
     if not os.path.exists(done):
         os.makedirs(files_dir, exist_ok=True)
 
         def write_files(b: "pd.DataFrame") -> "pd.DataFrame":
             for doc_id, text in zip(b["doc_id"], b["text"]):
-                blob = of.build_docx(
-                    [of.docx_paragraph(f"Document {doc_id}", style="Heading1"),
-                     of.docx_paragraph(text or "")],
-                    title=f"Document {doc_id}")
-                with open(os.path.join(files_dir, f"doc{doc_id}.docx"),
+                with open(os.path.join(files_dir, f"doc{doc_id}.{kind}"),
                           "wb") as f:
-                    f.write(blob)
+                    f.write(build_row(int(doc_id), text))
             return pd.DataFrame({"n": [len(b)]})
 
         rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
@@ -761,13 +763,30 @@ def _q_convert_docx(sf_dir: str):
             f.write("ok")
 
     ds = rd.read_binary_files(files_dir, include_paths=True,
-                              file_extensions=["docx"])
+                              file_extensions=[kind])
     out = ds.map_batches(ConvertStage, batch_format="pyarrow",
                          concurrency=_pool(0.4)).to_pandas()
-    out["doc_id"] = (out["path"].str.extract(r"doc(\d+)\.docx$")
+    out["doc_id"] = (out["path"].str.extract(rf"doc(\d+)\.{kind}$")
                      .astype("int64"))
     assert (out["status"] == "ok").all()
-    return out[["doc_id", "markdown"]]
+    return out[list(out_cols)]
+
+
+def _q_convert_docx(sf_dir: str):
+    """S7/M24 end-to-end with an exact oracle: documents rows → real .docx
+    files (stdlib zip builder, byte-stable) → read_binary_files →
+    ConvertStage actor pool → (doc_id, markdown). Expected markdown is a
+    closed-form function of the row ('# Document N' heading + the text
+    paragraph), so the whole parse-render path is hash-checked in SQL."""
+    import raycrawl.office_fixtures as of
+
+    def build_row(doc_id: int, text) -> bytes:
+        return of.build_docx(
+            [of.docx_paragraph(f"Document {doc_id}", style="Heading1"),
+             of.docx_paragraph(text or "")],
+            title=f"Document {doc_id}")
+
+    return _office_fixture_query(sf_dir, "docx", build_row)
 
 
 def _q_convert_xlsx(sf_dir: str):
@@ -775,48 +794,36 @@ def _q_convert_xlsx(sf_dir: str):
     workbooks (one 'D' sheet: header + one data row) → read_binary_files →
     ConvertStage → (doc_id, markdown); the width-padded pipe-table render
     is reconstructed closed-form in SQL with rpad/repeat."""
-    import hashlib
-
-    import ray.data as rd
-
-    import raycrawl.convert_office as co
     import raycrawl.office_fixtures as of
-    from raycrawl.convert import ConvertStage
 
-    with open(of.__file__, "rb") as f1, open(co.__file__, "rb") as f2:
-        ver = hashlib.sha1(f1.read() + f2.read()).hexdigest()[:10]
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    files_dir = f"/tmp/raycrawl_xlsx/{tag}_{ver}"
-    done = os.path.join(files_dir, "_DONE")
-    if not os.path.exists(done):
-        import pandas as pd
+    def build_row(doc_id: int, text) -> bytes:
+        return of.build_xlsx(
+            {"D": [["doc_id", "n_chars"], [doc_id, len(text or "")]]})
 
-        os.makedirs(files_dir, exist_ok=True)
+    return _office_fixture_query(sf_dir, "xlsx", build_row)
 
-        def write_files(b: "pd.DataFrame") -> "pd.DataFrame":
-            for doc_id, text in zip(b["doc_id"], b["text"]):
-                blob = of.build_xlsx(
-                    {"D": [["doc_id", "n_chars"],
-                           [int(doc_id), len(text or "")]]})
-                with open(os.path.join(files_dir, f"doc{doc_id}.xlsx"),
-                          "wb") as f:
-                    f.write(blob)
-            return pd.DataFrame({"n": [len(b)]})
 
-        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                        columns=["doc_id", "text"]).map_batches(
-            write_files, batch_format="pandas", batch_size=512).count()
-        with open(done, "w") as f:
-            f.write("ok")
+def _q_convert_pdf(sf_dir: str):
+    """S7/M23 end-to-end with an exact oracle (VERDICT r2 item 1):
+    documents rows → real two-page PDFs (classic-xref builder; page 1 =
+    ALL-CAPS 'SECTION {id}' heading + the text paragraph, page 2 = a
+    3-item bullet list; odd doc_ids FlateDecode-compressed) →
+    read_binary_files → ConvertStage actor pool → (doc_id, markdown,
+    metadata_json). Expected markdown is a closed-form function of the
+    row, so the page walk, FlateDecode, the text-operator scan, the
+    heading/list heuristics, heading hierarchy and the renderer
+    (reference pdf_converter.py:23-448) are all hash-checked in SQL."""
+    import raycrawl.office_fixtures as of
 
-    ds = rd.read_binary_files(files_dir, include_paths=True,
-                              file_extensions=["xlsx"])
-    out = ds.map_batches(ConvertStage, batch_format="pyarrow",
-                         concurrency=_pool(0.4)).to_pandas()
-    out["doc_id"] = (out["path"].str.extract(r"doc(\d+)\.xlsx$")
-                     .astype("int64"))
-    assert (out["status"] == "ok").all()
-    return out[["doc_id", "markdown"]]
+    def build_row(doc_id: int, text) -> bytes:
+        return of.build_pdf(
+            [[f"SECTION {doc_id}", text or ""],
+             ["- alpha", f"- beta {doc_id}", "- gamma"]],
+            title=f"Document {doc_id}", compress=bool(doc_id % 2))
+
+    return _office_fixture_query(
+        sf_dir, "pdf", build_row,
+        out_cols=("doc_id", "markdown", "metadata_json"))
 
 
 def _q_part_brand(sf_dir: str):
@@ -870,6 +877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_survivors": _q_dedup_survivors,
         "convert_docx": _q_convert_docx,
         "convert_xlsx": _q_convert_xlsx,
+        "convert_pdf": _q_convert_pdf,
     }
 
 
@@ -1344,18 +1352,37 @@ def oracle_sql() -> dict[str, str]:
             "% 100 < 10"
         ),
         # closed-form expected markdown of the generated .docx per row
+        # (COALESCE mirrors the query side's `text or ''`, ADVICE r2)
         "convert_docx": (
-            "SELECT doc_id, CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' "
+            "SELECT doc_id, CASE WHEN trim(COALESCE(text, ''), ' ' || chr(9) || chr(10) || chr(13)) = '' "
             "THEN '# Document ' || CAST(doc_id AS VARCHAR) "
             "ELSE '# Document ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) "
-            "  || trim(text, ' ' || chr(9) || chr(10) || chr(13)) END AS markdown "
+            "  || trim(COALESCE(text, ''), ' ' || chr(9) || chr(10) || chr(13)) END AS markdown "
+            "FROM documents"
+        ),
+        # closed-form expected markdown of the generated two-page .pdf:
+        # page 1 = page marker + 'SECTION {id}' heading (+ the text
+        # paragraph), page 2 = page marker + the unordered list rendered at
+        # child level (4-space indent; the renderer's strip() eats the
+        # first item's indent) — metadata_json locks pages/tables/images
+        "convert_pdf": (
+            "SELECT doc_id, "
+            "'## Page 1' || chr(10) || chr(10) || "
+            "'## SECTION ' || CAST(doc_id AS VARCHAR) || "
+            "CASE WHEN trim(COALESCE(text, ''), ' ' || chr(9) || chr(10) || chr(13)) = '' THEN '' "
+            "ELSE chr(10) || chr(10) || trim(COALESCE(text, ''), ' ' || chr(9) || chr(10) || chr(13)) END "
+            "|| chr(10) || chr(10) || '## Page 2' || chr(10) || chr(10) || "
+            "'- alpha' || chr(10) || '    - beta ' || CAST(doc_id AS VARCHAR) "
+            "|| chr(10) || '    - gamma' AS markdown, "
+            "'{\"equations_count\": null, \"images_count\": 0, "
+            "\"pages\": 2, \"tables_count\": 0}' AS metadata_json "
             "FROM documents"
         ),
         # closed-form expected markdown of the generated .xlsx per row:
         # '## Sheet: D' + the width-padded pipe table (rpad/repeat)
         "convert_xlsx": (
             "WITH v AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS c1, "
-            "  CAST(length(text) AS VARCHAR) AS c2 FROM documents), "
+            "  CAST(length(COALESCE(text, '')) AS VARCHAR) AS c2 FROM documents), "
             "w AS (SELECT doc_id, c1, c2, "
             "  CAST(GREATEST(6, length(c1)) AS INTEGER) AS w1, CAST(GREATEST(7, length(c2)) AS INTEGER) AS w2 FROM v) "
             "SELECT doc_id, "

@@ -14,8 +14,12 @@ replicated on top of this module's own text extractor:
   stripping, ordered detection from the first item;
 - /Info metadata incl. the ``D:YYYYMMDDHHMMSS`` date conversion
   (pdf_converter.py:84-110);
-- images: XObject /Subtype /Image count (re-encode path needs a codec;
-  raw bytes are NOT embedded to keep markdown bounded).
+- images: per-page XObject /Subtype /Image extraction (filter dispatch as
+  pdf_converter.py:176-210) fed through the M26 KB-budget ``encode_image``
+  (multimodal.py) into base64 data-URI IMAGE elements, reference metadata
+  keys included (pdf_converter.py:145-160). The pixel codec is the
+  declared deterministic stand-in (PIL absent); the budget/resize
+  arithmetic and the data-URI shape are exact.
 
 Text-extractor spec (this engine's PyPDF2-replacement, documented
 contract): text-showing ops (Tj, ', ", TJ — numbers in TJ ignored) append
@@ -33,6 +37,7 @@ import zlib
 from datetime import datetime
 
 from .convert import DocumentElement, DocumentStructure, ElementType
+from .ops.multimodal import encode_image
 
 PARA_DROP = 20.0
 
@@ -42,6 +47,24 @@ _REF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+\d+\s+R")
 _KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.DOTALL)
 _NUMREF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _INFO_ENTRY_RE = re.compile(rb"/(\w+)\s*\((.*?)(?<!\\)\)", re.DOTALL)
+
+
+def _raw_stream(body: bytes) -> "bytes | None":
+    """Raw stream payload of one object body. Sliced by /Length when
+    present (a trailing 0x0D data byte would otherwise be eaten by the
+    ``\\r?\\nendstream`` pattern — compressed streams hit this ~1/256 of
+    the time); regex fallback for length-less damaged objects."""
+    m = re.search(rb"stream\r?\n", body)
+    if not m:
+        return None
+    start = m.end()
+    lm = re.search(rb"/Length\s+(\d+)", body[: m.start()])
+    if lm:
+        n = int(lm.group(1))
+        if start + n <= len(body):
+            return body[start : start + n]
+    em = _STREAM_RE.search(body)
+    return em.group(1) if em else None
 
 
 class _Pdf:
@@ -54,10 +77,9 @@ class _Pdf:
         return {k.decode(): int(v) for k, v in _REF_RE.findall(body)}
 
     def stream_of(self, body: bytes) -> bytes:
-        m = _STREAM_RE.search(body)
-        if not m:
+        data = _raw_stream(body)
+        if data is None:
             return b""
-        data = m.group(1)
         if b"/FlateDecode" in body.split(b"stream", 1)[0]:
             try:
                 data = zlib.decompress(data)
@@ -65,8 +87,8 @@ class _Pdf:
                 pass
         return data
 
-    def pages(self) -> list[bytes]:
-        """Page content streams in document order (walk Root→Pages→Kids)."""
+    def page_nodes(self) -> list[bytes]:
+        """Page object bodies in document order (walk Root→Pages→Kids)."""
         root_id = None
         for oid, body in self.objects.items():
             if b"/Type" in body and b"/Catalog" in body:
@@ -80,11 +102,7 @@ class _Pdf:
         def walk(oid: int) -> None:
             body = self.objects.get(oid, b"")
             if b"/Page" in body and b"/Pages" not in body:
-                c = self.dict_refs(body).get("Contents")
-                if c is not None:
-                    out.append(self.stream_of(self.objects.get(c, b"")))
-                else:
-                    out.append(b"")
+                out.append(body)
                 return
             km = _KIDS_RE.search(body)
             if km:
@@ -95,9 +113,35 @@ class _Pdf:
             walk(pages_ref)
         return out
 
-    def page_image_counts(self) -> int:
-        return sum(1 for body in self.objects.values()
-                   if b"/Subtype" in body and b"/Image" in body)
+    def content_of(self, page_body: bytes) -> bytes:
+        c = self.dict_refs(page_body).get("Contents")
+        if c is None:
+            return b""
+        return self.stream_of(self.objects.get(c, b""))
+
+    def pages(self) -> list[bytes]:
+        """Page content streams in document order."""
+        return [self.content_of(b) for b in self.page_nodes()]
+
+    def page_image_objects(self, page_body: bytes) -> list[bytes]:
+        """Resolved /XObject /Image bodies for one page (reference
+        pdf_converter.py:123-133: per-page /Resources → /XObject walk).
+        /Resources may be inline or an indirect ref."""
+        src = page_body
+        if b"/XObject" not in src:
+            m = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", src)
+            if not m:
+                return []
+            src = self.objects.get(int(m.group(1)), b"")
+        xm = re.search(rb"/XObject\s*<<(.*?)>>", src, re.DOTALL)
+        if not xm:
+            return []
+        out = []
+        for oid in _NUMREF_RE.findall(xm.group(1)):
+            body = self.objects.get(int(oid), b"")
+            if b"/Subtype" in body and b"/Image" in body:
+                out.append(body)
+        return out
 
     def info(self) -> dict[str, str]:
         for body in self.objects.values():
@@ -225,6 +269,37 @@ def extract_page_text(stream: bytes) -> str:
 # reference heuristics (pdf_converter.py:281-447)
 # ---------------------------------------------------------------------------
 
+_IMG_FORMAT_MAP = {b"DCTDecode": "JPEG", b"JPXDecode": "JP2",
+                   b"CCITTFaxDecode": "PNG", b"FlateDecode": "PNG"}
+
+
+def _image_payload(body: bytes) -> "tuple[bytes, str] | None":
+    """(decoded-or-raw bytes, format) per the reference's filter dispatch
+    (pdf_converter.py:176-210): FlateDecode → inflated pixel data;
+    DCT/JPX/CCITTFax → raw codec stream; missing/other filter → None
+    (image skipped, matching the reference's exception→None path)."""
+    fm = re.search(rb"/Filter\s*(?:\[\s*)?/(\w+)", body)
+    if not fm:
+        return None
+    filt = fm.group(1)
+    if filt not in _IMG_FORMAT_MAP:
+        return None
+    data = _raw_stream(body)
+    if data is None:
+        return None
+    if filt == b"FlateDecode":
+        try:
+            data = zlib.decompress(data)
+        except zlib.error:
+            return None
+    return data, _IMG_FORMAT_MAP[filt]
+
+
+def _int_entry(body: bytes, key: bytes) -> "int | None":
+    m = re.search(rb"/" + key + rb"\s+(\d+)", body)
+    return int(m.group(1)) if m else None
+
+
 _HEADING_PATTERNS = [r"^\d+[\.\)]\s", r"^[A-Z][^a-z]+$",
                      r"^(?:Chapter|Section|Part)\s+\d+", r"^\d+\.\d+\s"]
 _LIST_PATTERNS = [r"^\s*[\-\*•]\s", r"^\s*\d+[\.\)]\s", r"^\s*[a-z][\.\)]\s",
@@ -300,13 +375,43 @@ def convert_pdf(content: bytes) -> tuple[str, dict]:
             type=ElementType.METADATA, content=meta_fields,
             metadata={"source": "pdf_metadata"}))
 
-    pages = pdf.pages()
+    page_bodies = pdf.page_nodes()
     tables_found = 0
-    for page_num, stream in enumerate(pages, 1):
+    images_found = 0
+    image_counter = 0
+    for page_num, page_body in enumerate(page_bodies, 1):
         structure.add_element(DocumentElement(
             type=ElementType.HEADING, content=f"Page {page_num}",
             metadata={"type": "page_marker", "page_number": page_num},
             level=2))
+
+        # images first (reference order: images → tables → text,
+        # pdf_converter.py:49-58); embedded via the M26 KB-budget encode
+        for img_body in pdf.page_image_objects(page_body):
+            payload = _image_payload(img_body)
+            if payload is None:
+                continue
+            data, fmt = payload
+            image_counter += 1
+            width = _int_entry(img_body, b"Width")
+            height = _int_entry(img_body, b"Height")
+            cs = re.search(rb"/ColorSpace\s*/(\w+)", img_body)
+            encoded = encode_image(data, width or 16, height or 16,
+                                   format=fmt)
+            if encoded:
+                structure.add_element(DocumentElement(
+                    type=ElementType.IMAGE, content=encoded,
+                    metadata={"page": page_num,
+                              "image_number": image_counter,
+                              "width": width, "height": height,
+                              "bits": _int_entry(img_body,
+                                                 b"BitsPerComponent"),
+                              "color_space": cs.group(1).decode()
+                              if cs else None,
+                              "format": fmt}))
+                images_found += 1
+
+        stream = pdf.content_of(page_body)
         text = extract_page_text(stream)
 
         # table sniffing (reference order: tables first, then text flow)
@@ -359,6 +464,6 @@ def convert_pdf(content: bytes) -> tuple[str, dict]:
         flush_list()
 
     markdown = structure.to_markdown()
-    meta = {"pages": len(pages), "tables_count": tables_found,
-            "images_count": pdf.page_image_counts(), "equations_count": None}
+    meta = {"pages": len(page_bodies), "tables_count": tables_found,
+            "images_count": images_found, "equations_count": None}
     return markdown, meta

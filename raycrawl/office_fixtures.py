@@ -225,12 +225,20 @@ def _pdf_escape(s: str) -> str:
 
 
 def build_pdf(pages: list[list[str]], title: "str | None" = None,
-              compress: bool = False) -> bytes:
+              compress: bool = False,
+              images: "dict[int, list[tuple[int, int, bytes, str]]] | None"
+              = None) -> bytes:
     """pages: each page is a list of paragraph strings (internal newlines
     become in-paragraph line advances of -14pt; paragraphs separated by a
-    -28pt advance, which convert_pdf's extractor maps to a blank line)."""
+    -28pt advance, which convert_pdf's extractor maps to a blank line).
+
+    images: optional {page_index: [(width, height, payload, filter), ...]}
+    — each entry becomes an XObject /Image on that page ('FlateDecode'
+    payloads are deflated into the file; 'DCTDecode'/'JPXDecode'/
+    'CCITTFaxDecode' are stored raw, as real JPEG/JP2/fax streams are)."""
     import zlib as _zlib
 
+    images = images or {}
     objs: list[bytes] = []
 
     def content_stream(paras: list[str]) -> bytes:
@@ -245,26 +253,49 @@ def build_pdf(pages: list[list[str]], title: "str | None" = None,
         ops.append("ET")
         return "\n".join(ops).encode("latin-1")
 
+    # allocate object ids: 1 catalog, 2 pages, 3 font, then per page the
+    # page object + its content stream + that page's image XObjects
     n_pages = len(pages)
-    page_obj_ids = [4 + 2 * i for i in range(n_pages)]
-    kids = " ".join(f"{oid} 0 R" for oid in page_obj_ids)
+    next_id = 4
+    layout: list[tuple[int, int, list[int]]] = []
+    for i in range(n_pages):
+        pid, cid = next_id, next_id + 1
+        next_id += 2
+        img_ids = list(range(next_id, next_id + len(images.get(i, ()))))
+        next_id += len(img_ids)
+        layout.append((pid, cid, img_ids))
+    kids = " ".join(f"{pid} 0 R" for pid, _, _ in layout)
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")                 # 1
     objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
                 .encode())                                            # 2
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")  # 3
     for i, paras in enumerate(pages):
+        pid, cid, img_ids = layout[i]
         data = content_stream(paras)
         filt = b""
         if compress:
             data = _zlib.compress(data)
             filt = b" /Filter /FlateDecode"
+        xobj = ""
+        if img_ids:
+            names = " ".join(f"/Im{j + 1} {oid} 0 R"
+                             for j, oid in enumerate(img_ids))
+            xobj = f" /XObject << {names} >>"
         objs.append(
-            f"<< /Type /Page /Parent 2 0 R /Contents {page_obj_ids[i] + 1} 0 R "
-            "/Resources << /Font << /F1 3 0 R >> >> "
-            "/MediaBox [0 0 612 792] >>".encode())                    # 4+2i
+            f"<< /Type /Page /Parent 2 0 R /Contents {cid} 0 R "
+            f"/Resources << /Font << /F1 3 0 R >>{xobj} >> "
+            "/MediaBox [0 0 612 792] >>".encode())
         objs.append(b"<< /Length " + str(len(data)).encode() + filt
-                    + b" >>\nstream\n" + data + b"\nendstream")       # 5+2i
-    info_id = 4 + 2 * n_pages
+                    + b" >>\nstream\n" + data + b"\nendstream")
+        for (w, h, payload, img_filt), oid in zip(images.get(i, ()), img_ids):
+            body = _zlib.compress(payload) if img_filt == "FlateDecode" \
+                else payload
+            objs.append(
+                f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+                f"/BitsPerComponent 8 /ColorSpace /DeviceRGB "
+                f"/Filter /{img_filt} /Length {len(body)} >>".encode()
+                + b"\nstream\n" + body + b"\nendstream")
+    info_id = next_id
     info = "<< /Producer (raycrawl-fixtures)"
     if title:
         info += f" /Title ({_pdf_escape(title)})"

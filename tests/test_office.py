@@ -232,3 +232,52 @@ def test_pdf_registry_and_convert_stage(tmp_path):
                          concurrency=2).to_pandas()
     assert (out["status"] == "ok").all()
     assert out["markdown"].str.contains("## Page 1").all()
+
+
+def test_pdf_images_embedded_with_kb_budget():
+    """M23 image path (VERDICT r2 item 3): XObject /Image streams →
+    filter dispatch → M26 encode_image (KB-budget resize + base64
+    data-URI), reference metadata keys; images_count counts EMBEDDED
+    images (pdf_converter.py:145-168)."""
+    import base64
+
+    from raycrawl.convert_pdf import convert_pdf
+    from raycrawl.office_fixtures import build_pdf
+
+    small = b"smallpix " * 100          # <500 KB → no resize
+    big = b"bigpixels " * 80_000        # ~781 KB raw → resize path
+    pdf = build_pdf(
+        [["Page one body text."], ["Page two body text."]],
+        images={0: [(40, 30, small, "FlateDecode")],
+                1: [(1000, 800, big, "DCTDecode")]})
+    md, meta = convert_pdf(pdf)
+    assert meta["pages"] == 2
+    assert meta["images_count"] == 2
+    assert "![Image](data:image/png;base64," in md
+    assert "![Image](data:image/jpeg;base64," in md
+    # images precede the page's text (reference order: images→tables→text)
+    assert md.index("image/png") < md.index("Page one body text.")
+
+    # exact KB-budget arithmetic on the resize path: 781.25 KB > 500 KB →
+    # scale=(500/cs)**0.5, dims int(w*s)/int(h*s), fake-JPEG size
+    # max(16, int(h'*w'*0.35))
+    uri = next(ln for ln in md.split("\n") if "image/jpeg" in ln)
+    payload = base64.b64decode(uri.split("base64,")[1].rstrip(")"))
+    cs = len(big) / 1024
+    s = (500 / cs) ** 0.5
+    nw, nh = int(1000 * s), int(800 * s)
+    assert len(payload) == max(16, int(nh * nw * 0.35))
+
+
+def test_pdf_image_unknown_filter_skipped():
+    """Missing/unsupported /Filter → image skipped (reference
+    _extract_image_data exception→None path), not an error row."""
+    from raycrawl.convert_pdf import convert_pdf
+    from raycrawl.office_fixtures import build_pdf
+
+    pdf = build_pdf([["text stays."]],
+                    images={0: [(8, 8, b"x" * 64, "LZWDecode")]})
+    md, meta = convert_pdf(pdf)
+    assert meta["images_count"] == 0
+    assert "![Image]" not in md
+    assert "text stays." in md
