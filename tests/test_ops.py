@@ -416,3 +416,39 @@ def test_spacesaving_guarantees_and_merge():
     ds = rd.from_pandas(pd.DataFrame({"k": stream}))
     hh = heavy_hitters(ds, "k", k=5, capacity=64)
     assert list(hh["est_count"]) == [40, 39, 38, 37, 36]
+
+
+def test_embedding_dup_pairs_auto_flip():
+    """VERDICT r2 item 2: method='auto' picks the exact broadcast path only
+    with a known-small cardinality hint; otherwise (or with no hint) the
+    bucketed scale path — and the auto-bucketed result matches exact when
+    every vector is assigned to every bucket (nassign == nlist)."""
+    from raycrawl.ops.dedup import (
+        _EMBEDDING_EXACT_ROWS,
+        _select_embedding_method,
+        embedding_dup_pairs,
+    )
+
+    assert _select_embedding_method("auto", 10_000) == "exact"
+    assert _select_embedding_method("auto", _EMBEDDING_EXACT_ROWS) == "exact"
+    assert _select_embedding_method("auto",
+                                    _EMBEDDING_EXACT_ROWS + 1) == "bucketed"
+    assert _select_embedding_method("auto", None) == "bucketed"
+    assert _select_embedding_method("exact", None) == "exact"
+
+    rng = np.random.RandomState(7)
+    mat = rng.randn(60, 8)
+    mat[30:] = mat[:30] + rng.randn(30, 8) * 0.01  # planted near-dups
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(60, dtype="int64"),
+        "embedding": pd.Series(list(mat))}))
+    exact = embedding_dup_pairs(ds, threshold=0.95).to_pandas()
+    auto = embedding_dup_pairs(ds, threshold=0.95, method="auto",
+                               cardinality_hint=10**9, nlist=4,
+                               nassign=4).to_pandas()
+
+    def pairset(df):
+        return set(zip(df["id_a"], df["id_b"])) if len(df) else set()
+
+    assert len(pairset(exact)) >= 30
+    assert pairset(auto) == pairset(exact)
