@@ -360,34 +360,79 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, ngram: int = 3,
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over word features (Charikar 2002, public alg).
+_SIMHASH_DENSE_CELLS = 8_000_000  # n_docs × batch-vocab cells for the
+                                  # dense bincount+matmul fast path
 
-    Feature hash = md5 first-8-bytes big-endian (SQL-reproducible:
-    ('0x'||substr(md5(tok),1,16))::UBIGINT), bit votes vectorized via one
-    unpackbits over the whole token batch. Bit i of the fingerprint (MSB
-    first) is 1 iff Σ_tokens (±1 per bit) > 0."""
-    toks = _WORD_RE.findall(text)
-    if not toks:
-        return 0
-    digs = b"".join(hashlib.md5(t.encode()).digest()[:8] for t in toks)
+
+def _simhash_batch(texts: "list[str]") -> np.ndarray:
+    """Vectorized 64-bit SimHash over word features for a whole batch
+    (Charikar 2002, public alg). Feature hash = md5 first-8-bytes
+    big-endian (SQL-reproducible:
+    ('0x'||substr(md5(tok),1,16))::UBIGINT). Bit i of the fingerprint
+    (MSB first) is 1 iff Σ_tokens (±1 per bit) > 0.
+
+    Each UNIQUE token in the batch is md5'd exactly once (VERDICT r2
+    item 4 — corpus token reuse is high, so this removes the dominant
+    per-token call chain); vote accumulation is one ``add.reduceat``
+    over the batch-wide ±1 sign matrix. Returns uint64 fingerprints."""
+    n = len(texts)
+    vocab: dict[str, int] = {}
+    flat: list[int] = []
+    lens = np.zeros(n, dtype=np.int64)
+    for d, text in enumerate(texts):
+        toks = _WORD_RE.findall(text or "")
+        lens[d] = len(toks)
+        get = vocab.get
+        for t in toks:
+            j = get(t)
+            if j is None:
+                j = len(vocab)
+                vocab[t] = j
+            flat.append(j)
+    out = np.zeros(n, dtype=np.uint64)
+    if not vocab:
+        return out
+    V = len(vocab)
+    digs = b"".join(hashlib.md5(t.encode()).digest()[:8] for t in vocab)
     bits = np.unpackbits(np.frombuffer(digs, dtype=np.uint8)
-                         .reshape(len(toks), 8), axis=1)
-    votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-    out = 0
-    for i, v in enumerate(votes):
-        if v > 0:
-            out |= 1 << (63 - i)
+                         .reshape(V, 8), axis=1)
+    signs = (2 * bits.astype(np.int32) - 1)          # (V, 64)
+    flat_arr = np.asarray(flat, dtype=np.int64)
+    if n * V <= _SIMHASH_DENSE_CELLS:
+        # small batch vocab (high corpus token reuse): per-doc token-count
+        # matrix × sign matrix — one tiny matmul, no per-token matrix
+        docix = np.repeat(np.arange(n, dtype=np.int64), lens)
+        counts = np.bincount(docix * V + flat_arr,
+                             minlength=n * V).reshape(n, V)
+        votes = counts @ signs.astype(np.int64)      # (n, 64)
+        packed = np.packbits((votes > 0).astype(np.uint8), axis=1)
+        # assignment converts the big-endian view to native uint64
+        out[:] = np.ascontiguousarray(packed).view(">u8").ravel()
+        return out
+    # huge batch vocab: segment-sum the per-token ±1 rows instead of
+    # densifying an n×V count matrix
+    contrib = signs[flat_arr]                        # (total_tokens, 64)
+    starts = np.zeros(n, dtype=np.int64)
+    starts[1:] = np.cumsum(lens)[:-1]
+    nz = lens > 0  # add.reduceat misreads empty segments; mask them out
+    votes = np.add.reduceat(contrib, starts[nz], axis=0)
+    packed = np.packbits((votes > 0).astype(np.uint8), axis=1)
+    out[nz] = np.ascontiguousarray(packed).view(">u8").ravel()
     return out
+
+
+def simhash64(text: str) -> int:
+    """Single-document SimHash (see ``_simhash_batch`` for the contract)."""
+    return int(_simhash_batch([text])[0])
 
 
 def simhash_fingerprints(ds, id_col: str = "doc_id", text_col: str = "text"):
     def fp(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col)
-        hashes = [simhash64(t or "") for t in batch.column(text_col).to_pylist()]
+        u = _simhash_batch(batch.column(text_col).to_pylist())
         # store as int64 (two's-complement view of the uint64 fingerprint)
-        signed = [h - (1 << 64) if h >= (1 << 63) else h for h in hashes]
-        return pa.table({id_col: ids, "simhash": pa.array(signed, pa.int64())})
+        return pa.table({id_col: ids,
+                         "simhash": pa.array(u.view(np.int64), pa.int64())})
 
     return ds.map_batches(fp, batch_format="pyarrow")
 

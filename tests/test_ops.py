@@ -452,3 +452,26 @@ def test_embedding_dup_pairs_auto_flip():
 
     assert len(pairset(exact)) >= 30
     assert pairset(auto) == pairset(exact)
+
+
+def test_simhash_batch_paths_equivalent(monkeypatch):
+    """The dense bincount+matmul fast path and the reduceat segment-sum
+    fallback must produce identical fingerprints (VERDICT r2 item 4)."""
+    import raycrawl.ops.dedup as dd
+
+    rng = np.random.RandomState(3)
+    texts = ["", "repeated words repeated words"] + [
+        " ".join(f"tok{rng.randint(0, 5000)}" for _ in range(40))
+        for _ in range(50)]
+    fast = dd._simhash_batch(texts)
+    monkeypatch.setattr(dd, "_SIMHASH_DENSE_CELLS", 0)
+    slow = dd._simhash_batch(texts)
+    assert (fast == slow).all()
+    assert fast[0] == 0 and fast[1] != 0
+    # native byte order (a big-endian view here silently corrupts the
+    # int64 reinterpret in simhash_fingerprints)
+    assert fast.dtype == np.uint64 and fast.dtype.isnative
+    assert slow.dtype == np.uint64 and slow.dtype.isnative
+    # per-doc reference implementation agreement
+    assert int(fast[1]) == dd.simhash64(texts[1])
+    assert int(fast[5]) == dd.simhash64(texts[5])
