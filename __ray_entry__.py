@@ -56,12 +56,18 @@ def _crawl_oracle_dir() -> str:
 
     import raycrawl.extract
     import raycrawl.fixtures
+    import raycrawl.gen_golden
     import raycrawl.oracle
 
     h = hashlib.sha1()
-    for mod in (raycrawl.oracle, raycrawl.fixtures, raycrawl.extract):
+    # gen_golden carries SEED/T2/CRAWL_KW; the polite-config constants live
+    # in this module — all are semantics-defining for the cached parquet
+    # (ADVICE r2: omitting them silently reused stale oracle output)
+    for mod in (raycrawl.oracle, raycrawl.fixtures, raycrawl.extract,
+                raycrawl.gen_golden):
         with open(mod.__file__, "rb") as f:
             h.update(f.read())
+    h.update(repr((_POLITE_SEEDS, sorted(_POLITE_KW.items()))).encode())
     out_dir = f"/tmp/raycrawl_oracle/{h.hexdigest()[:12]}"
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
@@ -166,22 +172,30 @@ def _q_extract_links(sf_dir: str):
     pages = rd.read_parquet(_docs_corpus(sf_dir), columns=["url", "warc_ts", "html"])
     out = scrape_dataset(pages, concurrency=_pool(0.5), batch_size=64)
 
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        src, dst = [], []
-        for u, links in zip(batch["url"], batch["links"]):
-            m = _DOC_URL_RE.search(u)
-            if not m:
-                continue
-            for link in links:
-                m2 = _DOC_URL_RE.search(link)
-                if m2:
-                    src.append(int(m.group(1)))
-                    dst.append(int(m2.group(1)))
-        return pd.DataFrame({"src_doc_id": pd.Series(src, dtype="int64"),
-                             "dst_doc_id": pd.Series(dst, dtype="int64")})
+    def explode(batch: "pa.Table") -> "pa.Table":
+        # vectorized list explode (VERDICT r2 item 8): flatten the Arrow
+        # list column once, repeat src ids by parent index — no row loop
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        links = batch.column("links").combine_chunks()
+        if isinstance(links, pa.ChunkedArray):
+            links = links.chunk(0) if links.num_chunks else pa.array(
+                [], pa.list_(pa.string()))
+        src_ids = pc.extract_regex(batch.column("url"),
+                                   r"/doc(?P<id>\d+)\.html$")
+        src_ids = pc.cast(pc.struct_field(src_ids, "id"), pa.int64())
+        flat = links.flatten()
+        parent = links.value_parent_indices()
+        src = pc.take(src_ids, parent)
+        dst_m = pc.extract_regex(flat, r"/doc(?P<id>\d+)\.html$")
+        dst = pc.cast(pc.struct_field(dst_m, "id"), pa.int64())
+        keep = pc.and_kleene(pc.is_valid(src), pc.is_valid(dst))
+        return pa.table({"src_doc_id": pc.filter(src, keep),
+                         "dst_doc_id": pc.filter(dst, keep)})
 
     return (out.select_columns(["url", "links"])
-            .map_batches(explode, batch_format="pandas").to_pandas())
+            .map_batches(explode, batch_format="pyarrow").to_pandas())
 
 
 def _q_crawl_bfs(sf_dir: str):
@@ -585,8 +599,11 @@ def _q_knn_ivf(sf_dir: str):
     st = os.stat(path)
     key = hashlib.sha1(
         f"{path}|{st.st_mtime_ns}|{st.st_size}|16".encode()).hexdigest()[:12]
+    import pyarrow.parquet as pq
+
     return knn_ivf(emb, query_ids=list(range(10)), k=10, nlist=16, nprobe=16,
-                   index_dir=f"/tmp/raycrawl_ivf/q_{key}")
+                   index_dir=f"/tmp/raycrawl_ivf/q_{key}",
+                   cardinality_hint=pq.ParquetFile(path).metadata.num_rows)
 
 
 def _q_knn_semantic(sf_dir: str):

@@ -111,15 +111,23 @@ class FrontierShardLocal:
     ) -> int:
         """items: (seq, depth, url, host, parent_url, url_key).
 
-        ``add`` on the raw cuckoo filter always succeeds (victims go to the
-        stash; see cuckoo.py) — the only False return is ExactShadow's
-        exact-duplicate signal, which means the key was already confirmed in
-        an earlier batch; the URL is still queued so no admitted seq is ever
-        dropped."""
+        CONTRACT (enforced): the driver issues exactly ONE ``check_batch``
+        round per shard per wave and inserts only keys that round admitted,
+        so no key offered here can already be in the seen set. ``add`` on
+        the raw cuckoo filter always succeeds (victims go to the stash; see
+        cuckoo.py) — the only False return is ExactShadow's exact-duplicate
+        signal, which under the contract means a caller admitted the same
+        URL twice (two seqs → the page would be crawled twice). That is a
+        driver bug, not a recoverable state, so it raises (ADVICE r2)
+        instead of silently double-queueing."""
         n = 0
         for seq, depth, url, host, parent, key in items:
             if not self.seen.add(key):
                 self.n_insert_dup += 1
+                raise RuntimeError(
+                    f"insert_batch: url already in seen set ({url!r}, "
+                    f"seq={seq}) — caller violated the one-check_batch-"
+                    f"per-wave admission contract")
             heapq.heappush(self.heap, (depth, seq, url, host, parent))
             n += 1
         self.n_admitted += n

@@ -46,6 +46,23 @@ def _bucket_of(series: pd.Series, num_buckets: int) -> pd.Series:
 
 
 _STAGE_DIRS: list[str] = []
+# auto-created staging kept on disk at once; older dirs are evicted FIFO
+# (ADVICE r2: atexit alone let a long-lived driver accumulate unbounded
+# /tmp Parquet). A joined dataset must therefore be consumed before
+# _MAX_STAGE_DIRS further auto-staged joins start; callers needing longer
+# staging lifetimes pass an explicit stage_dir they own.
+_MAX_STAGE_DIRS = 8
+
+
+def _register_stage_dir(stage_dir: str) -> None:
+    import atexit
+    import shutil
+
+    if not _STAGE_DIRS:
+        atexit.register(_cleanup_stage_dirs)
+    _STAGE_DIRS.append(stage_dir)
+    while len(_STAGE_DIRS) > _MAX_STAGE_DIRS:
+        shutil.rmtree(_STAGE_DIRS.pop(0), ignore_errors=True)
 
 
 def _cleanup_stage_dirs() -> None:
@@ -63,16 +80,15 @@ def bucket_hash_join(left_ds, right_ds, left_on: str, right_on: str,
 
     The right side is staged to Parquet under ``stage_dir``; the returned
     dataset is lazy, so the staging cannot be removed eagerly — auto-created
-    temp dirs are registered for atexit cleanup (bounded by process
-    lifetime, not leaked forever). Pass ``stage_dir`` to manage the
-    lifecycle yourself (e.g. to reuse a staged side across joins)."""
+    temp dirs are kept in a FIFO registry capped at ``_MAX_STAGE_DIRS``
+    (older staging evicted as new joins start) plus atexit cleanup, so a
+    long-lived driver never accumulates unbounded /tmp Parquet. Consume a
+    joined dataset before starting ``_MAX_STAGE_DIRS`` further auto-staged
+    joins, or pass ``stage_dir`` to manage the lifecycle yourself (e.g. to
+    reuse a staged side across joins)."""
     if stage_dir is None:
-        import atexit
-
         stage_dir = tempfile.mkdtemp(prefix="raycrawl_join_", dir="/tmp")
-        if not _STAGE_DIRS:
-            atexit.register(_cleanup_stage_dirs)
-        _STAGE_DIRS.append(stage_dir)
+        _register_stage_dir(stage_dir)
 
     def tag_right(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.assign(__bucket=_bucket_of(batch[right_on], num_buckets))

@@ -98,7 +98,8 @@ def _kmeans(mat: np.ndarray, nlist: int, iters: int = 10,
 
 def build_ivf_index(ds, index_dir: str, nlist: int = 16,
                     sample_size: int = 4096, id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> np.ndarray:
+                    vec_col: str = "embedding",
+                    cardinality_hint: "int | None" = None) -> np.ndarray:
     """Stage vectors into a bucket-partitioned Parquet IVF index: train a
     coarse quantizer on a sample (numpy Lloyd, seed-fixed), assign every
     vector to its nearest centroid inside ``map_batches``, and write
@@ -141,8 +142,12 @@ def build_ivf_index(ds, index_dir: str, nlist: int = 16,
 
     os.makedirs(index_dir, exist_ok=True)
     # coalesce write tasks so each bucket partition gets a handful of
-    # files, not one per upstream block (files = write-tasks × buckets)
-    n_blocks = max(1, ds.count() // 100_000 + 1)
+    # files, not one per upstream block (files = write-tasks × buckets).
+    # cardinality_hint (e.g. parquet metadata row count) avoids the
+    # ds.count() below, which for a transformed input would execute the
+    # whole upstream pipeline an extra time (ADVICE r2)
+    n_rows = cardinality_hint if cardinality_hint is not None else ds.count()
+    n_blocks = max(1, n_rows // 100_000 + 1)
     ds.map_batches(assign, batch_format="pandas").repartition(
         n_blocks).write_parquet(index_dir, partition_cols=["ivf_bucket"])
     with open(os.path.join(index_dir, "_centroids.json"), "w") as f:
@@ -155,7 +160,8 @@ def build_ivf_index(ds, index_dir: str, nlist: int = 16,
 def knn_ivf(ds, query_ids: list[int], k: int = 10, nlist: int = 16,
             nprobe: int = 4, sample_size: int = 4096,
             id_col: str = "vec_id", vec_col: str = "embedding",
-            index_dir: "str | None" = None):
+            index_dir: "str | None" = None,
+            cardinality_hint: "int | None" = None):
     """IVF approximate top-k with REAL partition pruning: vectors live in a
     centroid-bucketed Parquet index (``build_ivf_index``); a query set
     probes the union of its ``nprobe`` nearest buckets and ONLY those
@@ -183,7 +189,8 @@ def knn_ivf(ds, query_ids: list[int], k: int = 10, nlist: int = 16,
         index_dir = tempfile.mkdtemp(prefix="raycrawl_ivf_", dir="/tmp")
     centroids = build_ivf_index(ds, index_dir, nlist=nlist,
                                 sample_size=sample_size, id_col=id_col,
-                                vec_col=vec_col)
+                                vec_col=vec_col,
+                                cardinality_hint=cardinality_hint)
 
     import glob as _glob
 

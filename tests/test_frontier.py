@@ -119,3 +119,17 @@ def test_robots_crawl_delay_overrides_politeness():
     slow_counts = [w.count("slow.example") for w in pops_by_wave]
     assert max(slow_counts) == 1
     assert sum(slow_counts) == 4
+
+
+def test_insert_batch_rejects_double_admission():
+    """ADVICE r2: inserting a key already confirmed in the seen set is a
+    violated admission contract (two seqs for one URL → double crawl) and
+    must raise loudly, not silently double-queue."""
+    import pytest
+
+    s = FrontierShardLocal(0, respect_robots=False)
+    u = "https://h.example/dup"
+    s.insert_batch([(0, 0, u, "h.example", None, _k(u))])
+    with pytest.raises(RuntimeError, match="admission contract"):
+        s.insert_batch([(1, 0, u, "h.example", None, _k(u))])
+    assert s.stats()["insert_dups"] == 1

@@ -510,3 +510,26 @@ def test_tree_merge_empty_dataset():
     empty = rd.from_pandas(pd.DataFrame({"v": pd.Series([], dtype="int64")}))
     assert approx_distinct(empty, "v", p=10) == 0.0
     assert len(heavy_hitters(empty, "v", k=3)) == 0
+
+
+def test_join_stage_dirs_capped(monkeypatch):
+    """ADVICE r2: auto-created join staging is FIFO-capped, not
+    accumulated for the life of the process."""
+    import os
+
+    import raycrawl.ops.join as rj
+
+    monkeypatch.setattr(rj, "_MAX_STAGE_DIRS", 2)
+    left = rd.from_pandas(pd.DataFrame({"k": np.arange(10, dtype="int64"),
+                                        "lv": np.arange(10)}))
+    right = rd.from_pandas(pd.DataFrame({"rk": np.arange(10, dtype="int64"),
+                                         "rv": np.arange(10)}))
+    made = []
+    for _ in range(5):
+        out = rj.bucket_hash_join(left, right, left_on="k", right_on="rk",
+                                  num_buckets=2).to_pandas()
+        assert len(out) == 10
+        made.append(rj._STAGE_DIRS[-1])
+    live = [d for d in made if os.path.isdir(d)]
+    assert len(live) <= 2
+    assert len(rj._STAGE_DIRS) <= 2
