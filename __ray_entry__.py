@@ -666,6 +666,15 @@ def _q_sessionize(sf_dir: str):
     return events_sessionize(sf_dir)
 
 
+def _q_sessionize_sliced(sf_dir: str):
+    """Hot-key-hardened sessionize (time-sliced pre-aggregation with
+    boundary merge, VERDICT r2 item 6) — same semantics and oracle as
+    events_sessionize, with bounded per-group memory."""
+    from raycrawl.ops.relational import events_sessionize_sliced
+
+    return events_sessionize_sliced(sf_dir)
+
+
 
 def _q_events_props(sf_dir: str):
     """Scalar JSON extraction (the reference's json.loads surface, M7/§2.8):
@@ -716,6 +725,15 @@ def _q_events_asof(sf_dir: str):
     from raycrawl.ops.relational import events_asof_prev_purchase
 
     return events_asof_prev_purchase(sf_dir)
+
+
+def _q_events_asof_sliced(sf_dir: str):
+    """Hot-key-hardened as-of join (per-(user,slice) groups + prefix-scan
+    carry, VERDICT r2 item 6) — same semantics and oracle as
+    events_asof_prev_purchase."""
+    from raycrawl.ops.relational import events_asof_sliced
+
+    return events_asof_sliced(sf_dir)
 
 
 def _q_events_hash_sample(sf_dir: str):
@@ -890,12 +908,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_sliding_1h15m": _q_events_sliding,
         "events_sessionize": _q_sessionize,
+        "events_sessionize_sliced": _q_sessionize_sliced,
         "events_props_json": _q_events_props,
         "part_brand_stats": _q_part_brand,
         "q6_revenue_delta": _q_q6,
         "events_latest": _q_events_latest,
         "events_top_per_user": _q_events_top_per_user,
         "events_asof_prev_purchase": _q_events_asof,
+        "events_asof_sliced": _q_events_asof_sliced,
         "events_hash_sample": _q_events_hash_sample,
         "lineitem_distinct_flags": _q_distinct_flags,
         "dedup_survivors": _q_dedup_survivors,
@@ -1333,6 +1353,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions, "
             "CAST(max(n) AS BIGINT) AS max_session_events FROM g GROUP BY user_id"
         ),
+        # identical semantics to events_sessionize — the sliced engine path
+        # must reproduce the one-shot window result exactly
+        "events_sessionize_sliced": (
+            "WITH o AS (SELECT user_id, ts, "
+            "  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events), "
+            "m AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR "
+            "  ts - prev > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk FROM o), "
+            "s AS (SELECT user_id, sum(brk) OVER (PARTITION BY user_id ORDER BY ts "
+            "  ROWS UNBOUNDED PRECEDING) AS sid FROM m), "
+            "g AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY user_id, sid) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions, "
+            "CAST(max(n) AS BIGINT) AS max_session_events FROM g GROUP BY user_id"
+        ),
         "q6_revenue_delta": (
             "SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents, "
             "CAST(count(*) AS BIGINT) AS n_rows FROM lineitem "
@@ -1358,6 +1391,16 @@ def oracle_sql() -> dict[str, str]:
         # max ts, ties broken by max event_id — NOT a ROWS window over ts
         # alone, which is nondeterministic among same-ts rows (ADVICE fix)
         "events_asof_prev_purchase": (
+            "SELECT e.event_id, e.user_id, CAST(COALESCE((("
+            "  SELECT p.event_id FROM events p "
+            "  WHERE p.user_id = e.user_id AND p.event_type = 'purchase' "
+            "  AND p.ts < e.ts "
+            "  ORDER BY p.ts DESC, p.event_id DESC LIMIT 1)), -1) AS BIGINT) "
+            "AS prev_purchase_id FROM events e"
+        ),
+        # identical semantics to events_asof_prev_purchase — the sliced
+        # engine path must reproduce the one-shot as-of result exactly
+        "events_asof_sliced": (
             "SELECT e.event_id, e.user_id, CAST(COALESCE((("
             "  SELECT p.event_id FROM events p "
             "  WHERE p.user_id = e.user_id AND p.event_type = 'purchase' "

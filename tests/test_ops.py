@@ -533,3 +533,165 @@ def test_join_stage_dirs_capped(monkeypatch):
     live = [d for d in made if os.path.isdir(d)]
     assert len(live) <= 2
     assert len(rj._STAGE_DIRS) <= 2
+
+
+def _sessionize_pandas_oracle(df, gap_minutes=30):
+    out = []
+    for uid, g in df.groupby("user_id"):
+        ts = g["ts"].sort_values().to_numpy()
+        breaks = np.diff(ts) > np.timedelta64(gap_minutes * 60, "s")
+        sizes = np.diff(np.concatenate([[0], np.where(breaks)[0] + 1,
+                                        [len(ts)]]))
+        out.append((uid, len(sizes), int(sizes.max())))
+    return pd.DataFrame(out, columns=["user_id", "n_sessions",
+                                      "max_session_events"]) \
+        .astype("int64").sort_values("user_id").reset_index(drop=True)
+
+
+def test_sessionize_sliced_hot_key_skew():
+    """VERDICT r2 item 6: one user owns ~half the events, spread over 30
+    days — the sliced path must (a) split that user across many bounded
+    (user, slice) groups, and (b) still reproduce the exact one-shot
+    window result, including sessions that span slice boundaries."""
+    from raycrawl.ops.relational import (
+        _sessionize_slice_summaries,
+        sessionize_sliced_ds,
+    )
+
+    rng = np.random.RandomState(11)
+    base = np.datetime64("2024-01-01T00:00:00")
+    rows = []
+    # hot user 1: 6000 events over 30 days (every ~7 min → mixed gaps)
+    t = base
+    for i in range(6000):
+        t = t + np.timedelta64(int(rng.randint(60, 3600)), "s")
+        rows.append((1, t))
+    # 50 normal users with sessions that intentionally straddle midnight
+    for uid in range(2, 52):
+        day = base + np.timedelta64(int(rng.randint(0, 28)), "D")
+        start = day + np.timedelta64(23, "h") + np.timedelta64(50, "m")
+        for j in range(6):  # 10-min spacing crosses the day boundary
+            rows.append((uid, start + np.timedelta64(10 * j, "m")))
+        for j in range(4):  # second session later next day
+            rows.append((uid, start + np.timedelta64(5, "h")
+                         + np.timedelta64(10 * j, "m")))
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    df["user_id"] = df["user_id"].astype("int64")
+    ds = rd.from_pandas(df.sample(frac=1.0, random_state=3)
+                        .reset_index(drop=True))
+
+    got = sessionize_sliced_ds(ds, gap_minutes=30, slice_freq="D")
+    exact = _sessionize_pandas_oracle(df)
+    pd.testing.assert_frame_equal(got, exact)
+    # boundary-merge really happened: each normal user has exactly 2
+    # sessions even though the first one crosses midnight
+    assert (got[got["user_id"] >= 2]["n_sessions"] == 2).all()
+
+    # bounded groups: the hot user's history is split across many slices,
+    # and no (user, slice) group holds more than one day of its events
+    summ = _sessionize_slice_summaries(
+        ds, np.timedelta64(30 * 60, "s"), "D").to_pandas()
+    hot = summ[summ["user_id"] == 1]
+    assert len(hot) >= 20
+    per_day = df[df["user_id"] == 1].groupby(
+        df[df["user_id"] == 1]["ts"].dt.floor("D")).size().max()
+    assert per_day < 6000  # the one-shot path would hold all 6000
+
+
+def test_sessionize_sliced_chain_spans_many_slices():
+    """A single unbroken session chain across >2 hourly slices must fold
+    into ONE session with the summed size."""
+    from raycrawl.ops.relational import sessionize_sliced_ds
+
+    base = np.datetime64("2024-03-01T00:10:00")
+    ts = [base + np.timedelta64(20 * i, "m") for i in range(12)]  # 4 hours
+    df = pd.DataFrame({"user_id": np.ones(12, dtype="int64"), "ts": ts})
+    got = sessionize_sliced_ds(rd.from_pandas(df), gap_minutes=30,
+                               slice_freq="h")
+    assert got.iloc[0]["n_sessions"] == 1
+    assert got.iloc[0]["max_session_events"] == 12
+
+
+def test_sessionize_sliced_matches_plain_on_sf():
+    from raycrawl.ops.relational import (
+        events_sessionize,
+        events_sessionize_sliced,
+    )
+
+    plain = events_sessionize("/root/testdata/sf0.001")
+    sliced = events_sessionize_sliced("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(plain, sliced)
+
+
+def test_asof_sliced_hot_key_skew():
+    """Sliced as-of join under user skew: matches the pandas strictly-
+    earlier oracle, including events whose previous purchase lives many
+    purchase-less slices back."""
+    from raycrawl.ops.relational import asof_sliced_ds
+
+    rng = np.random.RandomState(5)
+    base = np.datetime64("2024-01-01T00:00:00")
+    rows = []
+    eid = 0
+    # hot user 1: 3000 events over 25 days, sparse purchases
+    t = base
+    for i in range(3000):
+        t = t + np.timedelta64(int(rng.randint(120, 1500)), "s")
+        rows.append((eid, 1, t, "purchase" if rng.rand() < 0.02 else "view"))
+        eid += 1
+    # user 2: one purchase on day 0, then purchase-less events on days 5-8
+    rows.append((eid, 2, base + np.timedelta64(3, "h"), "purchase")); eid += 1
+    for d in (5, 6, 7, 8):
+        rows.append((eid, 2, base + np.timedelta64(d, "D"), "view")); eid += 1
+    # user 3: never purchases
+    for d in (1, 2):
+        rows.append((eid, 3, base + np.timedelta64(d, "D"), "view")); eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                     "event_type"])
+    df = df.astype({"event_id": "int64", "user_id": "int64"})
+    ds = rd.from_pandas(df.sample(frac=1.0, random_state=7)
+                        .reset_index(drop=True))
+    got = asof_sliced_ds(ds, slice_freq="D")
+
+    # pandas oracle: strictly-earlier purchase, ties (ts desc, id desc)
+    exp_rows = []
+    for r in df.itertuples():
+        p = df[(df["user_id"] == r.user_id)
+               & (df["event_type"] == "purchase") & (df["ts"] < r.ts)]
+        if len(p):
+            p = p.sort_values(["ts", "event_id"]).iloc[-1]
+            exp_rows.append((r.event_id, r.user_id, int(p["event_id"])))
+        else:
+            exp_rows.append((r.event_id, r.user_id, -1))
+    exp = pd.DataFrame(exp_rows, columns=["event_id", "user_id",
+                                          "prev_purchase_id"]) \
+        .astype("int64").sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    # the carry really crossed purchase-less slices
+    u2 = got[got["user_id"] == 2]
+    assert (u2[u2["prev_purchase_id"] != -1]["prev_purchase_id"]
+            == 3000).all()
+    assert (got[got["user_id"] == 3]["prev_purchase_id"] == -1).all()
+
+
+def test_top_per_user_partial_topk_matches_groups():
+    """The per-batch partial top-k path must equal a full per-user sort
+    (monoid property), exercised with small batches forcing many
+    partials."""
+    from raycrawl.ops.relational import events_top_per_user
+
+    got = events_top_per_user("/root/testdata/sf0.001", k=3)
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["user_id", "event_id", "value"])
+    ev = ev.assign(value_millis=np.floor(ev["value"] * 1000 + 0.5)
+                   .astype("int64"))
+    exp = []
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["value_millis", "event_id"],
+                          ascending=[False, True]).head(3)
+        for r, row in enumerate(g.itertuples(), 1):
+            exp.append((uid, row.event_id, row.value_millis, r))
+    exp = pd.DataFrame(exp, columns=["user_id", "event_id", "value_millis",
+                                     "rank"]).astype("int64") \
+        .sort_values(["user_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
