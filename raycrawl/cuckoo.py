@@ -99,14 +99,19 @@ class CuckooFilter:
         if self._try_put(i1, fp) or self._try_put(i2, fp):
             self.count += 1
             return True
-        # evict loop
+        # evict loop; the swap chain is recorded so a failed insert can be
+        # rolled back — raising mid-chain without undo would abandon the
+        # homeless victim (a PREVIOUSLY-ADDED member) and break the
+        # no-false-negative guarantee at exactly the moment it matters
         i = i1 if self._rand(2) == 0 else i2
+        swaps: list[tuple[int, int]] = []
         for _ in range(_MAX_KICKS):
             base = i * _SLOTS_PER_BUCKET * 4
             s = self._rand(_SLOTS_PER_BUCKET)
             off = base + s * 4
             victim = struct.unpack_from("<I", self.table, off)[0]
             struct.pack_into("<I", self.table, off, fp)
+            swaps.append((off, victim))
             fp = victim
             i = (i ^ _fp_hash(fp)) & self._mask
             if self._try_put(i, fp):
@@ -115,9 +120,13 @@ class CuckooFilter:
         # keep the final homeless victim in the stash instead of dropping it
         # (dropping would silently evict a previously-added key)
         if len(self.stash) >= _MAX_STASH:
+            for off, victim in reversed(swaps):  # restore pre-insert table
+                struct.pack_into("<I", self.table, off, victim)
             raise RuntimeError(
                 f"cuckoo filter over capacity (load={self.load_factor:.3f}, "
-                f"stash full at {_MAX_STASH}) — resize the filter")
+                f"stash full at {_MAX_STASH}) — resize the filter; "
+                f"membership state rolled back, the offered key was NOT "
+                f"admitted")
         self.stash.append((i, fp))
         self.count += 1
         return True

@@ -198,6 +198,10 @@ class FrontierShardLocal:
             if not isinstance(self.seen, ExactShadow)
             else len(self.seen.exact),
             "filter_false_positives": getattr(self.seen, "false_positives", 0),
+            # victim-stash pressure (cuckoo near design load): entries that
+            # exhausted their eviction chain and live in the bounded stash
+            "stash_size": len(getattr(
+                getattr(self.seen, "filter", self.seen), "stash", [])),
         }
 
     # -- checkpoint ---------------------------------------------------------

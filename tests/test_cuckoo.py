@@ -116,3 +116,36 @@ def test_deserialize_legacy_pre_stash_snapshot():
     assert g.count == f.count and g.stash == []
     for k in ks:
         assert g.contains(k)
+
+
+def test_stash_pressure_at_design_load_full_scale():
+    """VERDICT r2 item 7 (direct-pressure half): a production-sized filter
+    (131,072 slots — the per-shard sizing of the 1M-page crawl evidence in
+    BASELINE.md) driven into the 0.97 load band with url_key-shaped keys.
+    The victim stash must absorb exhausted eviction chains (stash > 0), no
+    inserted member may ever be lost, and pushing on past the stash bound
+    must raise rather than corrupt membership."""
+    import hashlib
+
+    f = CuckooFilter(capacity=131_068)
+    slots = f.num_buckets * 4
+    assert slots == 131_072
+    n = int(slots * 0.97)
+    ks = [hashlib.sha1(b"url%d" % i).digest()[:12] for i in range(n)]
+    for k in ks:
+        assert f.add(k)
+    assert len(f.stash) > 0, "0.97 load should exhaust some eviction chains"
+    assert len(f.stash) <= 64
+    # no-false-negative sweep over every inserted member
+    assert all(f.contains(k) for k in ks)
+    # past design load the filter must fail loudly, never lie (observed in
+    # the 1M-page crawl probe at load 0.975: RuntimeError, not corruption)
+    import pytest
+
+    added = list(ks)
+    with pytest.raises(RuntimeError, match="over capacity"):
+        for i in range(n, slots + 100):
+            k = hashlib.sha1(b"url%d" % i).digest()[:12]
+            f.add(k)
+            added.append(k)
+    assert all(f.contains(k) for k in added)
