@@ -642,6 +642,14 @@ def _q_region(sf_dir: str):
     return region_customer_stats(sf_dir)
 
 
+def _q_customer_nation_join(sf_dir: str):
+    """Ray-native Dataset.join (hash-shuffle aggregator actors) +
+    map-side-combined per-nation aggregate."""
+    from raycrawl.ops.relational import customer_nation_native_join
+
+    return customer_nation_native_join(sf_dir)
+
+
 def _q_top_orders(sf_dir: str):
     from raycrawl.ops.relational import top_orders_by_revenue
 
@@ -904,6 +912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "q1_pricing_summary": _q_q1,
         "region_customer_stats": _q_region,
+        "customer_nation_join": _q_customer_nation_join,
         "top_orders_by_revenue": _q_top_orders,
         "events_hourly": _q_events_hourly,
         "events_sliding_1h15m": _q_events_sliding,
@@ -1312,6 +1321,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents "
             "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
             "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name"
+        ),
+        # Ray-native Dataset.join path
+        "customer_nation_join": (
+            "SELECT n.n_name AS n_name, CAST(count(*) AS BIGINT) AS n_customers, "
+            "CAST(sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents "
+            "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "GROUP BY n.n_name"
         ),
         "top_orders_by_revenue": (
             "WITH rev AS (SELECT l_orderkey, "

@@ -149,6 +149,33 @@ def top_orders_by_revenue(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def customer_nation_native_join(sf_dir: str,
+                                num_partitions: int = 8) -> pd.DataFrame:
+    """Ray's built-in hash-shuffle ``Dataset.join`` (Ray ≥ 2.46) driven
+    end-to-end: customer ⋈ nation on nationkey, then per-nation customer
+    count + exact acctbal cents. Kept alongside the explicit joins in
+    ops/join.py — the native operator shuffles BOTH sides, so for a
+    dimension-table lookup ``broadcast_join`` stays the scale-preferred
+    shape; this covers the generic two-large-sides fallback surface."""
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    j = cust.join(nat, join_type="inner", num_partitions=num_partitions,
+                  on=("c_nationkey",), right_on=("n_nationkey",))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(sum_acctbal_cents=_cents(b["c_acctbal"]),
+                     n_customers=1)
+        return (b.groupby("n_name", as_index=False)
+                 .agg(n_customers=("n_customers", "sum"),
+                      sum_acctbal_cents=("sum_acctbal_cents", "sum")))
+
+    out = aggregate_partials(j, partial, keys=["n_name"],
+                             agg_spec={"n_customers": "sum",
+                                       "sum_acctbal_cents": "sum"})
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Windowed aggregate: tumbling 1-hour windows per event_type
 # ---------------------------------------------------------------------------
