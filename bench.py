@@ -112,12 +112,14 @@ def crawl_bench(num_cpus: int) -> dict:
 
     one(2048)   # warm-up: worker spawn + imports + page cache (the
                 # headline pass warms up the same way)
-    # best-of-2 timed runs, mirroring the headline: transient noisy-
-    # neighbor spikes on this shared box can inflate a single run 3x
+    # best-of-3 timed runs: r3 A/B sampling measured the SAME commit
+    # spanning 1,135-2,183 pages/s across runs on this shared box, so a
+    # single (or even two) samples can land entirely inside a noise spike
     sec, out = one(40000)
-    sec2, out2 = one(40000)
-    if sec2 < sec:
-        sec, out = sec2, out2
+    for _ in range(2):
+        sec2, out2 = one(40000)
+        if sec2 < sec:
+            sec, out = sec2, out2
     return {"sec": round(sec, 3),
             "pages": out.stats["pages_success"],
             "pages_per_sec": round(out.stats["pages_success"] / sec, 1),
