@@ -122,3 +122,34 @@ def test_filename_and_encoding_utils():
     assert detect_encoding(b"\xef\xbb\xbfabc") == "utf-8-sig"
     assert detect_encoding(b"\xff\xfea\x00") == "utf-16-le"
     assert detect_encoding(b"\xff\x00\xfe") == "latin-1"
+
+
+def test_convert_stage_corrupt_office_files_become_error_rows():
+    """Truncated/garbage zip containers and damaged PDFs must produce
+    error rows (the endpoint's per-file error shape), never crash the
+    actor or poison the batch."""
+    import zlib
+
+    from raycrawl.office_fixtures import build_docx, build_pdf, docx_paragraph
+
+    good_docx = build_docx([docx_paragraph("ok")])
+    good_pdf = build_pdf([["ok body."]], compress=True)
+    batch = pa.table({
+        "path": ["/a/trunc.docx", "/b/garbage.xlsx", "/c/trunc.pdf",
+                 "/d/ok.docx", "/e/ok.pdf", "/f/badstream.pdf"],
+        "bytes": [good_docx[: len(good_docx) // 2],      # truncated zip
+                  b"\x00\x01notazip" * 10,               # garbage container
+                  good_pdf[: 40],                        # header-only pdf
+                  good_docx, good_pdf,
+                  good_pdf.replace(b"/FlateDecode", b"/FlateDecodX")],
+    })
+    out = ConvertStage()(batch).to_pylist()
+    by = {r["path"].split("/")[-1]: r for r in out}
+    assert by["trunc.docx"]["status"] == "error"
+    assert by["garbage.xlsx"]["status"] == "error"
+    # damaged PDFs degrade gracefully (tolerant object scan): ok status,
+    # possibly-empty markdown, never an exception
+    assert by["trunc.pdf"]["status"] == "ok"
+    assert by["badstream.pdf"]["status"] == "ok"
+    assert by["ok.docx"]["status"] == "ok" and "ok" in by["ok.docx"]["markdown"]
+    assert by["ok.pdf"]["status"] == "ok" and "ok body." in by["ok.pdf"]["markdown"]

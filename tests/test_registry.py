@@ -48,3 +48,17 @@ def test_extract_full_page_mode():
     # nav/header/footer boilerplate is still dropped by the cleaner
     assert "footer boilerplate" not in page["markdown"]
     assert "# Page 0 of host 0" in page["markdown"]
+
+
+def test_queries_and_oracles_in_sync():
+    """Every queries() entry must have a matching oracle_sql() entry (the
+    driver's correctness gate compares them pairwise) and vice versa —
+    drift here silently downgrades a query to the weaker rows-only check."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    entry = importlib.import_module("__ray_entry__")
+    q = set(entry.queries().keys())
+    o = set(entry.oracle_sql().keys())
+    assert q == o, (q - o, o - q)
