@@ -420,6 +420,30 @@ def _q_embedding_dups(sf_dir: str):
     return df[["id_a", "id_b"]]
 
 
+def _q_gopher_quality(sf_dir: str):
+    """Gopher-rule quality filter (word-level subset; integer
+    cross-multiplied thresholds, bit-exact vs SQL)."""
+    import ray.data as rd
+
+    from raycrawl.ops.textstats import gopher_quality
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return gopher_quality(docs).to_pandas()
+
+
+def _q_repetition(sf_dir: str):
+    """Gopher-family repetition signals (distinct words + top adjacent
+    bigram count)."""
+    import ray.data as rd
+
+    from raycrawl.ops.textstats import repetition_stats
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return repetition_stats(docs).to_pandas()
+
+
 def _q_token_count(sf_dir: str):
     import ray.data as rd
 
@@ -899,6 +923,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": _q_simhash_pairs,
         "dedup_embedding_pairs": _q_embedding_dups,
         "text_token_count": _q_token_count,
+        "text_gopher_quality": _q_gopher_quality,
+        "text_repetition": _q_repetition,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
         "text_fingerprints": _q_fingerprints,
@@ -1076,6 +1102,48 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 1 ELSE "
             "length(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) "
             "AS n_tokens FROM documents"
+        ),
+        # Gopher word-level quality rules: every threshold an integer
+        # cross-multiplication, keep flag bit-exact
+        "text_gopher_quality": (
+            "WITH w AS (SELECT doc_id, COALESCE(text, '') AS t, "
+            "  CASE WHEN trim(COALESCE(text, '')) = '' THEN [] "
+            "       ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks "
+            "  FROM documents), "
+            "m AS (SELECT doc_id, CAST(length(toks) AS BIGINT) AS n_words, "
+            "  CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS total_word_chars, "
+            "  CAST(COALESCE(list_sum(list_transform(toks, x -> CASE WHEN regexp_matches(x, '[A-Za-z]') THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_alpha_words, "
+            "  CAST(length(t) - length(replace(t, '#', '')) "
+            "   + (length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT) AS n_symbols, "
+            "  CAST(" + " + ".join(
+                f"CASE WHEN list_contains(toks, '{s}') THEN 1 ELSE 0 END"
+                for s in ("the", "a", "an", "and", "of", "to", "in", "is",
+                          "it", "that"))
+            + " AS BIGINT) AS n_stop_distinct FROM w) "
+            "SELECT doc_id, n_words, total_word_chars, n_alpha_words, "
+            "n_symbols, n_stop_distinct, "
+            "(n_words >= 50 AND n_words <= 100000 "
+            " AND 3 * n_words <= total_word_chars AND total_word_chars <= 10 * n_words "
+            " AND 10 * n_symbols < n_words "
+            " AND 5 * n_alpha_words >= 4 * n_words "
+            " AND n_stop_distinct >= 2) AS keep FROM m"
+        ),
+        # repetition signals: distinct words + top adjacent-bigram count
+        "text_repetition": (
+            "WITH w AS (SELECT doc_id, "
+            "  CASE WHEN trim(COALESCE(text, '')) = '' THEN [] "
+            "       ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks "
+            "  FROM documents), "
+            "tk AS (SELECT doc_id, unnest(toks) AS w, "
+            "  unnest(range(1, length(toks) + 1)) AS i FROM w), "
+            "b AS (SELECT a.doc_id, a.w || chr(1) || c.w AS bg "
+            "  FROM tk a JOIN tk c ON c.doc_id = a.doc_id AND c.i = a.i + 1), "
+            "cnt AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY doc_id, bg), "
+            "top AS (SELECT doc_id, max(c) AS top_bg FROM cnt GROUP BY doc_id) "
+            "SELECT w.doc_id, CAST(length(toks) AS BIGINT) AS n_words, "
+            "CAST(length(list_distinct(toks)) AS BIGINT) AS n_distinct_words, "
+            "CAST(COALESCE(top.top_bg, 0) AS BIGINT) AS top_bigram_count "
+            "FROM w LEFT JOIN top ON w.doc_id = top.doc_id"
         ),
         "text_quality": (
             "WITH w AS (SELECT doc_id, text, "

@@ -73,6 +73,71 @@ def quality_score(ds, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(f, batch_format="pandas")
 
 
+def gopher_quality(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style document quality rules (Rae et al. 2021, Appendix A —
+    public heuristics), restricted to the word-level subset whose values a
+    SQL engine reproduces exactly (the sf documents are single-line, so
+    the line-shape rules are vacuous on this corpus): word count in
+    [50, 100k], mean word length in [3, 10], symbol-to-word ratio
+    ('#' plus non-overlapping '...') < 0.1, ≥ 80% of words containing an
+    alphabetic character, ≥ 2 distinct English stop words. Every
+    threshold is applied as an integer cross-multiplication — no float
+    compares — so the keep flag is bit-exact against the oracle."""
+    stop = set(STOPWORDS_EN)
+    alpha_re = re.compile(r"[A-Za-z]")
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text_col].fillna("")
+        words = texts.apply(
+            lambda t: _WS_SPLIT_RE.split(t.strip()) if t.strip() else [])
+        n_words = words.apply(len).astype("int64")
+        twc = words.apply(lambda ws: sum(len(w) for w in ws)).astype("int64")
+        alpha = words.apply(
+            lambda ws: sum(1 for w in ws if alpha_re.search(w))).astype("int64")
+        # str.count is non-overlapping left-to-right — identical to the
+        # oracle's (length - length(replace(...))) arithmetic
+        sym = texts.apply(lambda t: t.count("#") + t.count("...")) \
+            .astype("int64")
+        stops = words.apply(
+            lambda ws: len(stop.intersection(ws))).astype("int64")
+        keep = ((n_words >= 50) & (n_words <= 100_000)
+                & (3 * n_words <= twc) & (twc <= 10 * n_words)
+                & (10 * sym < n_words)
+                & (5 * alpha >= 4 * n_words)
+                & (stops >= 2))
+        return pd.DataFrame({
+            id_col: batch[id_col], "n_words": n_words,
+            "total_word_chars": twc, "n_alpha_words": alpha,
+            "n_symbols": sym, "n_stop_distinct": stops,
+            "keep": keep.astype(bool)})
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def repetition_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Repetition signals in the Gopher family (Rae et al. 2021 §A1.1):
+    distinct-word count (duplicate-word fraction = 1 − distinct/total) and
+    the occurrence count of the most frequent adjacent word bigram. All
+    integers — exact against the SQL oracle."""
+    from collections import Counter
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text_col].fillna("")
+        words = texts.apply(
+            lambda t: _WS_SPLIT_RE.split(t.strip()) if t.strip() else [])
+        n_words = words.apply(len).astype("int64")
+        n_distinct = words.apply(lambda ws: len(set(ws))).astype("int64")
+        top_bg = words.apply(
+            lambda ws: max(Counter(zip(ws, ws[1:])).values())
+            if len(ws) >= 2 else 0).astype("int64")
+        return pd.DataFrame({
+            id_col: batch[id_col], "n_words": n_words,
+            "n_distinct_words": n_distinct,
+            "top_bigram_count": top_bg})
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
 class LangIdStage:
     """Stopword-profile language ID (n-gram heuristic). Profiles compiled
     once per actor; deterministic tie-break by profile order then 'und'."""

@@ -695,3 +695,29 @@ def test_top_per_user_partial_topk_matches_groups():
                                      "rank"]).astype("int64") \
         .sort_values(["user_id", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_gopher_quality_rules():
+    from raycrawl.ops.textstats import gopher_quality
+
+    long_good = ("the quick brown foxes jumped over that lazy dog in "
+                 "the meadow today " * 5).strip()  # 65 words, mean len 4.2
+    symbol_heavy = ("# " * 30 + "the a of word " * 10).strip()
+    short = "the cat sat"
+    out = gopher_quality(_docs([long_good, symbol_heavy, short])).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert bool(out.loc[0, "keep"])
+    assert not bool(out.loc[1, "keep"])   # 30 symbols / 70 words >= 0.1
+    assert not bool(out.loc[2, "keep"])   # < 50 words
+    assert out.loc[2, "n_words"] == 3
+
+
+def test_repetition_stats_bigram():
+    from raycrawl.ops.textstats import repetition_stats
+
+    out = repetition_stats(_docs(["a b a b a b", "x y z", ""])).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "top_bigram_count"] == 3   # 'a b' x3
+    assert out.loc[0, "n_distinct_words"] == 2
+    assert out.loc[1, "top_bigram_count"] == 1
+    assert out.loc[2, "n_words"] == 0 and out.loc[2, "top_bigram_count"] == 0
