@@ -444,6 +444,24 @@ def _q_repetition(sf_dir: str):
     return repetition_stats(docs).to_pandas()
 
 
+def _q_unigram_commonness(sf_dir: str):
+    """Two-pass corpus-statistics scoring (aggregate → broadcast →
+    per-doc score) — the LM-quality-filter pipeline shape, exact."""
+    import ray.data as rd
+
+    from raycrawl.ops.textstats import unigram_commonness
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return unigram_commonness(docs).to_pandas()
+
+
+def _q_events_stratified(sf_dir: str):
+    from raycrawl.ops.relational import events_stratified_sample
+
+    return events_stratified_sample(sf_dir)
+
+
 def _q_token_count(sf_dir: str):
     import ray.data as rd
 
@@ -925,6 +943,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_token_count": _q_token_count,
         "text_gopher_quality": _q_gopher_quality,
         "text_repetition": _q_repetition,
+        "text_unigram_commonness": _q_unigram_commonness,
+        "events_stratified_sample": _q_events_stratified,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
         "text_fingerprints": _q_fingerprints,
@@ -1127,6 +1147,32 @@ def oracle_sql() -> dict[str, str]:
             " AND 10 * n_symbols < n_words "
             " AND 5 * n_alpha_words >= 4 * n_words "
             " AND n_stop_distinct >= 2) AS keep FROM m"
+        ),
+        # two-pass corpus unigram frequencies → per-doc sum/min score
+        "text_unigram_commonness": (
+            "WITH w AS (SELECT doc_id, "
+            "  CASE WHEN trim(COALESCE(text, '')) = '' THEN [] "
+            "       ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks "
+            "  FROM documents), "
+            "t AS (SELECT doc_id, unnest(toks) AS w FROM w), "
+            "c AS (SELECT w, count(*) AS cnt FROM t GROUP BY w), "
+            "s AS (SELECT t.doc_id, sum(c.cnt) AS sum_freq, "
+            "  min(c.cnt) AS min_freq FROM t JOIN c ON t.w = c.w "
+            "  GROUP BY t.doc_id) "
+            "SELECT w.doc_id, CAST(COALESCE(s.sum_freq, 0) AS BIGINT) AS sum_freq, "
+            "CAST(COALESCE(s.min_freq, 0) AS BIGINT) AS min_freq "
+            "FROM w LEFT JOIN s ON w.doc_id = s.doc_id"
+        ),
+        # deterministic stratified sampler: k smallest md5(event_id) per
+        # event_type, rank order (hash, event_id)
+        "events_stratified_sample": (
+            "WITH h AS (SELECT event_type, event_id, user_id, "
+            "  ('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,16))::UBIGINT AS hv "
+            "  FROM events), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY event_type "
+            "  ORDER BY hv, event_id) AS rnk FROM h) "
+            "SELECT event_type, event_id, user_id, "
+            "CAST(rnk AS BIGINT) AS sample_rank FROM r WHERE rnk <= 100"
         ),
         # repetition signals: distinct words + top adjacent-bigram count
         "text_repetition": (

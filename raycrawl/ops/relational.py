@@ -149,6 +149,40 @@ def top_orders_by_revenue(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def events_stratified_sample(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Deterministic stratified sampler: per event_type keep the k events
+    with the smallest md5(event_id) hash (reproducible, partition-
+    independent — the per-stratum analogue of ``events_hash_sample``'s
+    fixed-rate sampler, for building balanced training subsets).
+    Per-batch partial top-k per stratum first (k-smallest under a total
+    order is a monoid), so the shuffle moves ≤ k rows per stratum per
+    batch — hot-stratum safe."""
+    import hashlib
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+
+    def with_hash(b: pd.DataFrame) -> pd.DataFrame:
+        hv = [int.from_bytes(
+            hashlib.md5(str(int(e)).encode()).digest()[:8], "big")
+            for e in b["event_id"]]
+        b = b.assign(hv=pd.Series(hv, index=b.index, dtype="uint64"))
+        return (b.sort_values(["hv", "event_id"])
+                 .groupby("event_type").head(k))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hv", "event_id"]).head(k).reset_index(drop=True)
+        g["sample_rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        return g[["event_type", "event_id", "user_id", "sample_rank"]]
+
+    out = (ev.map_batches(with_hash, batch_format="pandas",
+                          batch_size=65536)
+           .groupby("event_type").map_groups(final, batch_format="pandas")
+           .to_pandas())
+    return (out.astype({"event_id": "int64", "user_id": "int64"})
+            .sort_values(["event_type", "sample_rank"])
+            .reset_index(drop=True))
+
+
 def customer_nation_native_join(sf_dir: str,
                                 num_partitions: int = 8) -> pd.DataFrame:
     """Ray's built-in hash-shuffle ``Dataset.join`` (Ray ≥ 2.46) driven

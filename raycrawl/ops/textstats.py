@@ -138,6 +138,59 @@ def repetition_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(f, batch_format="pandas")
 
 
+def unigram_commonness(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Corpus-statistics document scoring — the LM-quality-filter pipeline
+    SHAPE with an exact integer surrogate: pass 1 computes corpus-wide
+    unigram counts (per-batch Counter partials → tiny merge), which are
+    broadcast via ``ray.put``; pass 2 scores each document by the sum and
+    min of its tokens' corpus frequencies (a rare-token document has a low
+    min_freq — the analogue of high LM surprisal). Integer counts on both
+    sides, so the oracle is exact.
+
+    Scale note: the broadcast vocabulary is the full corpus vocabulary
+    here (bounded at the sf scales benchmarked); at web scale cap it to a
+    top-K table with a default count, or stage it to a bucketed join —
+    the two-pass aggregate→broadcast→score shape is the point."""
+    import ray
+
+    from collections import Counter
+
+    def count_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in batch[text_col].fillna(""):
+            t = t.strip()
+            if t:
+                c.update(_WS_SPLIT_RE.split(t))
+        return pd.DataFrame({"w": list(c.keys()),
+                             "cnt": pd.Series(list(c.values()),
+                                              dtype="int64")})
+
+    partials = ds.map_batches(count_batch, batch_format="pandas",
+                              batch_size=65536).to_pandas()
+    vocab = (partials.groupby("w")["cnt"].sum().to_dict()
+             if len(partials) else {})
+    vref = ray.put(vocab)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        v = ray.get(vref)
+        sums, mins = [], []
+        for t in batch[text_col].fillna(""):
+            t = t.strip()
+            toks = _WS_SPLIT_RE.split(t) if t else []
+            if toks:
+                freqs = [v.get(w, 0) for w in toks]
+                sums.append(sum(freqs))
+                mins.append(min(freqs))
+            else:
+                sums.append(0)
+                mins.append(0)
+        return pd.DataFrame({id_col: batch[id_col],
+                             "sum_freq": pd.Series(sums, dtype="int64"),
+                             "min_freq": pd.Series(mins, dtype="int64")})
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 class LangIdStage:
     """Stopword-profile language ID (n-gram heuristic). Profiles compiled
     once per actor; deterministic tie-break by profile order then 'und'."""

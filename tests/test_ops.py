@@ -721,3 +721,38 @@ def test_repetition_stats_bigram():
     assert out.loc[0, "n_distinct_words"] == 2
     assert out.loc[1, "top_bigram_count"] == 1
     assert out.loc[2, "n_words"] == 0 and out.loc[2, "top_bigram_count"] == 0
+
+
+def test_unigram_commonness_scores():
+    from raycrawl.ops.textstats import unigram_commonness
+
+    out = unigram_commonness(
+        _docs(["the the cat", "the dog", "zebra"])).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    # corpus counts: the=3, cat=1, dog=1, zebra=1
+    assert out.loc[0, "sum_freq"] == 3 + 3 + 1 and out.loc[0, "min_freq"] == 1
+    assert out.loc[1, "sum_freq"] == 3 + 1
+    assert out.loc[2, "sum_freq"] == 1 and out.loc[2, "min_freq"] == 1
+
+
+def test_stratified_sample_determinism_and_quota():
+    import hashlib
+
+    from raycrawl.ops.relational import events_stratified_sample
+
+    out = events_stratified_sample("/root/testdata/sf0.001", k=5)
+    assert (out.groupby("event_type").size() <= 5).all()
+    # deterministic: re-run identical
+    out2 = events_stratified_sample("/root/testdata/sf0.001", k=5)
+    pd.testing.assert_frame_equal(out, out2)
+    # rank-1 row per stratum really is the hash-min of that stratum
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["event_id", "event_type"])
+    ev["hv"] = ev["event_id"].apply(
+        lambda e: int.from_bytes(
+            hashlib.md5(str(int(e)).encode()).digest()[:8], "big"))
+    for et, g in ev.groupby("event_type"):
+        best = g.sort_values(["hv", "event_id"]).iloc[0]["event_id"]
+        got = out[(out["event_type"] == et)
+                  & (out["sample_rank"] == 1)]["event_id"].iloc[0]
+        assert got == best
