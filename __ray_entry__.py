@@ -798,6 +798,32 @@ def _q_distinct_flags(sf_dir: str):
     return lineitem_distinct_flags(sf_dir)
 
 
+def _q_dedup_incremental(sf_dir: str):
+    """Incremental-ingestion dedup (hash semi-join of a new shard against
+    the staged corpus): the 'new' side is the documents table re-keyed
+    (+1e6) with every doc_id % 3 == 0 text made unique — so exactly the
+    non-multiple-of-3 rows must be flagged as already-in-corpus."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raycrawl.ops.dedup import exact_dedup_against_corpus
+
+    corpus = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+
+    def synth_new(b: pd.DataFrame) -> pd.DataFrame:
+        uniq = b["doc_id"] % 3 == 0
+        text = b["text"].where(
+            ~uniq, b["text"] + " uniq" + b["doc_id"].astype(str))
+        return pd.DataFrame({"doc_id": b["doc_id"] + 1_000_000,
+                             "text": text})
+
+    new = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"]).map_batches(
+        synth_new, batch_format="pandas")
+    return exact_dedup_against_corpus(new, corpus)
+
+
 def _q_dedup_survivors(sf_dir: str):
     """Near-dup clustering end-to-end: minhash pairs → connected
     components → canonical id per doc."""
@@ -974,6 +1000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hash_sample": _q_events_hash_sample,
         "lineitem_distinct_flags": _q_distinct_flags,
         "dedup_survivors": _q_dedup_survivors,
+        "dedup_incremental": _q_dedup_incremental,
         "convert_docx": _q_convert_docx,
         "convert_xlsx": _q_convert_xlsx,
         "convert_pdf": _q_convert_pdf,
@@ -1023,6 +1050,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+        ),
+        # incremental-ingestion hash semi-join: new shard vs staged corpus
+        "dedup_incremental": (
+            "WITH n AS (SELECT doc_id + 1000000 AS doc_id, "
+            "  CASE WHEN doc_id % 3 = 0 "
+            "  THEN text || ' uniq' || CAST(doc_id AS VARCHAR) "
+            "  ELSE text END AS text FROM documents) "
+            "SELECT n.doc_id FROM n WHERE EXISTS "
+            "(SELECT 1 FROM documents d WHERE d.text = n.text)"
         ),
         "crawl_bfs_docs": (
             "WITH ranked AS (SELECT doc_id, "

@@ -146,6 +146,37 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     return agg.select_columns([id_col])
 
 
+def exact_dedup_against_corpus(new_ds, corpus_ds, id_col: str = "doc_id",
+                               text_col: str = "text",
+                               num_buckets: int = 32,
+                               stage_dir: "str | None" = None):
+    """Incremental-ingestion dedup: which NEW documents already exist (by
+    content hash) in a reference corpus — a hash SEMI-join. Both sides are
+    large, so this is a ``bucket_hash_join`` on the md5 content hash: the
+    corpus side moves once to bucketed Parquet staging (pass ``stage_dir``
+    to reuse it across ingestion batches — the production shape: stage the
+    historical corpus once, stream every new crawl shard against it), the
+    new side shuffles (hash, id) pairs only. Returns the distinct new ids
+    found in the corpus."""
+    from .join import bucket_hash_join
+
+    new_h = new_ds.map_batches(
+        lambda b: add_text_hash(b, text_col), batch_format="pyarrow"
+    ).select_columns([id_col, "text_hash"])
+
+    def corpus_hashes(b: pa.Table) -> pa.Table:
+        t = add_text_hash(b, text_col).select(["text_hash"])
+        return t.group_by("text_hash").aggregate([])  # per-batch distinct
+
+    corp_h = corpus_ds.map_batches(corpus_hashes, batch_format="pyarrow")
+    joined = bucket_hash_join(new_h, corp_h, left_on="text_hash",
+                              right_on="text_hash", num_buckets=num_buckets,
+                              stage_dir=stage_dir)
+    out = joined.select_columns([id_col]).to_pandas()
+    return (out.drop_duplicates().astype({id_col: "int64"})
+            .sort_values(id_col).reset_index(drop=True))
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------

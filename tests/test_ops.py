@@ -756,3 +756,21 @@ def test_stratified_sample_determinism_and_quota():
         got = out[(out["event_type"] == et)
                   & (out["sample_rank"] == 1)]["event_id"].iloc[0]
         assert got == best
+
+
+def test_exact_dedup_against_corpus_semi_join(tmp_path):
+    from raycrawl.ops.dedup import exact_dedup_against_corpus
+
+    corpus = _docs(["alpha text", "beta text", "gamma text"])
+    new = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.array([10, 11, 12, 13], dtype="int64"),
+        "text": ["beta text", "novel one", "alpha text", "novel two"]}))
+    out = exact_dedup_against_corpus(new, corpus,
+                                     stage_dir=str(tmp_path))
+    assert out["doc_id"].tolist() == [10, 12]
+    # corpus staging is reusable across ingestion batches
+    new2 = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.array([20], dtype="int64"), "text": ["gamma text"]}))
+    from raycrawl.ops.join import bucket_hash_join  # noqa: F401
+    out2 = exact_dedup_against_corpus(new2, corpus)
+    assert out2["doc_id"].tolist() == [20]
