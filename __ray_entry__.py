@@ -798,6 +798,30 @@ def _q_distinct_flags(sf_dir: str):
     return lineitem_distinct_flags(sf_dir)
 
 
+def _q_dedup_survivors_quality(sf_dir: str):
+    """Quality-aware near-dup clustering: same minhash components as
+    dedup_survivors, canonical = longest document (word count, tie min
+    id) — the 'keep the best copy' policy."""
+    import ray.data as rd
+
+    from raycrawl.ops.dedup import dedup_survivors_by_score, minhash_dedup_pairs
+    from raycrawl.ops.textstats import token_count
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    pairs = minhash_dedup_pairs(docs, threshold=0.5).to_pandas()
+    # exact word counts (0 for blank, matching length(toks) in SQL)
+    tc = token_count(docs).to_pandas()
+    blanks = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"]).to_pandas()
+    blank_ids = set(blanks[blanks["text"].fillna("").str.strip() == ""]
+                    ["doc_id"])
+    scores = {int(r.doc_id): (0 if r.doc_id in blank_ids else int(r.n_tokens))
+              for r in tc.itertuples()}
+    return dedup_survivors_by_score(tc["doc_id"], pairs, scores)
+
+
 def _q_dedup_incremental(sf_dir: str):
     """Incremental-ingestion dedup (hash semi-join of a new shard against
     the staged corpus): the 'new' side is the documents table re-keyed
@@ -1000,6 +1024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hash_sample": _q_events_hash_sample,
         "lineitem_distinct_flags": _q_distinct_flags,
         "dedup_survivors": _q_dedup_survivors,
+        "dedup_survivors_quality": _q_dedup_survivors_quality,
         "dedup_incremental": _q_dedup_incremental,
         "convert_docx": _q_convert_docx,
         "convert_xlsx": _q_convert_xlsx,
@@ -1315,6 +1340,32 @@ def oracle_sql() -> dict[str, str]:
             "  UNION SELECT x.id, e.b FROM reach x JOIN edges e ON e.a = x.r) "
             "SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canonical_id "
             "FROM reach GROUP BY id"
+        ),
+        # same components; canonical = argmax word count (tie min id)
+        "dedup_survivors_quality": (
+            "WITH RECURSIVE w AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] "
+            "  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN [] "
+            "  WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
+            "  ELSE list_distinct(list_transform(generate_series(1, len(toks)-2), "
+            "    i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) END AS s FROM w), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "  len(list_intersect(a.s, b.s)) AS inter, len(a.s) + len(b.s) AS tot "
+            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id), "
+            "pairs AS (SELECT id_a, id_b FROM p WHERE (CASE WHEN tot - inter = 0 "
+            "  THEN 1.0 ELSE CAST(inter AS DOUBLE) / (tot - inter) END) >= 0.5), "
+            "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+            "  UNION SELECT id_b, id_a FROM pairs), "
+            "reach(id, r) AS (SELECT doc_id, doc_id FROM documents "
+            "  UNION SELECT x.id, e.b FROM reach x JOIN edges e ON e.a = x.r), "
+            "comp AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id), "
+            "q AS (SELECT doc_id, len(toks) AS n_words FROM w), "
+            "best AS (SELECT comp, doc_id AS canon FROM ("
+            "  SELECT c.comp, c.doc_id, row_number() OVER (PARTITION BY c.comp "
+            "    ORDER BY q.n_words DESC, c.doc_id ASC) AS rn "
+            "  FROM comp c JOIN q ON q.doc_id = c.doc_id) WHERE rn = 1) "
+            "SELECT c.doc_id, CAST(b.canon AS BIGINT) AS canonical_id "
+            "FROM comp c JOIN best b ON b.comp = c.comp"
         ),
         # simhash recomputed exactly: md5 64-bit token hashes, ±1 votes per
         # bit, bit set iff vote > 0, two's-complement int64 view

@@ -673,3 +673,25 @@ def dedup_survivors(all_ids: "pd.Series | list[int]",
     return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
                          "canonical_id": pd.Series([find(i) for i in ids],
                                                    dtype="int64")})
+
+
+def dedup_survivors_by_score(all_ids, pairs: pd.DataFrame,
+                             scores) -> pd.DataFrame:
+    """Quality-aware survivor selection: same connected components as
+    ``dedup_survivors``, but the canonical member of each cluster is its
+    HIGHEST-scoring document (tie-break min id) — the 'keep the best
+    copy' policy of production near-dup pipelines (score = any exact
+    per-doc metric, e.g. word count or a quality classifier output).
+    ``scores``: mapping id → int score."""
+    base = dedup_survivors(all_ids, pairs)  # comp key = min-label
+    base = base.assign(
+        score=pd.Series([int(scores[int(i)]) for i in base["doc_id"]],
+                        dtype="int64"))
+    best = (base.sort_values(["canonical_id", "score", "doc_id"],
+                             ascending=[True, False, True])
+            .groupby("canonical_id", as_index=False).head(1)
+            .set_index("canonical_id")["doc_id"])
+    return pd.DataFrame({
+        "doc_id": base["doc_id"],
+        "canonical_id": pd.Series(
+            [int(best[c]) for c in base["canonical_id"]], dtype="int64")})

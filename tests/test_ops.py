@@ -774,3 +774,14 @@ def test_exact_dedup_against_corpus_semi_join(tmp_path):
     from raycrawl.ops.join import bucket_hash_join  # noqa: F401
     out2 = exact_dedup_against_corpus(new2, corpus)
     assert out2["doc_id"].tolist() == [20]
+
+
+def test_dedup_survivors_by_score_picks_best():
+    from raycrawl.ops.dedup import dedup_survivors_by_score
+
+    pairs = pd.DataFrame({"id_a": [1, 2], "id_b": [2, 3]})
+    scores = {0: 9, 1: 5, 2: 50, 3: 5, 7: 1}
+    out = dedup_survivors_by_score([0, 1, 2, 3, 7], pairs, scores)
+    canon = dict(zip(out["doc_id"], out["canonical_id"]))
+    # cluster {1,2,3}: highest score is doc 2
+    assert canon == {0: 0, 1: 2, 2: 2, 3: 2, 7: 7}
