@@ -444,6 +444,23 @@ def _q_repetition(sf_dir: str):
     return repetition_stats(docs).to_pandas()
 
 
+def _q_audio_features(sf_dir: str):
+    """REAL multimodal decode path: raw int16 PCM binary column →
+    actor-pool decode + integer features (energy / zero-crossings /
+    peak), exactly reproduced by the closed-form SQL oracle. Row count
+    scales with the sf documents table."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raycrawl.ops.multimodal import audio_features, synth_audio_table
+
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    ds = rd.from_arrow(synth_audio_table(n))
+    return audio_features(ds).to_pandas().sort_values(
+        "audio_id").reset_index(drop=True)
+
+
 def _q_unigram_commonness(sf_dir: str):
     """Two-pass corpus-statistics scoring (aggregate → broadcast →
     per-doc score) — the LM-quality-filter pipeline shape, exact."""
@@ -994,6 +1011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_gopher_quality": _q_gopher_quality,
         "text_repetition": _q_repetition,
         "text_unigram_commonness": _q_unigram_commonness,
+        "audio_features": _q_audio_features,
         "events_stratified_sample": _q_events_stratified,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
@@ -1208,6 +1226,23 @@ def oracle_sql() -> dict[str, str]:
             " AND 10 * n_symbols < n_words "
             " AND 5 * n_alpha_words >= 4 * n_words "
             " AND n_stop_distinct >= 2) AS keep FROM m"
+        ),
+        # real PCM decode + integer features, regenerated closed-form
+        "audio_features": (
+            "WITH ids AS (SELECT unnest(range(0, "
+            "  (SELECT count(*) FROM documents))) AS audio_id), "
+            "sm AS (SELECT audio_id, "
+            "  unnest(range(0, 1000 + audio_id % 500)) AS k FROM ids), "
+            "v AS (SELECT audio_id, k, "
+            "  (audio_id * 31 + k * 17) % 65536 - 32768 AS s FROM sm), "
+            "lagd AS (SELECT audio_id, k, s, "
+            "  lag(s) OVER (PARTITION BY audio_id ORDER BY k) AS prev FROM v) "
+            "SELECT audio_id, CAST(count(*) AS BIGINT) AS n_samples, "
+            "CAST(sum(s * s) AS BIGINT) AS energy, "
+            "CAST(sum(CASE WHEN prev IS NOT NULL AND prev * s < 0 "
+            "  THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings, "
+            "CAST(max(abs(s)) AS BIGINT) AS peak "
+            "FROM lagd GROUP BY audio_id"
         ),
         # two-pass corpus unigram frequencies → per-doc sum/min score
         "text_unigram_commonness": (

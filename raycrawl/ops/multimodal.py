@@ -161,6 +161,64 @@ def image_features(ds, target: int = 32, concurrency: int = 4,
                           fn_constructor_kwargs={"target": target})
 
 
+AUDIO_META = pa.schema([
+    ("audio_id", pa.int64()),
+    ("pcm", pa.binary()),          # raw little-endian int16 mono PCM
+    ("sample_rate", pa.int32()),
+])
+
+
+def synth_audio_table(n: int) -> pa.Table:
+    """Deterministic raw-PCM 'audio' rows: sample k of clip i is
+    ((i*31 + k*17) % 65536) - 32768, clip length 1000 + i % 500 — a
+    closed form a SQL engine can regenerate, so the decode+feature path
+    is EXACTLY oracle-checkable (unlike the compressed-codec stages,
+    raw PCM needs no external library: this decode is real)."""
+    ids, blobs = [], []
+    for i in range(n):
+        n_samples = 1000 + i % 500
+        k = np.arange(n_samples, dtype=np.int64)
+        s = ((i * 31 + k * 17) % 65536 - 32768).astype(np.int16)
+        ids.append(i)
+        blobs.append(s.tobytes())
+    return pa.Table.from_arrays(
+        [pa.array(ids, pa.int64()), pa.array(blobs, pa.binary()),
+         pa.array([16000] * n, pa.int32())], schema=AUDIO_META)
+
+
+class AudioFeatureStage:
+    """REAL audio decode + vectorized feature extraction over raw int16
+    PCM binary columns (the audio analogue of ImageFeatureStage, with no
+    codec stub): n_samples, integer energy Σ s², zero-crossing count
+    (strict sign change), peak |s|. Integer outputs → exact SQL oracle.
+    For compressed formats swap the frombuffer decode for an ffmpeg/
+    soundfile call in __init__-configured form; batch sizing rules are
+    the same as images (payload × concurrency bounds worker heaps)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("audio_id").to_pylist()
+        blobs = batch.column("pcm").to_pylist()
+        ns, energy, zc, peak = [], [], [], []
+        for blob in blobs:
+            s = np.frombuffer(blob, dtype="<i2").astype(np.int64)
+            ns.append(len(s))
+            energy.append(int((s * s).sum()))
+            zc.append(int(((s[:-1] * s[1:]) < 0).sum()) if len(s) > 1 else 0)
+            peak.append(int(np.abs(s).max()) if len(s) else 0)
+        return pa.table({
+            "audio_id": pa.array(ids, pa.int64()),
+            "n_samples": pa.array(ns, pa.int64()),
+            "energy": pa.array(energy, pa.int64()),
+            "zero_crossings": pa.array(zc, pa.int64()),
+            "peak": pa.array(peak, pa.int64()),
+        })
+
+
+def audio_features(ds, concurrency: int = 4, batch_size: int = 64):
+    return ds.map_batches(AudioFeatureStage, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)
+
+
 class FrameSampleStage:
     """'Video' frame sampling stub: payload → every-k-th synthetic frame.
     Same plumbing contract as a real ffmpeg-based sampler (one row in,

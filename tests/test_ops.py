@@ -785,3 +785,21 @@ def test_dedup_survivors_by_score_picks_best():
     canon = dict(zip(out["doc_id"], out["canonical_id"]))
     # cluster {1,2,3}: highest score is doc 2
     assert canon == {0: 0, 1: 2, 2: 2, 3: 2, 7: 7}
+
+
+def test_audio_features_real_pcm_decode():
+    from raycrawl.ops.multimodal import audio_features, synth_audio_table
+
+    tbl = synth_audio_table(8)
+    out = audio_features(rd.from_arrow(tbl), concurrency=2,
+                         batch_size=4).to_pandas()
+    out = out.sort_values("audio_id").reset_index(drop=True)
+    assert len(out) == 8
+    # numpy oracle for clip 3
+    i = 3
+    k = np.arange(1000 + i % 500, dtype=np.int64)
+    s = (i * 31 + k * 17) % 65536 - 32768
+    assert out.loc[i, "n_samples"] == len(s)
+    assert out.loc[i, "energy"] == int((s * s).sum())
+    assert out.loc[i, "zero_crossings"] == int(((s[:-1] * s[1:]) < 0).sum())
+    assert out.loc[i, "peak"] == int(np.abs(s).max())
