@@ -237,13 +237,14 @@ def minhash_candidates(ds, num_hashes: int = 128, bands: int = 32,
     """Candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
 
     Signature computation (the heavy part) is always distributed. The
-    bucket reduce defaults to 'auto': a distributed
-    ``groupby(band, band_hash)`` shuffle when the corpus exceeds
-    ``_MINHASH_SHUFFLE_THRESHOLD`` docs (the scale-safe path — only
-    (band, key, id) triples move, never texts), else a driver-side pandas
-    merge (Ray's all-to-all has tens of seconds of fixed overhead that
-    only amortizes at that size). Both paths generate within-bucket pairs
-    with vectorized index math — no Python pair loops."""
+    bucket reduce defaults to 'auto': a distributed COARSE-partition
+    shuffle when the corpus exceeds ``_MINHASH_SHUFFLE_THRESHOLD`` docs
+    (the scale-safe path — only (band, key, id) triples move, never
+    texts; buckets hash into O(P) partitions and all per-bucket logic is
+    vectorized pandas inside each, never a Ray group per bucket), else a
+    driver-side pandas merge (Ray's all-to-all has tens of seconds of
+    fixed overhead that only amortizes at that size). Both paths generate
+    within-bucket pairs with vectorized merges — no Python pair loops."""
     exploded = ds.map_batches(
         MinHashStage, batch_format="pyarrow", concurrency=concurrency,
         fn_constructor_kwargs=dict(num_hashes=num_hashes, bands=bands,
@@ -255,18 +256,61 @@ def minhash_candidates(ds, num_hashes: int = 128, bands: int = 32,
         n = cardinality_hint if cardinality_hint is not None else ds.count()
         reduce = "shuffle" if (n or 0) > _MINHASH_SHUFFLE_THRESHOLD else "driver"
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(group[id_col].to_numpy(dtype=np.int64))
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
-
     if reduce == "shuffle":
-        cand = exploded.groupby(["band", "band_hash"]).map_groups(
-            pairs, batch_format="pandas")
-        from ray.data.aggregate import Count
+        # COARSE partitions, not per-bucket groups (r3 probe finding:
+        # Ray's per-key groupby costs ~0.2 ms/group — ~1M distinct
+        # (band, band_hash) buckets at 150k docs turned the 'scale path'
+        # into minutes of per-group Python; the 30k-doc stage profile
+        # measured 179 s in the count aggregate alone). Instead the
+        # exploded rows hash-partition into O(P) groups sized for ~4M
+        # rows each, and ALL bucket logic inside a partition is
+        # vectorized pandas: duplicated-mask singleton drop + one
+        # self-merge builds within-bucket pairs (a bucket's (band,
+        # band_hash) rows always share a partition). Same-pair emissions
+        # from different bands dedup in a second coarse partition stage
+        # keyed by the pair. Skew note: a bucket of K near-identical
+        # docs makes K² merge rows — run exact_dedup first (as
+        # pipeline_quality_dedup does) so exact duplicates never reach
+        # the LSH stage.
+        n_parts = int(max(32, min(
+            4096, ((cardinality_hint or 1_000_000) * bands) // 4_000_000)))
 
-        return cand.groupby(["id_a", "id_b"]).aggregate(
-            Count(alias_name="n_bands")).select_columns(["id_a", "id_b"])
+        def add_part(b: pd.DataFrame) -> pd.DataFrame:
+            h = b["band_hash"].to_numpy().astype(np.int64).view(np.uint64)
+            with np.errstate(over="ignore"):
+                h = h * np.uint64(0x9E3779B97F4A7C15)
+            part = ((h >> np.uint64(33)).astype(np.int64)
+                    ^ b["band"].to_numpy().astype(np.int64)) % n_parts
+            return b.assign(part=part.astype("int32"))
+
+        def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+            dup = g[g.duplicated(["band", "band_hash"], keep=False)]
+            if len(dup) == 0:
+                return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                     "id_b": pd.Series(dtype="int64")})
+            m = dup.merge(dup, on=["band", "band_hash"],
+                          suffixes=("_a", "_b"))
+            m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+            return (m[[f"{id_col}_a", f"{id_col}_b"]]
+                    .rename(columns={f"{id_col}_a": "id_a",
+                                     f"{id_col}_b": "id_b"})
+                    .drop_duplicates())
+
+        cand = (exploded.map_batches(add_part, batch_format="pandas")
+                .groupby("part").map_groups(pairs_part,
+                                            batch_format="pandas"))
+
+        def add_pair_part(b: pd.DataFrame) -> pd.DataFrame:
+            pp = (b["id_a"].to_numpy() * 1_000_003
+                  + b["id_b"].to_numpy()) % 1024
+            return b.assign(pp=pp.astype("int32"))
+
+        def drop_dup(g: pd.DataFrame) -> pd.DataFrame:
+            return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
+
+        return (cand.map_batches(add_pair_part, batch_format="pandas")
+                .groupby("pp").map_groups(drop_dup, batch_format="pandas")
+                .select_columns(["id_a", "id_b"]))
 
     import ray.data as rd
 
