@@ -550,8 +550,13 @@ def simhash_near_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
 
     from ray.data.aggregate import Min
 
-    cand = fps.map_batches(explode, batch_format="pyarrow") \
-              .groupby(["band", "band_key"]).map_groups(pairs, batch_format="pandas")
+    from .agg import partitioned_map_groups
+
+    # coarse partitions, not one Ray group per LSH bucket (see
+    # minhash_candidates' shuffle branch for the measured per-group cost)
+    cand = partitioned_map_groups(
+        fps.map_batches(explode, batch_format="pyarrow"),
+        ["band", "band_key"], pairs)
     return cand.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 

@@ -23,7 +23,11 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-from .agg import aggregate_partials
+from .agg import (
+    aggregate_partials,
+    partitioned_map_groups,
+    partitioned_map_partitions,
+)
 
 
 def _read(sf_dir: str, name: str, columns=None):
@@ -237,26 +241,31 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
-    """Session count + max session length per user: partition by user_id,
-    sort by ts within the group, split on gaps > gap_minutes. Ordering
-    assumption: each user's events fit one group (groupby shuffle
-    co-locates them); windowing itself is per-group numpy."""
+    """Session count + max session length per user. Keys co-locate via
+    coarse hash partitions (never one Ray group per user — see
+    agg.partitioned_map_groups), and the windowing kernel is segment-
+    vectorized over the whole (user, ts)-sorted partition: session breaks
+    are one boolean expression, sizes one bincount, per-user stats one
+    pandas C groupby — zero per-user Python."""
     ev = _read(sf_dir, "events", ["user_id", "ts"])
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values().to_numpy()
-        if len(ts) == 0:
-            return pd.DataFrame({"user_id": [], "n_sessions": [],
-                                 "max_session_events": []})
-        breaks = np.diff(ts) > gap
-        n_sessions = int(breaks.sum()) + 1
-        sizes = np.diff(np.concatenate([[0], np.where(breaks)[0] + 1, [len(ts)]]))
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "n_sessions": [n_sessions],
-                             "max_session_events": [int(sizes.max())]})
+    def sess_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        brk = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            brk[1:] = (u[1:] != u[:-1]) | ((ts[1:] - ts[:-1]) > gap)
+        sid = np.cumsum(brk) - 1           # session id per row
+        sizes = np.bincount(sid)           # events per session
+        sdf = pd.DataFrame({"user_id": u[brk], "size": sizes})
+        out = (sdf.groupby("user_id", sort=False)
+               .agg(n_sessions=("size", "count"),
+                    max_session_events=("size", "max")).reset_index())
+        return out
 
-    out = ev.groupby("user_id").map_groups(sess, batch_format="pandas").to_pandas()
+    out = partitioned_map_partitions(ev, "user_id", sess_part).to_pandas()
     out = out.astype({"user_id": "int64", "n_sessions": "int64",
                       "max_session_events": "int64"})
     return out.sort_values("user_id").reset_index(drop=True)
@@ -290,9 +299,9 @@ def _sessionize_slice_summaries(ev, gap: "np.timedelta64",
             "z_last": [int(sizes[-1])],
             "max_mid": [int(sizes[1:-1].max()) if m > 2 else 0]})
 
-    return (ev.map_batches(add_slice, batch_format="pandas")
-              .groupby(["user_id", "slice"])
-              .map_groups(summary, batch_format="pandas"))
+    return partitioned_map_groups(
+        ev.map_batches(add_slice, batch_format="pandas"),
+        ["user_id", "slice"], summary)
 
 
 def events_sessionize_sliced(sf_dir: str, gap_minutes: int = 30,
@@ -354,8 +363,7 @@ def sessionize_sliced_ds(ev, gap_minutes: int = 30,
                              "n_sessions": [n_done],
                              "max_session_events": [max_size]})
 
-    out = summaries.groupby("user_id").map_groups(
-        fold, batch_format="pandas").to_pandas()
+    out = partitioned_map_groups(summaries, "user_id", fold).to_pandas()
     out = out.astype({"user_id": "int64", "n_sessions": "int64",
                       "max_session_events": "int64"})
     return out.sort_values("user_id").reset_index(drop=True)
@@ -458,9 +466,9 @@ def events_top_per_user(sf_dir: str, k: int = 3) -> pd.DataFrame:
         g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
         return g[["user_id", "event_id", "value_millis", "rank"]]
 
-    out = (ev.map_batches(partial, batch_format="pandas", batch_size=65536)
-           .groupby("user_id").map_groups(topk, batch_format="pandas")
-           .to_pandas())
+    out = partitioned_map_groups(
+        ev.map_batches(partial, batch_format="pandas", batch_size=65536),
+        "user_id", topk).to_pandas()
     return out.astype({"user_id": "int64", "event_id": "int64"}) \
               .sort_values(["user_id", "rank"]).reset_index(drop=True)
 
@@ -563,7 +571,7 @@ def events_asof_prev_purchase(sf_dir: str) -> pd.DataFrame:
                                    .astype("int64"))
         return out[["event_id", "user_id", "prev_purchase_id"]]
 
-    out = ev.groupby("user_id").map_groups(asof, batch_format="pandas").to_pandas()
+    out = partitioned_map_groups(ev, "user_id", asof).to_pandas()
     return (out.astype({"event_id": "int64", "user_id": "int64"})
             .sort_values("event_id").reset_index(drop=True))
 
@@ -612,8 +620,8 @@ def asof_sliced_ds(ev, slice_freq: str = "D") -> pd.DataFrame:
     sliced = ev.map_batches(
         lambda b: b.assign(slice=b["ts"].dt.floor(slice_freq)),
         batch_format="pandas")
-    resolved = sliced.groupby(["user_id", "slice"]).map_groups(
-        local, batch_format="pandas").materialize()
+    resolved = partitioned_map_groups(
+        sliced, ["user_id", "slice"], local).materialize()
 
     # tiny summary table → per-user sorted (slice, best-so-far) arrays:
     # the best purchase strictly before slice s is the per-slice best of
