@@ -42,16 +42,22 @@ def aggregate_partials_ds(
 ):
     """Shuffle-merged aggregation returned AS A DATASET — for consumers
     that continue distributed (per-block top-k, further map_batches)
-    instead of collecting the per-key table to the driver."""
-    from ray.data.aggregate import Max, Min, Sum
+    instead of collecting the per-key table to the driver.
 
+    The merge is a COARSE-partition shuffle (keys co-locate by hash into
+    ``shuffle_partitions`` groups; the per-key combine is one pandas C
+    groupby inside each) — never one Ray aggregate group per key, which
+    costs ~0.2 ms/key and is exactly wrong for the unbounded-key case
+    this path exists for (see partitioned_map_groups)."""
     partials = ds.map_batches(partial_fn, batch_format="pandas",
                               batch_size=batch_size)
-    ctor = {"sum": Sum, "min": Min, "max": Max}
-    aggs = [ctor[how](col, alias_name=col) for col, how in agg_spec.items()]
-    return (partials.repartition(shuffle_partitions)
-            .groupby(keys[0] if len(keys) == 1 else keys)
-            .aggregate(*aggs))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, as_index=False).agg(
+            **{col: (col, how) for col, how in agg_spec.items()})
+
+    return partitioned_map_partitions(partials, keys, combine,
+                                      n_parts=shuffle_partitions)
 
 
 def aggregate_partials(

@@ -8,7 +8,7 @@ Mining of Massive Datasets ch. 3), SimHash (Charikar 2002).
 Scale notes (the design constraint, not an afterthought):
 
 - exact dedup = vectorized content-hash inside ``map_batches`` (one row per
-  key per batch partial) → ``groupby(hash).aggregate(Min(id))`` — the only
+  key per batch partial) → coarse-partition min-merge — the only
   shuffle moves (hash, id) pairs, never document bodies;
 - MinHash-LSH = per-batch signature computation (numpy, one matmul-free
   vectorized pass) → explode to (band, band_hash, doc_id) rows →
@@ -119,8 +119,6 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     instead, where Ray's all-to-all fixed cost would dominate the work.
     (No ``ds.count()`` here: counting a transformed dataset would execute
     its whole upstream pipeline an extra time.)"""
-    from ray.data.aggregate import Min
-
     hashed = ds.map_batches(lambda b: add_text_hash(b, text_col),
                             batch_format="pyarrow").select_columns(
         ["text_hash", id_col])
@@ -142,8 +140,15 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
             pd.DataFrame({"text_hash": [], id_col: []})
         out = allp.groupby("text_hash", as_index=False)[id_col].min()
         return rd.from_pandas(out[[id_col]].astype({id_col: "int64"}))
-    agg = partials.groupby("text_hash").aggregate(Min(id_col, alias_name=id_col))
-    return agg.select_columns([id_col])
+    # coarse partitions, not one Ray aggregate group per content hash
+    # (hash keys are unbounded — see agg.partitioned_map_groups)
+    from .agg import partitioned_map_partitions
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("text_hash", as_index=False)[id_col].min()
+
+    return partitioned_map_partitions(
+        partials, "text_hash", combine).select_columns([id_col])
 
 
 def exact_dedup_against_corpus(new_ds, corpus_ds, id_col: str = "doc_id",
