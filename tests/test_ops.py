@@ -803,3 +803,43 @@ def test_audio_features_real_pcm_decode():
     assert out.loc[i, "energy"] == int((s * s).sum())
     assert out.loc[i, "zero_crossings"] == int(((s[:-1] * s[1:]) < 0).sum())
     assert out.loc[i, "peak"] == int(np.abs(s).max())
+
+
+def test_partitioned_map_groups_matches_per_key(tmp_path):
+    """The coarse-partition helper must equal a per-key groupby exactly,
+    including multi-column keys and keys colliding into one partition."""
+    from raycrawl.ops.agg import (
+        partitioned_map_groups,
+        partitioned_map_partitions,
+    )
+
+    rng = np.random.RandomState(2)
+    df = pd.DataFrame({
+        "k1": rng.randint(0, 50, 500).astype("int64"),
+        "k2": rng.randint(0, 3, 500).astype("int64"),
+        "v": rng.randint(0, 1000, 500).astype("int64")})
+
+    def fn(g):
+        return pd.DataFrame({"k1": [g["k1"].iloc[0]],
+                             "k2": [g["k2"].iloc[0]],
+                             "s": [int(g["v"].sum())],
+                             "m": [int(g["v"].max())]})
+
+    got = (partitioned_map_groups(rd.from_pandas(df), ["k1", "k2"], fn,
+                                  n_parts=7).to_pandas()
+           .sort_values(["k1", "k2"]).reset_index(drop=True)
+           .astype("int64"))
+    exp = (df.groupby(["k1", "k2"], as_index=False)
+           .agg(s=("v", "sum"), m=("v", "max"))
+           .sort_values(["k1", "k2"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+
+    def whole(g):
+        return g.groupby(["k1", "k2"], as_index=False).agg(
+            s=("v", "sum"), m=("v", "max"))
+
+    got2 = (partitioned_map_partitions(rd.from_pandas(df), ["k1", "k2"],
+                                       whole, n_parts=7).to_pandas()
+            .sort_values(["k1", "k2"]).reset_index(drop=True)
+            .astype("int64"))
+    pd.testing.assert_frame_equal(got2, exp)
