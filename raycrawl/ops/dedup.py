@@ -553,16 +553,18 @@ def simhash_near_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
                              "id_b": ids[ib[keep]],
                              "hamming": ham[keep].astype("int64")})
 
-    from ray.data.aggregate import Min
-
-    from .agg import partitioned_map_groups
+    from .agg import partitioned_map_groups, partitioned_map_partitions
 
     # coarse partitions, not one Ray group per LSH bucket (see
     # minhash_candidates' shuffle branch for the measured per-group cost)
     cand = partitioned_map_groups(
         fps.map_batches(explode, batch_format="pyarrow"),
         ["band", "band_key"], pairs)
-    return cand.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["id_a", "id_b"], as_index=False)["hamming"].min()
+
+    return partitioned_map_partitions(cand, ["id_a", "id_b"], combine)
 
 
 # ---------------------------------------------------------------------------
@@ -651,7 +653,6 @@ def embedding_dup_pairs_bucketed(ds, threshold: float = 0.95,
     tests); within-bucket similarities are exact, so no false pairs."""
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Max
 
     from .knn import _kmeans, _matrix
 
@@ -689,9 +690,14 @@ def embedding_dup_pairs_bucketed(ds, threshold: float = 0.95,
     assigned = ds.map_batches(assign, batch_format="pandas")
     cand = assigned.groupby("bucket").map_groups(pairs_in_bucket,
                                                 batch_format="pandas")
-    # multi-assignment can emit a pair from up to nassign shared buckets
-    return cand.groupby(["id_a", "id_b"]).aggregate(
-        Max("cosine_sim", alias_name="cosine_sim"))
+    # multi-assignment can emit a pair from up to nassign shared buckets;
+    # pair keys are unbounded → coarse-partition merge, not per-key groups
+    from .agg import partitioned_map_partitions as _pmp
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["id_a", "id_b"], as_index=False)["cosine_sim"].max()
+
+    return _pmp(cand, ["id_a", "id_b"], combine)
 
 
 # ---------------------------------------------------------------------------
