@@ -822,21 +822,25 @@ def _q_dedup_survivors_quality(sf_dir: str):
     import ray.data as rd
 
     from raycrawl.ops.dedup import dedup_survivors_by_score, minhash_dedup_pairs
-    from raycrawl.ops.textstats import token_count
+
+    import pandas as pd
 
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])
     pairs = minhash_dedup_pairs(docs, threshold=0.5).to_pandas()
+
     # exact word counts (0 for blank, matching length(toks) in SQL)
-    tc = token_count(docs).to_pandas()
-    blanks = rd.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text"]).to_pandas()
-    blank_ids = set(blanks[blanks["text"].fillna("").str.strip() == ""]
-                    ["doc_id"])
-    scores = {int(r.doc_id): (0 if r.doc_id in blank_ids else int(r.n_tokens))
-              for r in tc.itertuples()}
-    return dedup_survivors_by_score(tc["doc_id"], pairs, scores)
+    def wc(b: pd.DataFrame) -> pd.DataFrame:
+        stripped = b["text"].fillna("").str.strip()
+        return pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "n_words": stripped.apply(
+                lambda t: len(t.split()) if t else 0).astype("int64")})
+
+    counts = docs.map_batches(wc, batch_format="pandas").to_pandas()
+    scores = dict(zip(counts["doc_id"].astype(int),
+                      counts["n_words"].astype(int)))
+    return dedup_survivors_by_score(counts["doc_id"], pairs, scores)
 
 
 def _q_dedup_incremental(sf_dir: str):
