@@ -589,20 +589,26 @@ def events_asof_prev_purchase(sf_dir: str) -> pd.DataFrame:
     each key, pd.merge_asof does the ordered match within the group."""
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
+    def asof_part(g: pd.DataFrame) -> pd.DataFrame:
+        # one merge_asof C call per PARTITION with by=user_id — no
+        # per-user Python (ties: right sorted by (ts, event_id) so the
+        # backward match picks max event_id among max earlier ts, same as
+        # the per-user form)
         g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        right = g[g["event_type"] == "purchase"][["ts", "event_id"]] \
+        right = g[g["event_type"] == "purchase"][
+            ["ts", "user_id", "event_id"]] \
             .rename(columns={"event_id": "prev_purchase_id"})
         if len(right) == 0:
             out = g.assign(prev_purchase_id=-1)
         else:
-            out = pd.merge_asof(g, right, on="ts", direction="backward",
+            out = pd.merge_asof(g, right, on="ts", by="user_id",
+                                direction="backward",
                                 allow_exact_matches=False)
         out["prev_purchase_id"] = (out["prev_purchase_id"].fillna(-1)
                                    .astype("int64"))
         return out[["event_id", "user_id", "prev_purchase_id"]]
 
-    out = partitioned_map_groups(ev, "user_id", asof).to_pandas()
+    out = partitioned_map_partitions(ev, "user_id", asof_part).to_pandas()
     return (out.astype({"event_id": "int64", "user_id": "int64"})
             .sort_values("event_id").reset_index(drop=True))
 
