@@ -490,16 +490,18 @@ def events_top_per_user(sf_dir: str, k: int = 3) -> pd.DataFrame:
                  .groupby("user_id").head(k)
                  [["user_id", "event_id", "value_millis"]])
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["value_millis", "event_id"],
-                          ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+    def topk_part(g: pd.DataFrame) -> pd.DataFrame:
+        # whole-partition vectorized: one sort, groupby-head, cumcount
+        g = g.sort_values(["user_id", "value_millis", "event_id"],
+                          ascending=[True, False, True])
+        g = g.groupby("user_id", sort=False).head(k).copy()
+        g["rank"] = (g.groupby("user_id", sort=False).cumcount() + 1
+                     ).astype("int64")
         return g[["user_id", "event_id", "value_millis", "rank"]]
 
-    out = partitioned_map_groups(
+    out = partitioned_map_partitions(
         ev.map_batches(partial, batch_format="pandas", batch_size=65536),
-        "user_id", topk).to_pandas()
+        "user_id", topk_part).to_pandas()
     return out.astype({"user_id": "int64", "event_id": "int64"}) \
               .sort_values(["user_id", "rank"]).reset_index(drop=True)
 
@@ -634,32 +636,41 @@ def asof_sliced_ds(ev, slice_freq: str = "D",
                    n_parts: int = 256) -> pd.DataFrame:
     import ray
 
-    def local(g: pd.DataFrame) -> pd.DataFrame:
+    def local_part(g: pd.DataFrame) -> pd.DataFrame:
+        # whole-partition vectorized: one merge_asof with
+        # by=[user_id, slice] (in-slice resolution), plus one
+        # groupby-tail(1) emitting each slice's best purchase summary row
         g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        right = g[g["event_type"] == "purchase"][["ts", "event_id"]] \
+        right = g[g["event_type"] == "purchase"][
+            ["ts", "user_id", "slice", "event_id"]] \
             .rename(columns={"event_id": "prev_purchase_id"})
         if len(right) == 0:
             out = g.assign(prev_purchase_id=-1)
         else:
-            out = pd.merge_asof(g, right, on="ts", direction="backward",
+            out = pd.merge_asof(g, right, on="ts",
+                                by=["user_id", "slice"],
+                                direction="backward",
                                 allow_exact_matches=False)
         out["prev_purchase_id"] = (out["prev_purchase_id"].fillna(-1)
                                    .astype("int64"))
         out = out[["event_id", "user_id", "slice", "prev_purchase_id"]]
         if len(right):
-            best = right.iloc[-1]  # (ts, id)-max purchase of the slice
-            out = pd.concat([out, pd.DataFrame(
-                {"event_id": [-1], "user_id": [g["user_id"].iloc[0]],
-                 "slice": [g["slice"].iloc[0]],
-                 "prev_purchase_id": [int(best["prev_purchase_id"])]})],
-                ignore_index=True)
+            # rows are (ts, event_id)-sorted → tail(1) = the slice's best
+            best = right.groupby(["user_id", "slice"], sort=False).tail(1)
+            summ = pd.DataFrame({
+                "event_id": np.full(len(best), -1, dtype="int64"),
+                "user_id": best["user_id"].to_numpy(),
+                "slice": best["slice"].to_numpy(),
+                "prev_purchase_id":
+                best["prev_purchase_id"].astype("int64").to_numpy()})
+            out = pd.concat([out, summ], ignore_index=True)
         return out
 
     sliced = ev.map_batches(
         lambda b: b.assign(slice=b["ts"].dt.floor(slice_freq)),
         batch_format="pandas")
-    resolved = partitioned_map_groups(
-        sliced, ["user_id", "slice"], local,
+    resolved = partitioned_map_partitions(
+        sliced, ["user_id", "slice"], local_part,
         n_parts=n_parts).materialize()
 
     # tiny summary table → per-user sorted (slice, best-so-far) arrays:
