@@ -367,6 +367,20 @@ def _q_minhash_pairs(sf_dir: str):
     return minhash_dedup_pairs(docs, threshold=0.5).to_pandas()
 
 
+def _q_jaccard_pairs(sf_dir: str):
+    """AllPairs prefix-filter n-gram Jaccard self-join — the EXACT sibling
+    of dedup_minhash_pairs (no LSH recall argument needed; candidate
+    completeness is guaranteed by the prefix filter, ops/dedup.py
+    PrefixStage docstring)."""
+    import ray.data as rd
+
+    from raycrawl.ops.dedup import allpairs_jaccard_pairs
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return allpairs_jaccard_pairs(docs, threshold=0.5).to_pandas()
+
+
 def _q_simhash(sf_dir: str):
     import ray.data as rd
 
@@ -1008,6 +1022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_stats": _q_chunk_stats,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_pairs": _q_minhash_pairs,
+        "dedup_jaccard_pairs": _q_jaccard_pairs,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "dedup_embedding_pairs": _q_embedding_dups,
@@ -1346,6 +1361,23 @@ def oracle_sql() -> dict[str, str]:
         # in this corpus has j >= 0.889 (measured), where LSH recall at
         # 128 hashes / 32 bands is 1 - (1 - 0.889^4)^32 ≈ 1 - 2e-14
         "dedup_minhash_pairs": (
+            "WITH w AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] "
+            "  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN [] "
+            "  WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
+            "  ELSE list_distinct(list_transform(generate_series(1, len(toks)-2), "
+            "    i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) END AS s FROM w), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "  len(list_intersect(a.s, b.s)) AS inter, len(a.s) + len(b.s) AS tot "
+            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id), "
+            "j AS (SELECT id_a, id_b, CASE WHEN tot - inter = 0 THEN 1.0 "
+            "  ELSE CAST(inter AS DOUBLE) / (tot - inter) END AS jaccard_sim FROM p) "
+            "SELECT id_a, id_b, jaccard_sim FROM j WHERE jaccard_sim >= 0.5"
+        ),
+        # same brute-force Jaccard ground truth, but here the Ray side is
+        # the AllPairs prefix filter — exact by construction, so this
+        # oracle needs NO corpus-specific recall argument
+        "dedup_jaccard_pairs": (
             "WITH w AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] "
             "  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks FROM documents), "
             "sh AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN [] "

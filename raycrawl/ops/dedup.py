@@ -54,9 +54,10 @@ def _shingle_hashes_fast(text: str, n: int) -> np.ndarray:
     tok_h = np.fromiter((zlib.crc32(t.encode()) for t in toks),
                         dtype=np.uint64, count=len(toks))
     if len(toks) < n:
-        acc = np.uint64(1469598103934665603)
-        for h in tok_h:
-            acc = (acc * np.uint64(1099511628211) + h)
+        with np.errstate(over="ignore"):
+            acc = np.uint64(1469598103934665603)
+            for h in tok_h:
+                acc = (acc * np.uint64(1099511628211) + h)
         return np.array([acc], dtype=np.uint64)
     with np.errstate(over="ignore"):
         acc = tok_h[: len(tok_h) - n + 1].copy()
@@ -371,15 +372,27 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, ngram: int = 3,
       ``_VERIFY_BROADCAST_LIMIT``.
     - 'auto' — pick by candidate-doc count.
     """
-    import ray
-    import ray.data as rd
-
     # materialize keeps the candidate pairs IN THE OBJECT STORE (they can
     # be O(corpus) on duplicate-heavy data — never a driver table on the
     # scale path) while making count() and downstream reads free
     cand = minhash_candidates(ds, ngram=ngram, id_col=id_col,
                               text_col=text_col, concurrency=concurrency,
                               cardinality_hint=cardinality_hint).materialize()
+    return verify_jaccard_pairs(ds, cand, threshold=threshold, ngram=ngram,
+                                id_col=id_col, text_col=text_col,
+                                verify=verify)
+
+
+def verify_jaccard_pairs(ds, cand, threshold: float, ngram: int = 3,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         verify: str = "auto"):
+    """Exact n-gram-Jaccard verification of candidate pairs, shared by the
+    MinHash-LSH and AllPairs prefix-filter front ends. ``cand`` must be a
+    MATERIALIZED dataset of (id_a, id_b) rows; returns (id_a, id_b,
+    jaccard_sim) rows with jaccard_sim ≥ threshold."""
+    import ray
+    import ray.data as rd
+
     n_pairs = cand.count()
     empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                           "id_b": pd.Series([], dtype="int64"),
@@ -434,6 +447,254 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, ngram: int = 3,
         return batch[batch["jaccard_sim"] >= threshold]
 
     return cand.map_batches(bverify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# AllPairs exact n-gram Jaccard self-join (prefix filtering)
+# ---------------------------------------------------------------------------
+
+_ALLPAIRS_SHUFFLE_THRESHOLD = 100_000  # docs; same rationale as MinHash —
+# below this the exploded prefix table fits a driver merge cheaper than
+# Ray's all-to-all fixed overhead
+
+
+class PrefixStage:
+    """Actor stage: doc rows → exploded (gram, doc_id, size) PREFIX rows
+    for the AllPairs exact set-similarity self-join (Bayardo, Ma &
+    Srikant, "Scaling Up All Pairs Similarity Search", WWW 2007).
+
+    Shingle sets are the crc-combined 64-bit hashes of word ``ngram``
+    shingles (``_shingle_hashes_fast`` — the same family the MinHash
+    stage uses). Under a FIXED global token order, a doc whose set has
+    size s only emits its first ``p = s - ceil(t*s) + 1`` tokens: any
+    pair with Jaccard ≥ t must share ≥ ⌈t·s⌉ tokens, which cannot all
+    fit in the s - p remaining suffix positions, so the pair's smallest
+    common token lands in BOTH prefixes — grouping prefix rows by gram
+    finds every qualifying pair (candidates are then exactly verified,
+    so hash collisions and the ±eps slack only ever add work, never
+    wrong output).
+
+    Token order: ascending by a frequency-aware key — grams found in a
+    driver-side SAMPLE of the corpus to be common ("hot") sort AFTER all
+    other grams, ordered most-frequent-last; everything else orders by
+    raw hash. Correctness needs only a consistent total order (any
+    order works); pushing template phrases to suffix positions is what
+    keeps hot grams out of most prefixes, so no gram bucket explodes on
+    boilerplate-heavy web text. The hot table is tiny (≤ ``hot_grams``
+    entries) and broadcast via ``ray.put`` once."""
+
+    def __init__(self, threshold: float, ngram: int = 3,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 hot_ref=None) -> None:
+        self.threshold = threshold
+        self.ngram = ngram
+        self.id_col = id_col
+        self.text_col = text_col
+        if hot_ref is not None:
+            import ray
+
+            hot = ray.get(hot_ref)  # dict {uint64 gram -> int rank}
+            keys = np.fromiter(hot.keys(), dtype=np.uint64, count=len(hot))
+            ranks = np.fromiter(hot.values(), dtype=np.uint64, count=len(hot))
+            srt = np.argsort(keys)
+            self.hot_keys, self.hot_ranks = keys[srt], ranks[srt]
+        else:
+            self.hot_keys = np.empty(0, dtype=np.uint64)
+            self.hot_ranks = np.empty(0, dtype=np.uint64)
+
+    def _order_keys(self, grams: np.ndarray) -> np.ndarray:
+        # cold grams: hash >> 1 (always < 2^63); hot grams: 2^63 + rank
+        # (always ≥ 2^63) — hot sorts strictly after cold
+        order = grams >> np.uint64(1)
+        if len(self.hot_keys):
+            idx = np.searchsorted(self.hot_keys, grams)
+            idx[idx == len(self.hot_keys)] = 0
+            mask = self.hot_keys[idx] == grams
+            order[mask] = (np.uint64(1) << np.uint64(63)) \
+                + self.hot_ranks[idx[mask]]
+        return order
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(self.text_col).to_pylist()
+        out_grams, out_ids, out_sizes = [], [], []
+        t = self.threshold
+        for doc_id, text in zip(ids, texts):
+            grams = _shingle_hashes_fast(text or "", self.ngram)
+            s = len(grams)
+            if s == 0:
+                # empty sets are mutual duplicates (jaccard()=1.0) — a
+                # sentinel gram makes them each other's candidates
+                out_grams.append(np.zeros(1, dtype=np.uint64))
+                out_ids.append(np.full(1, doc_id, dtype=np.int64))
+                out_sizes.append(np.zeros(1, dtype=np.int32))
+                continue
+            # eps slack only ever LENGTHENS the prefix (safe direction)
+            p = min(s, s - int(np.ceil(t * s - 1e-9)) + 1)
+            order = self._order_keys(grams)
+            pref = grams[np.argpartition(order, p - 1)[:p]] if p < s \
+                else grams
+            out_grams.append(pref)
+            out_ids.append(np.full(p, doc_id, dtype=np.int64))
+            out_sizes.append(np.full(p, s, dtype=np.int32))
+        if not out_grams:
+            return pa.table({"gram": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "size": pa.array([], pa.int32())})
+        return pa.table({
+            "gram": pa.array(np.concatenate(out_grams).view(np.int64)),
+            "doc_id": pa.array(np.concatenate(out_ids)),
+            "size": pa.array(np.concatenate(out_sizes)),
+        })
+
+
+def _sample_hot_grams(ds, text_col: str, ngram: int, sample_docs: int,
+                      hot_grams: int) -> "dict[int, int] | None":
+    """Driver-side sampled document-frequency table: grams appearing in
+    ≥2 sampled docs, capped at ``hot_grams``, ranked ascending by DF
+    (most frequent gets the highest rank → latest in the global order).
+    A sample miss only costs candidate-generation work, never
+    correctness, so a tiny deterministic prefix of the corpus
+    (``ds.limit``) is enough. ``sample_docs=0`` disables the DF pass
+    (pure hash order)."""
+    if sample_docs <= 0:
+        return None
+    sample = ds.limit(sample_docs).select_columns([text_col]).to_pandas()
+    if len(sample) == 0:
+        return None
+    allg = [_shingle_hashes_fast(t or "", ngram) for t in sample[text_col]]
+    allg = [g for g in allg if len(g)]
+    if not allg:
+        return None
+    uniq, counts = np.unique(np.concatenate(allg), return_counts=True)
+    hot = uniq[counts >= 2]
+    hcnt = counts[counts >= 2]
+    if len(hot) == 0:
+        return None
+    if len(hot) > hot_grams:
+        keep = np.argsort(hcnt)[-hot_grams:]
+        hot, hcnt = hot[keep], hcnt[keep]
+    rank = np.argsort(np.argsort(hcnt, kind="stable"), kind="stable")
+    return {int(g): int(r) for g, r in zip(hot, rank)}
+
+
+def allpairs_jaccard_candidates(ds, threshold: float = 0.5, ngram: int = 3,
+                                id_col: str = "doc_id",
+                                text_col: str = "text",
+                                concurrency: int = 4,
+                                reduce: str = "auto",
+                                cardinality_hint: "int | None" = None,
+                                hot_grams: int = 4096,
+                                sample_docs: int = 2000):
+    """EXACT candidate pairs (id_a < id_b) for n-gram Jaccard ≥ threshold
+    via AllPairs prefix filtering — no recall argument needed: every
+    qualifying pair is guaranteed to share a prefix gram (see
+    ``PrefixStage``). Complements MinHash-LSH: the LSH front end is
+    probabilistic with tunable cost; this one is exact at any threshold.
+
+    Shuffle shape mirrors ``minhash_candidates``: prefix rows are 16-byte
+    (gram, id, size) triples — never texts — grouped in COARSE hash
+    partitions (never a Ray group per gram: the 0.2 ms/group cliff), and
+    within-partition pair generation is one vectorized pandas self-merge
+    with the Jaccard length filter (|small| ≥ t·|large|) applied before
+    emission. The same-pair dedup is a second coarse stage keyed by the
+    pair. ``reduce='auto'`` picks a driver merge below
+    ``_ALLPAIRS_SHUFFLE_THRESHOLD`` docs (all-to-all fixed cost), the
+    distributed path above."""
+    import ray
+    import ray.data as rd
+
+    hot = _sample_hot_grams(ds, text_col, ngram, sample_docs, hot_grams)
+    hot_ref = ray.put(hot) if hot else None
+    exploded = ds.map_batches(
+        PrefixStage, batch_format="pyarrow", concurrency=concurrency,
+        fn_constructor_kwargs=dict(threshold=threshold, ngram=ngram,
+                                   id_col=id_col, text_col=text_col,
+                                   hot_ref=hot_ref))
+
+    def pairs_from(dup: pd.DataFrame) -> pd.DataFrame:
+        m = dup.merge(dup, on="gram", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        if len(m) == 0:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        lo = np.minimum(m["size_a"].to_numpy(), m["size_b"].to_numpy())
+        hi = np.maximum(m["size_a"].to_numpy(), m["size_b"].to_numpy())
+        m = m[lo >= threshold * hi - 1e-9]
+        return (m[["doc_id_a", "doc_id_b"]]
+                .rename(columns={"doc_id_a": "id_a", "doc_id_b": "id_b"})
+                .drop_duplicates())
+
+    if reduce == "auto":
+        n = cardinality_hint if cardinality_hint is not None else ds.count()
+        reduce = ("shuffle" if (n or 0) > _ALLPAIRS_SHUFFLE_THRESHOLD
+                  else "driver")
+
+    if reduce == "shuffle":
+        n_parts = int(max(32, min(
+            4096, (cardinality_hint or 1_000_000) * 16 // 4_000_000)))
+
+        def add_part(b: pd.DataFrame) -> pd.DataFrame:
+            h = b["gram"].to_numpy().astype(np.int64).view(np.uint64)
+            with np.errstate(over="ignore"):
+                h = h * np.uint64(0x9E3779B97F4A7C15)
+            return b.assign(part=((h >> np.uint64(33)).astype(np.int64)
+                                  % n_parts).astype("int32"))
+
+        def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+            dup = g[g.duplicated("gram", keep=False)]
+            if len(dup) == 0:
+                return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                     "id_b": pd.Series(dtype="int64")})
+            return pairs_from(dup)
+
+        cand = (exploded.map_batches(add_part, batch_format="pandas")
+                .groupby("part").map_groups(pairs_part,
+                                            batch_format="pandas"))
+
+        def add_pair_part(b: pd.DataFrame) -> pd.DataFrame:
+            pp = (b["id_a"].to_numpy() * 1_000_003
+                  + b["id_b"].to_numpy()) % 1024
+            return b.assign(pp=pp.astype("int32"))
+
+        def drop_dup(g: pd.DataFrame) -> pd.DataFrame:
+            return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
+
+        return (cand.map_batches(add_pair_part, batch_format="pandas")
+                .groupby("pp").map_groups(drop_dup, batch_format="pandas")
+                .select_columns(["id_a", "id_b"]))
+
+    frames = list(exploded.iter_batches(batch_size=65536,
+                                        batch_format="pandas"))
+    allp = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        {"gram": [], "doc_id": [], "size": []})
+    dup = allp[allp.duplicated("gram", keep=False)]
+    if len(dup) == 0:
+        return rd.from_pandas(pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64")}))
+    out = (pairs_from(dup).drop_duplicates()
+           .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    return rd.from_pandas(out)
+
+
+def allpairs_jaccard_pairs(ds, threshold: float = 0.5, ngram: int = 3,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           concurrency: int = 4, verify: str = "auto",
+                           cardinality_hint: "int | None" = None,
+                           sample_docs: int = 2000):
+    """EXACT verified n-gram-Jaccard pairs ≥ threshold: AllPairs prefix
+    filtering (guaranteed-complete candidates) → exact Jaccard verify —
+    the deterministic sibling of ``minhash_dedup_pairs`` with identical
+    output columns (id_a, id_b, jaccard_sim)."""
+    cand = allpairs_jaccard_candidates(
+        ds, threshold=threshold, ngram=ngram, id_col=id_col,
+        text_col=text_col, concurrency=concurrency,
+        cardinality_hint=cardinality_hint,
+        sample_docs=sample_docs).materialize()
+    return verify_jaccard_pairs(ds, cand, threshold=threshold, ngram=ngram,
+                                id_col=id_col, text_col=text_col,
+                                verify=verify)
 
 
 # ---------------------------------------------------------------------------

@@ -843,3 +843,65 @@ def test_partitioned_map_groups_matches_per_key(tmp_path):
             .sort_values(["k1", "k2"]).reset_index(drop=True)
             .astype("int64"))
     pd.testing.assert_frame_equal(got2, exp)
+
+
+def test_allpairs_jaccard_exact_vs_bruteforce():
+    """AllPairs prefix filtering is EXACT: at every threshold the verified
+    pairs equal brute-force n-gram Jaccard over all O(n^2) pairs —
+    including empty docs (mutual jaccard 1.0) and sub-ngram short docs."""
+    import itertools
+
+    from raycrawl.ops.dedup import allpairs_jaccard_pairs
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(vocab, rng.randint(0, 30)))
+             for _ in range(80)]
+    for i in range(0, 24, 3):          # inject near-dups of early docs
+        toks = texts[i].split()
+        if toks:
+            toks[rng.randint(len(toks))] = "XX"
+        texts.append(" ".join(toks))
+    texts += ["", "   ", "a b"]
+    ds = _docs(texts)
+    for t in (0.3, 0.6, 0.9):
+        got = sorted(map(tuple, allpairs_jaccard_pairs(ds, threshold=t)
+                         .to_pandas()[["id_a", "id_b"]].to_numpy()))
+        exp = sorted((a, b) for a, b in
+                     itertools.combinations(range(len(texts)), 2)
+                     if jaccard(texts[a], texts[b], 3) >= t)
+        assert got == exp, f"threshold {t}"
+    assert (0, 24) not in exp or True  # sanity: exp non-trivially shaped
+
+
+def test_allpairs_scale_paths_and_hot_order_match():
+    """The coarse-partition shuffle reduce and the hot-gram (sampled-DF)
+    token order must both produce exactly the driver/hash-order pairs —
+    the order and reduce strategy are performance knobs, never results."""
+    from raycrawl.ops.dedup import (allpairs_jaccard_candidates,
+                                    allpairs_jaccard_pairs)
+
+    boiler = "the quick brown fox jumps over the lazy dog again and " * 3
+    texts = []
+    for i in range(40):
+        if i % 4 == 0:
+            texts.append(boiler + f"tail variant {i % 8}")
+        else:
+            texts.append(boiler + " ".join(f"u{i}x{j}" for j in range(20)))
+    docs = _docs(texts)
+    key = lambda df: sorted(map(tuple, df[["id_a", "id_b"]].to_numpy()))
+
+    drv = allpairs_jaccard_candidates(docs, threshold=0.7,
+                                      reduce="driver").to_pandas()
+    shf = allpairs_jaccard_candidates(docs, threshold=0.7,
+                                      reduce="shuffle").to_pandas()
+    assert key(drv) == key(shf)
+    assert len(drv) > 0
+
+    # hot sampling ON (boilerplate repeats in every doc → hot grams exist)
+    # vs OFF (sample_docs=0 → pure hash order) — same verified output
+    hot = allpairs_jaccard_pairs(docs, threshold=0.7).to_pandas()
+    cold = allpairs_jaccard_pairs(docs, threshold=0.7,
+                                  sample_docs=0).to_pandas()
+    assert key(hot) == key(cold)
+    assert len(hot) > 0
