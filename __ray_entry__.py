@@ -381,6 +381,18 @@ def _q_jaccard_pairs(sf_dir: str):
     return allpairs_jaccard_pairs(docs, threshold=0.5).to_pandas()
 
 
+def _q_segment_dedup(sf_dir: str):
+    """CCNet-style segment-level exact dedup: 10-word segments, corpus-wide
+    first occurrence wins, docs reassembled (ops/dedup.py segment_dedup)."""
+    import ray.data as rd
+
+    from raycrawl.ops.dedup import segment_dedup
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return segment_dedup(docs, words_per_seg=10).to_pandas()
+
+
 def _q_simhash(sf_dir: str):
     import ray.data as rd
 
@@ -1023,6 +1035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_jaccard_pairs": _q_jaccard_pairs,
+        "dedup_segments": _q_segment_dedup,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "dedup_embedding_pairs": _q_embedding_dups,
@@ -1390,6 +1403,26 @@ def oracle_sql() -> dict[str, str]:
             "j AS (SELECT id_a, id_b, CASE WHEN tot - inter = 0 THEN 1.0 "
             "  ELSE CAST(inter AS DOUBLE) / (tot - inter) END AS jaccard_sim FROM p) "
             "SELECT id_a, id_b, jaccard_sim FROM j WHERE jaccard_sim >= 0.5"
+        ),
+        # CCNet paragraph-dedup semantics over 10-word segments: first
+        # (doc_id, seg_idx) occurrence of each distinct segment survives,
+        # docs reassembled from survivors in order
+        "dedup_segments": (
+            "WITH w AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] "
+            "  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks FROM documents), "
+            "seg0 AS (SELECT doc_id, unnest(list_transform("
+            "    generate_series(0, CAST(ceil(len(toks)/10.0) AS BIGINT)-1), "
+            "    i -> struct_pack(i := i, seg := array_to_string("
+            "      list_slice(toks, i*10+1, LEAST((i+1)*10, len(toks))), ' ')))) AS u FROM w), "
+            "seg AS (SELECT doc_id, CAST(u.i AS INT) AS seg_idx, u.seg AS seg FROM seg0), "
+            "win AS (SELECT doc_id, seg_idx, seg, "
+            "  row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn FROM seg), "
+            "agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text, "
+            "  count(*) AS n_kept FROM win WHERE rn = 1 GROUP BY doc_id), "
+            "tot AS (SELECT doc_id, CAST(ceil(len(toks)/10.0) AS BIGINT) AS n_segments FROM w) "
+            "SELECT t.doc_id, COALESCE(a.text, '') AS text, t.n_segments, "
+            "  COALESCE(a.n_kept, 0) AS n_kept "
+            "FROM tot t LEFT JOIN agg a USING (doc_id)"
         ),
         # near-dup clusters: min-reachable label over the verified pair
         # graph (recursive CTE), matching driver-side union-find min labels

@@ -450,6 +450,95 @@ def verify_jaccard_pairs(ds, cand, threshold: float, ngram: int = 3,
 
 
 # ---------------------------------------------------------------------------
+# segment-level exact dedup (CCNet-style paragraph dedup)
+# ---------------------------------------------------------------------------
+
+
+def segment_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                  words_per_seg: int = 20, n_parts: int = 256):
+    """Corpus-wide SEGMENT-level exact dedup: every document is split into
+    segments, each distinct segment survives only at its FIRST occurrence
+    (min (doc_id, seg_idx) lexicographic), and documents are reassembled
+    from their surviving segments in order — the paragraph-dedup step of
+    CCNet (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+    Datasets from Web Crawl Data") / the repeated-passage removal of Lee
+    et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), with a configurable segmenter. Web text segments on blank
+    lines; this corpus has none, so the default segmenter is
+    non-overlapping ``words_per_seg``-word windows (whitespace tokens, the
+    repo-wide ``\\S+`` convention).
+
+    Scale shape: docs explode to (md5(segment), doc_id, seg_idx, segment)
+    rows; the winner-per-segment decision runs inside COARSE hash
+    partitions keyed by the digest (all copies of a segment co-locate;
+    never a Ray group per segment — the 0.2 ms/key cliff), and reassembly
+    is a second coarse-partition stage keyed by doc. The only all-to-all
+    payloads are segment rows — no doc ever holds another doc's text.
+    Returns (doc_id, text, n_segments, n_kept) — ``text`` is the
+    whitespace-normalized surviving text ('' when every segment was a
+    repeat or the doc was empty)."""
+    from .agg import partitioned_map_partitions
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_pylist()
+        out_key, out_id, out_idx, out_seg, out_tot = [], [], [], [], []
+        for doc_id, text in zip(ids, texts):
+            toks = _WORD_RE.findall(text or "")
+            n_total = (len(toks) + words_per_seg - 1) // words_per_seg
+            # sentinel guarantees every doc reaches reassembly, even when
+            # all its segments lose ("!" can never appear in an md5 hex)
+            out_key.append(f"!doc:{doc_id}")
+            out_id.append(doc_id)
+            out_idx.append(-1)
+            out_seg.append("")
+            out_tot.append(n_total)
+            for s in range(0, len(toks), words_per_seg):
+                seg = " ".join(toks[s : s + words_per_seg])
+                out_key.append(hashlib.md5(seg.encode()).hexdigest())
+                out_id.append(doc_id)
+                out_idx.append(s // words_per_seg)
+                out_seg.append(seg)
+                out_tot.append(n_total)
+        return pd.DataFrame({
+            "key": out_key,
+            "doc_id": pd.Series(out_id, dtype="int64"),
+            "seg_idx": pd.Series(out_idx, dtype="int32"),
+            "seg": out_seg,
+            "n_total": pd.Series(out_tot, dtype="int64"),
+        })
+
+    def keep_first(part: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a key are in this partition: the (doc_id, seg_idx)
+        # lexicographic min per key survives
+        srt = part.sort_values(["key", "doc_id", "seg_idx"], kind="stable")
+        return srt.drop_duplicates("key")[["doc_id", "seg_idx", "seg",
+                                           "n_total"]]
+
+    def reassemble(part: pd.DataFrame) -> pd.DataFrame:
+        segs = part[part["seg_idx"] >= 0]
+        # the sentinel row (always present, always survives) carries the
+        # doc's TOTAL segment count — dropped segments never reach here
+        n_seg = part.groupby("doc_id")["n_total"].first()
+        joined = (segs.sort_values(["doc_id", "seg_idx"])
+                  .groupby("doc_id")["seg"].agg(" ".join))
+        kept = segs.groupby("doc_id").size()
+        out = pd.DataFrame({"doc_id": n_seg.index})
+        out["text"] = out["doc_id"].map(joined).fillna("")
+        out["n_segments"] = out["doc_id"].map(n_seg).astype("int64")
+        out["n_kept"] = (out["doc_id"].map(kept).fillna(0).astype("int64"))
+        return out
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    kept = partitioned_map_partitions(exploded, "key", keep_first,
+                                      n_parts=n_parts)
+    # reassembly needs EVERY emitted row of a doc (kept segs + sentinel);
+    # sentinels always survive keep_first (their key is unique per doc)
+    return partitioned_map_partitions(kept, "doc_id", reassemble,
+                                      n_parts=n_parts)
+
+
+# ---------------------------------------------------------------------------
 # AllPairs exact n-gram Jaccard self-join (prefix filtering)
 # ---------------------------------------------------------------------------
 

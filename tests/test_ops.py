@@ -905,3 +905,45 @@ def test_allpairs_scale_paths_and_hot_order_match():
                                   sample_docs=0).to_pandas()
     assert key(hot) == key(cold)
     assert len(hot) > 0
+
+
+def test_segment_dedup_first_occurrence_wins():
+    """Corpus-wide segment dedup: each distinct segment survives only at
+    its lexicographically-first (doc_id, seg_idx); docs reassemble from
+    survivors in order; totals count ALL segments, kept only survivors."""
+    import re
+
+    from raycrawl.ops.dedup import segment_dedup
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, rng.randint(0, 70)))
+             for _ in range(50)]
+    texts[10] = texts[5]                     # whole-doc duplicate
+    texts[20] = texts[7] + " " + texts[8]    # stitched from others
+    texts += ["", "  "]
+    ds = _docs(texts)
+    got = (segment_dedup(ds, words_per_seg=10).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    W, word = 10, re.compile(r"\S+")
+    win = {}
+    for did, t in enumerate(texts):
+        toks = word.findall(t)
+        for idx, s in enumerate(range(0, len(toks), W)):
+            seg = " ".join(toks[s : s + W])
+            if seg not in win or (did, idx) < win[seg]:
+                win[seg] = (did, idx)
+    rows = []
+    for did, t in enumerate(texts):
+        toks = word.findall(t)
+        keeps = [" ".join(toks[s : s + W])
+                 for idx, s in enumerate(range(0, len(toks), W))
+                 if win[" ".join(toks[s : s + W])] == (did, idx)]
+        rows.append((did, " ".join(keeps), (len(toks) + W - 1) // W,
+                     len(keeps)))
+    exp = pd.DataFrame(rows, columns=["doc_id", "text", "n_segments",
+                                      "n_kept"]).astype(
+        {"doc_id": "int64", "n_segments": "int64", "n_kept": "int64"})
+    assert got[["doc_id", "text", "n_segments", "n_kept"]].equals(exp)
+    assert (exp["n_kept"] < exp["n_segments"]).any()  # something dropped
