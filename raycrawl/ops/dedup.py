@@ -974,16 +974,14 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
         q = np.asarray([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
         q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
         sims = q @ all_mat.T
-        qa, qb, qs = [], [], []
-        for r, qid in enumerate(batch[id_col]):
-            hits = np.where(sims[r] >= threshold)[0]
-            for c in hits:
-                if all_ids[c] > qid:  # emit each pair once, a < b
-                    qa.append(qid); qb.append(int(all_ids[c]))
-                    qs.append(float(sims[r, c]))
-        return pd.DataFrame({"id_a": pd.Series(qa, dtype="int64"),
-                             "id_b": pd.Series(qb, dtype="int64"),
-                             "cosine_sim": pd.Series(qs, dtype="float64")})
+        qids = batch[id_col].to_numpy()
+        # emit each pair once (a < b): one boolean mask, no row loop
+        mask = (sims >= threshold) & (all_ids[None, :] > qids[:, None])
+        r, c = np.nonzero(mask)
+        return pd.DataFrame({"id_a": pd.Series(qids[r], dtype="int64"),
+                             "id_b": pd.Series(all_ids[c], dtype="int64"),
+                             "cosine_sim": pd.Series(sims[r, c],
+                                                     dtype="float64")})
 
     return ds.map_batches(scan, batch_format="pandas", batch_size=256)
 
