@@ -334,6 +334,11 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
     files_by_bucket, num_buckets = _corpus_files(corpus_path)
     wave_stats: list[dict] = []
     waves_done = 0
+    # per-phase wall-time accounting (driver-observed, cumulative): where
+    # a wave's critical path actually goes — fetch+extract pool vs
+    # frontier RPCs vs driver-side admission vs checkpoint IO
+    phase_sec = {"pop": 0.0, "fetch_extract": 0.0, "assemble": 0.0,
+                 "admission": 0.0, "checkpoint": 0.0}
 
     while True:
         if cfg.max_waves is not None and waves_done >= cfg.max_waves:
@@ -341,6 +346,7 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
         if pages_success >= cfg.max_pages:
             break  # crawler_service.py:125-127 page-side cap
         budget = min(cfg.wave_budget, cfg.max_pages - pages_success)
+        _tp = time.monotonic()
         pops = ray.get([s.pop_batch.remote(wave, budget) for s in shards])
         merged = sorted([it for sub in pops for it in sub],
                         key=lambda x: (x[0], x[1]))
@@ -360,6 +366,7 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
             continue
 
         wave_urls = [u for (_, _, u, _) in wave_items]
+        phase_sec["pop"] += time.monotonic() - _tp
 
         # --- fetch (J4) + extract on the persistent worker pool -----------
         # URLs grouped by corpus bucket → each task reads only its bucket's
@@ -371,6 +378,7 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
                 by_bucket.setdefault(host_shard(host_of(u), num_buckets), []).append(u)
         else:
             by_bucket = {None: wave_urls}
+        _tf = time.monotonic()
         futures = []
         wi = 0
         for b, urls_in_bucket in sorted(by_bucket.items(),
@@ -381,6 +389,8 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
                 futures.append(workers[wi % len(workers)].process.remote(paths, chunk))
                 wi += 1
         batches = [t for t in ray.get(futures) if t is not None and t.num_rows]
+        phase_sec["fetch_extract"] += time.monotonic() - _tf
+        _ta = time.monotonic()
         wave_tbl = pa.concat_tables(batches) if batches else None
         if wave_tbl is None or wave_tbl.num_rows == 0:
             rows_by_url: dict[str, int] = {}
@@ -423,7 +433,9 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
                 if depth < cfg.max_depth:  # expansion gate crawler_service.py:61
                     links_by_seq.append((seq, depth, links, url))
 
+        phase_sec["assemble"] += time.monotonic() - _ta
         # --- two-phase admission -----------------------------------------
+        _tm = time.monotonic()
         links_by_seq.sort(key=lambda x: x[0])
         cands: list[tuple[int, bytes, str, str, int, str]] = []
         rank = 0
@@ -464,6 +476,8 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
                      for sid, items in inserts.items()])
         if seen_rows:
             _write_seen_wave(seen_dir, wave + 1, seen_rows)
+        phase_sec["admission"] += time.monotonic() - _tm
+        _tc = time.monotonic()
 
         # --- checkpoint at the wave boundary (R3) -------------------------
         # crash-atomic: snapshots land in a fresh generation dir, the
@@ -500,6 +514,7 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
         for old in glob.glob(os.path.join(ckpt_dir, "gen-*")):
             if os.path.basename(old) != gen:
                 _shutil.rmtree(old, ignore_errors=True)
+        phase_sec["checkpoint"] += time.monotonic() - _tc
         wave += 1
         waves_done += 1
 
@@ -518,6 +533,7 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
         "robots_blocked": sum(st["robots_blocked"] for st in shard_stats),
         "filter_false_positives": sum(st["filter_false_positives"] or 0
                                       for st in shard_stats),
+        "phase_sec": {k: round(v, 3) for k, v in phase_sec.items()},
         "shards": shard_stats,
     }
     for a in shards + workers:
