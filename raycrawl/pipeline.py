@@ -26,6 +26,7 @@ import glob
 import json
 import math
 import os
+import threading
 import time
 from typing import Any, Optional
 
@@ -66,7 +67,12 @@ class CrawlConfig:
 
 class WaveExtractor:
     """Actor-pool stage: fetched wave rows → CRAWL_RESULT columns + filtered
-    candidate links. Link filter compiled once per actor (ST7)."""
+    candidate links. Link filter compiled once per actor (ST7).
+
+    Each filtered link also carries its canonical SHA-1 key and host,
+    computed here in the (parallel) worker pool so the driver's admission
+    loop does no per-link URL parsing or hashing — only rank assignment
+    and shard routing."""
 
     def __init__(self, base_domain: str, exclude: Optional[list[str]],
                  include: Optional[list[str]], only_main: bool) -> None:
@@ -80,6 +86,7 @@ class WaveExtractor:
             "url": urls, "markdown": [], "title": [], "language": [],
             "status_code": [], "json_ld": [], "open_graph": [],
             "twitter_card": [], "meta_data": [], "links": [],
+            "link_keys": [], "link_hosts": [],
         }
         for url, html in zip(urls, htmls):
             try:
@@ -94,7 +101,11 @@ class WaveExtractor:
                 out["open_graph"].append(json.dumps(st["openGraph"], sort_keys=True))
                 out["twitter_card"].append(json.dumps(st["twitterCard"], sort_keys=True))
                 out["meta_data"].append(json.dumps(st["metaData"], sort_keys=True))
-                out["links"].append([u for u in res["crawl_links"] if self.link_filter(u)])
+                flinks = [u for u in res["crawl_links"] if self.link_filter(u)]
+                canons = [canonicalize(u) for u in flinks]
+                out["links"].append(flinks)
+                out["link_keys"].append([url_key(c) for c in canons])
+                out["link_hosts"].append([host_of(c) for c in canons])
             except Exception as exc:
                 out["markdown"].append("")
                 out["title"].append("")
@@ -105,6 +116,8 @@ class WaveExtractor:
                 out["twitter_card"].append("{}")
                 out["meta_data"].append('{"language": ""}')
                 out["links"].append([])
+                out["link_keys"].append([])
+                out["link_hosts"].append([])
         return pa.Table.from_pydict(
             {
                 "url": pa.array(out["url"], pa.string()),
@@ -117,6 +130,8 @@ class WaveExtractor:
                 "twitter_card": pa.array(out["twitter_card"], pa.string()),
                 "meta_data": pa.array(out["meta_data"], pa.string()),
                 "links": pa.array(out["links"], pa.list_(pa.string())),
+                "link_keys": pa.array(out["link_keys"], pa.list_(pa.binary())),
+                "link_hosts": pa.array(out["link_hosts"], pa.list_(pa.string())),
             }
         )
 
@@ -339,6 +354,8 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
     # frontier RPCs vs driver-side admission vs checkpoint IO
     phase_sec = {"pop": 0.0, "fetch_extract": 0.0, "assemble": 0.0,
                  "admission": 0.0, "checkpoint": 0.0}
+    ckpt_thread: Optional[threading.Thread] = None
+    ckpt_err: list[BaseException] = []
 
     while True:
         if cfg.max_waves is not None and waves_done >= cfg.max_waves:
@@ -429,21 +446,24 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
                 schema=CRAWL_RESULT)
             _write_result_wave_table(results_dir, wave, res_tbl)
             links_lists = sub.column("links").to_pylist()
-            for (seq, depth, url, _parent), links in zip(meta_rows, links_lists):
+            keys_lists = sub.column("link_keys").to_pylist()
+            hosts_lists = sub.column("link_hosts").to_pylist()
+            for (seq, depth, url, _parent), links, keys, hosts in zip(
+                    meta_rows, links_lists, keys_lists, hosts_lists):
                 if depth < cfg.max_depth:  # expansion gate crawler_service.py:61
-                    links_by_seq.append((seq, depth, links, url))
+                    links_by_seq.append((seq, depth, links, keys, hosts, url))
 
         phase_sec["assemble"] += time.monotonic() - _ta
         # --- two-phase admission -----------------------------------------
+        # link canonicalization + SHA-1 already done in the worker pool;
+        # this loop only assigns dense ranks in (parent_seq, doc-pos) order
         _tm = time.monotonic()
         links_by_seq.sort(key=lambda x: x[0])
         cands: list[tuple[int, bytes, str, str, int, str]] = []
         rank = 0
-        for seq, depth, links, parent_url in links_by_seq:
-            for link in links:
-                canon = canonicalize(link)
-                cands.append((rank, url_key(canon), link, host_of(canon),
-                              depth + 1, parent_url))
+        for seq, depth, links, keys, hosts, parent_url in links_by_seq:
+            for link, key, host in zip(links, keys, hosts):
+                cands.append((rank, key, link, host, depth + 1, parent_url))
                 rank += 1
         by_shard: dict[int, list[tuple[int, bytes, str, str]]] = {}
         for rank_, key, url, host, depth_, parent in cands:
@@ -485,39 +505,70 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
         # and os.rename'd into place, THEN older generations are removed —
         # a crash at any point leaves a manifest whose generation dir is
         # complete and matching.
-        snaps = ray.get([s.snapshot.remote() for s in shards])
-        gen = f"gen-{wave}"
-        gen_dir = os.path.join(ckpt_dir, gen)
-        os.makedirs(gen_dir, exist_ok=True)
-        for i, blob in enumerate(snaps):
-            tmp = os.path.join(gen_dir, f"shard{i}.bin.tmp")
-            with open(tmp, "wb") as f:
-                f.write(blob)
-            os.rename(tmp, os.path.join(gen_dir, f"shard{i}.bin"))
-        shard_stats = ray.get([s.stats.remote() for s in shards])
-        frontier_depth = sum(st["queued"] for st in shard_stats)
-        wave_stats.append({
-            "wave": wave, "popped": len(wave_items),
-            "success": pages_success, "failed": pages_failed,
-            "frontier_depth": frontier_depth,
-        })
-        tmp_manifest = manifest_path + ".tmp"
-        with open(tmp_manifest, "w") as f:
-            json.dump({"wave": wave, "next_seq": next_seq, "gen": gen,
-                       "pages_success": pages_success,
-                       "pages_failed": pages_failed,
-                       "shard_stats": shard_stats,
-                       "waves": wave_stats}, f)
-        os.rename(tmp_manifest, manifest_path)
-        import shutil as _shutil
+        #
+        # Off the critical path: the snapshot/stats RPCs are SUBMITTED here
+        # (actor tasks from one caller run in submission order, so they
+        # observe exactly the wave-boundary state even while the driver
+        # races ahead), but the ray.get + file IO + manifest rename run in
+        # a background thread overlapped with the next wave's compute. The
+        # previous wave's checkpoint is joined first, so generations land
+        # on disk in order and the manifest only ever moves forward. A
+        # crash mid-overlap resumes one wave earlier — waves are
+        # deterministic, so the replay rewrites identical outputs.
+        if ckpt_thread is not None:
+            ckpt_thread.join()
+            if ckpt_err:
+                raise ckpt_err[0]
+        snap_refs = [s.snapshot.remote() for s in shards]
+        stat_refs = [s.stats.remote() for s in shards]
+        ckpt_args = (wave, next_seq, pages_success, pages_failed,
+                     len(wave_items), snap_refs, stat_refs)
 
-        for old in glob.glob(os.path.join(ckpt_dir, "gen-*")):
-            if os.path.basename(old) != gen:
-                _shutil.rmtree(old, ignore_errors=True)
+        def _do_checkpoint(w: int, nseq: int, succ: int, fail: int,
+                           popped: int, snap_refs: list,
+                           stat_refs: list) -> None:
+            try:
+                snaps = ray.get(snap_refs)
+                gen = f"gen-{w}"
+                gen_dir = os.path.join(ckpt_dir, gen)
+                os.makedirs(gen_dir, exist_ok=True)
+                for i, blob in enumerate(snaps):
+                    tmp = os.path.join(gen_dir, f"shard{i}.bin.tmp")
+                    with open(tmp, "wb") as f:
+                        f.write(blob)
+                    os.rename(tmp, os.path.join(gen_dir, f"shard{i}.bin"))
+                shard_stats = ray.get(stat_refs)
+                frontier_depth = sum(st["queued"] for st in shard_stats)
+                wave_stats.append({
+                    "wave": w, "popped": popped,
+                    "success": succ, "failed": fail,
+                    "frontier_depth": frontier_depth,
+                })
+                tmp_manifest = manifest_path + ".tmp"
+                with open(tmp_manifest, "w") as f:
+                    json.dump({"wave": w, "next_seq": nseq, "gen": gen,
+                               "pages_success": succ,
+                               "pages_failed": fail,
+                               "shard_stats": shard_stats,
+                               "waves": wave_stats}, f)
+                os.rename(tmp_manifest, manifest_path)
+                for old in glob.glob(os.path.join(ckpt_dir, "gen-*")):
+                    if os.path.basename(old) != gen:
+                        shutil.rmtree(old, ignore_errors=True)
+            except BaseException as exc:  # surfaced at the next join
+                ckpt_err.append(exc)
+
+        ckpt_thread = threading.Thread(
+            target=_do_checkpoint, args=ckpt_args, daemon=True)
+        ckpt_thread.start()
         phase_sec["checkpoint"] += time.monotonic() - _tc
         wave += 1
         waves_done += 1
 
+    if ckpt_thread is not None:
+        ckpt_thread.join()
+        if ckpt_err:
+            raise ckpt_err[0]
     dur = time.time() - t0
     shard_stats = ray.get([s.stats.remote() for s in shards])
     total_dup = sum(st["dup_hits"] for st in shard_stats)
