@@ -1021,6 +1021,63 @@ def _q_part_brand(sf_dir: str):
     return part_brand_stats(sf_dir)
 
 
+def _q_pii_scrub(sf_dir: str):
+    """PII redaction over documents whose text is deterministically salted
+    with synthetic contact info (email + NANP phone + IPv4 derived from
+    doc_id — both sides of the oracle build the identical string), then
+    scrubbed by the vectorized RE2 pass. Returns counts + scrubbed text."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raycrawl.ops.textstats import pii_scrub
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def salt(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].astype("int64")
+        suffix = (" contact user" + d.astype(str) + "@mail.example or "
+                  "+1 555-" + (100 + (d * 7) % 900).astype(str) + "-"
+                  + (1000 + (d * 13) % 9000).astype(str)
+                  + " from 10." + (d % 256).astype(str) + "."
+                  + ((d * 3) % 256).astype(str) + "."
+                  + (1 + d % 254).astype(str))
+        return pd.DataFrame({"doc_id": d,
+                             "text": b["text"].fillna("") + suffix})
+
+    return pii_scrub(docs.map_batches(salt, batch_format="pandas")) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+_BM25_TERMS = ["dup", "spark", "merge", "vector"]
+
+
+def _q_bm25(sf_dir: str):
+    """BM25 top-20 keyword search (exact fixed-point variant — see
+    raycrawl/ops/search.py for the integer scoring contract the SQL
+    oracle reproduces with HUGEINT arithmetic)."""
+    import ray.data as rd
+
+    from raycrawl.ops.search import bm25_topk
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return bm25_topk(docs, _BM25_TERMS, k=20)
+
+
+def _q_cluster_assign(sf_dir: str):
+    """Nearest-centroid assignment (k-means E-step / IVF routing) over
+    2^20-quantized int64 vectors — exact distances, deterministic argmin."""
+    import ray.data as rd
+
+    from raycrawl.ops.knn import cluster_assign
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    return cluster_assign(emb, centroid_ids=list(range(8))) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_pages": _q_extract_pages,
@@ -1079,6 +1136,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "convert_docx": _q_convert_docx,
         "convert_xlsx": _q_convert_xlsx,
         "convert_pdf": _q_convert_pdf,
+        "text_pii_scrub": _q_pii_scrub,
+        "search_bm25": _q_bm25,
+        "cluster_assign": _q_cluster_assign,
     }
 
 
@@ -1087,6 +1147,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------------
 
 _STOP_LIST = "('the','a','an','and','of','to','in','is','it','that')"
+
+# PII regexes, verbatim from raycrawl/ops/textstats.py — single-quoted SQL
+# strings pass backslashes through to DuckDB's RE2 untouched
+_PII_E = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_P = r"(\+1[- ])?\d{3}-\d{3}-\d{4}"
+_PII_I = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def _bm25_oracle() -> str:
+    """SQL mirror of raycrawl/ops/search.py::bm25_topk — HUGEINT
+    cross-multiplied fixed-point scoring, one floor division per
+    (doc, term), rank by (score desc, doc_id)."""
+    terms = _BM25_TERMS
+    tf_exprs = ", ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf_{j}"
+        for j, t in enumerate(terms))
+    df_exprs = ", ".join(
+        f"sum(CASE WHEN tf_{j} > 0 THEN 1 ELSE 0 END) AS df_{j}"
+        for j in range(len(terms)))
+    contrib = " + ".join(
+        f"(CASE WHEN tf_{j} = 0 THEN 0::HUGEINT ELSE "
+        f"(1000000::HUGEINT * 44 * tf_{j} * avgdl * (2*n_docs - 2*df_{j} + 1)) // "
+        f"((20*tf_{j}*avgdl + 6*avgdl + 18*dl) * (2*df_{j} + 1)) END)"
+        for j in range(len(terms)))
+    any_match = " OR ".join(f"tf_{j} > 0" for j in range(len(terms)))
+    return (
+        "WITH w AS (SELECT doc_id, CASE WHEN trim(COALESCE(text,'')) = '' THEN [] "
+        "  ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)) END AS toks FROM documents), "
+        f"m AS (SELECT doc_id, CAST(length(toks) AS BIGINT) AS dl, {tf_exprs} FROM w), "
+        f"g AS (SELECT count(*) AS n_docs, sum(dl) AS total_len, {df_exprs} FROM m), "
+        "a AS (SELECT *, (2*total_len + n_docs) // (2*n_docs) AS avgdl FROM g), "
+        f"sc AS (SELECT m.doc_id, CAST({contrib} AS BIGINT) AS score_fp "
+        f"  FROM m, a WHERE {any_match}), "
+        "r AS (SELECT doc_id, score_fp, row_number() OVER "
+        "  (ORDER BY score_fp DESC, doc_id) AS rank FROM sc) "
+        "SELECT doc_id, score_fp, CAST(rank AS BIGINT) AS rank "
+        "FROM r WHERE rank <= 20"
+    )
 _EN = "('the','a','and','of','to','in','is','it','that','for','on','with')"
 _FR = "('le','la','les','de','des','et','un','une','est','que','pour','dans')"
 _DE = "('der','die','das','und','ist','ein','eine','zu','den','von','mit','für')"
@@ -1785,5 +1883,49 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents, "
             "CAST(max(p_size) AS INTEGER) AS max_size "
             "FROM part GROUP BY p_brand"
+        ),
+        # same salt arithmetic as the query, then the same three RE2
+        # passes in the same order (count on the text as it stands)
+        "text_pii_scrub": (
+            "WITH s AS (SELECT doc_id, COALESCE(text, '') || ' contact user' "
+            "  || doc_id || '@mail.example or +1 555-' "
+            "  || (100 + (doc_id * 7) % 900) || '-' "
+            "  || (1000 + (doc_id * 13) % 9000) "
+            "  || ' from 10.' || (doc_id % 256) || '.' "
+            "  || ((doc_id * 3) % 256) || '.' || (1 + doc_id % 254) AS t "
+            "  FROM documents), "
+            f"e AS (SELECT doc_id, length(regexp_extract_all(t, '{_PII_E}')) AS n_emails, "
+            f"  regexp_replace(t, '{_PII_E}', '<EMAIL>', 'g') AS t FROM s), "
+            f"p AS (SELECT doc_id, n_emails, length(regexp_extract_all(t, '{_PII_P}')) AS n_phones, "
+            f"  regexp_replace(t, '{_PII_P}', '<PHONE>', 'g') AS t FROM e), "
+            f"i AS (SELECT doc_id, n_emails, n_phones, length(regexp_extract_all(t, '{_PII_I}')) AS n_ips, "
+            f"  regexp_replace(t, '{_PII_I}', '<IP>', 'g') AS t FROM p) "
+            "SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails, "
+            "CAST(n_phones AS BIGINT) AS n_phones, CAST(n_ips AS BIGINT) AS n_ips, "
+            "t AS text_scrubbed FROM i"
+        ),
+        # fixed-point BM25 (see raycrawl/ops/search.py): rational idf
+        # (2N-2df+1)/(2df+1), integer avgdl, one HUGEINT floor division
+        # per (doc, term) — bit-identical to the Python bigint path
+        "search_bm25": _bm25_oracle(),
+        # 2^20-quantized int64 squared-L2 nearest centroid (ties → lowest
+        # cluster index); quantization floor(x*1048576+0.5) is exact on
+        # both sides because the scale is a power of two
+        "cluster_assign": (
+            "WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id, "
+            "  embedding FROM embeddings WHERE vec_id < 8), "
+            "cq AS (SELECT cluster_id, "
+            "  unnest(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT))) AS cv, "
+            "  unnest(range(1, len(embedding) + 1)) AS i FROM c), "
+            "vq AS (SELECT vec_id, "
+            "  unnest(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT))) AS vv, "
+            "  unnest(range(1, len(embedding) + 1)) AS i FROM embeddings), "
+            "d AS (SELECT vq.vec_id, cq.cluster_id, "
+            "  sum((vv - cv) * (vv - cv)) AS dist "
+            "  FROM vq JOIN cq ON vq.i = cq.i GROUP BY vq.vec_id, cq.cluster_id), "
+            "r AS (SELECT vec_id, cluster_id, dist, row_number() OVER "
+            "  (PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn FROM d) "
+            "SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id, "
+            "CAST(dist AS BIGINT) AS dist_sq FROM r WHERE rn = 1"
         ),
     }

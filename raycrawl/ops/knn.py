@@ -258,3 +258,61 @@ def knn_ivf(ds, query_ids: list[int], k: int = 10, nlist: int = 16,
             out["neighbor_id"].append(int(nid))
             out["rank"].append(r)
     return pd.DataFrame(out).sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+QUANT_SCALE = 1 << 20  # power of two: float32→(f64*2^20) scaling is exact
+
+
+def quantize_vecs(series, scale: int = QUANT_SCALE) -> np.ndarray:
+    """Fixed-point quantization round-half-up: floor(x * 2^20 + 0.5) as
+    int64. Scaling a float32 value by a power of two is exact in float64,
+    so DuckDB's ``floor(CAST(x AS DOUBLE) * 1048576 + 0.5)`` produces the
+    bit-identical integer — the basis for the exact cluster-assign oracle."""
+    m = np.asarray([np.asarray(v, dtype=np.float64) for v in series])
+    return np.floor(m * scale + 0.5).astype(np.int64)
+
+
+def cluster_assign(ds, centroid_ids: list[int], id_col: str = "vec_id",
+                   vec_col: str = "embedding"):
+    """Nearest-centroid assignment (the E-step of k-means / the routing
+    step of an IVF build) over integer-quantized vectors, so distances are
+    exact int64 sums and the argmin is deterministic (ties → smallest
+    centroid index).
+
+    Shape: the k centroid vectors are fetched with one filtered pass,
+    quantized, and broadcast via ``ray.put``; every batch computes a
+    (B, k) squared-L2 distance matrix with three int64 matmuls
+    (|a|² + |c|² − 2a·c) and emits (vec_id, cluster_id, dist_sq). Streams —
+    per-batch work is O(B·k·d), nothing materializes.
+
+    Returns a Dataset with columns (vec_id, cluster_id, dist_sq)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    cid_sorted = sorted(centroid_ids)
+    cset = pa.array(cid_sorted, pa.int64())
+    c_tbl = (
+        ds.map_batches(lambda b: b.filter(pc.is_in(b.column(id_col), cset)),
+                       batch_format="pyarrow")
+        .select_columns([id_col, vec_col]).to_pandas()
+        .sort_values(id_col).reset_index(drop=True)
+    )
+    cmat = quantize_vecs(c_tbl[vec_col])           # (k, d) int64
+    c_sq = np.einsum("kd,kd->k", cmat, cmat)       # (k,)
+    ref = ray.put((cmat, c_sq))
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        cm, cs = ray.get(ref)
+        ids = batch[id_col].to_numpy()
+        q = quantize_vecs(batch[vec_col])          # (B, d) int64
+        d2 = (np.einsum("bd,bd->b", q, q)[:, None]
+              + cs[None, :] - 2 * (q @ cm.T))      # (B, k)
+        best = d2.argmin(axis=1)                   # first min = smallest idx
+        return pd.DataFrame({
+            id_col: ids,
+            "cluster_id": pd.Series(best, dtype="int64"),
+            "dist_sq": pd.Series(d2[np.arange(len(ids)), best],
+                                 dtype="int64")})
+
+    return ds.map_batches(assign, batch_format="pandas", batch_size=2048)

@@ -1,0 +1,125 @@
+"""Full-text keyword search: BM25 top-k over the documents table.
+
+Distributed shape (the inverted-index-free scoring pass used when the
+query-term set is small):
+
+1. **tf/dl stage** (``map_batches``): tokenize each document once
+   (lowercased whitespace tokens, matching the DuckDB oracle's
+   ``regexp_split_to_array`` + ``lower``) and emit one narrow row per doc:
+   (id, dl, tf_<term>...). Only the q query-term frequencies leave the
+   worker — the corpus text never moves again.
+2. **corpus stats**: N (docs), L (total tokens) and per-term document
+   frequencies come from one-row-per-batch partials summed on the driver
+   (q+2 integers per batch — a few KB even at 10^6 batches).
+3. **scoring stage** (``map_batches`` over the stage-1 output): the exact
+   fixed-point BM25 variant below, then per-block top-k partials merged by
+   a tiny driver reduce (same pattern as ``knn_bruteforce``).
+
+Scoring is the Robertson/Sparck-Jones BM25 shape (k1 = 6/5, b = 3/4) with
+two documented substitutions that make every score an exact integer both
+here and in ANSI SQL (the repo's oracle discipline):
+
+- the idf factor is the *rational* (N − df + ½)/(df + ½) =
+  (2N − 2df + 1)/(2df + 1) without the logarithm (a monotone surrogate —
+  log-free so no libm dependence; always positive);
+- avgdl is integer-rounded once: avgdl = (2L + N) // (2N), and the whole
+  per-(doc, term) contribution is evaluated as ONE floor division of
+  cross-multiplied integers scaled by 10^6:
+
+      floor( 10^6 · 44·tf·avgdl·(2N−2df+1)
+             ────────────────────────────────── )
+           (20·tf·avgdl + 6·avgdl + 18·dl)·(2df+1)
+
+  (44/20, 6/20, 18/20 are k1+1, k1(1−b), k1·b over a common denominator.)
+
+The numerator grows as O(tf · avgdl · N); Python integers are unbounded so
+the scoring stage uses exact bigint arithmetic over the (sparse) rows with
+at least one matching term — at production scale swap in the float64 kernel
+(one vectorized expression of the same formula) and keep this path as its
+oracle.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+_WS_SPLIT_RE = re.compile(r"\s+")
+
+SCORE_SCALE = 10**6
+
+
+def _term_contribution(tf: int, dl: int, avgdl: int, n_docs: int,
+                       df: int) -> int:
+    if tf == 0 or df == 0:
+        return 0
+    num = SCORE_SCALE * 44 * tf * avgdl * (2 * n_docs - 2 * df + 1)
+    den = (20 * tf * avgdl + 6 * avgdl + 18 * dl) * (2 * df + 1)
+    return num // den
+
+
+def bm25_topk(ds, terms: list[str], k: int = 20, id_col: str = "doc_id",
+              text_col: str = "text") -> pd.DataFrame:
+    """Top-k documents for a bag-of-words query under the exact
+    fixed-point BM25 variant above. Returns a small pandas DataFrame
+    (id, score_fp, rank) ranked by (score_fp desc, id asc)."""
+    terms = list(dict.fromkeys(terms))  # dedupe, keep order
+
+    def tf_stage(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text_col].fillna("")
+        toks = texts.apply(
+            lambda t: [w.lower() for w in _WS_SPLIT_RE.split(t.strip())]
+            if t.strip() else [])
+        out = {id_col: batch[id_col],
+               "dl": toks.apply(len).astype("int64")}
+        for j, term in enumerate(terms):
+            out[f"tf_{j}"] = toks.apply(
+                lambda ws, term=term: ws.count(term)).astype("int64")
+        return pd.DataFrame(out)
+
+    tf_cols = [f"tf_{j}" for j in range(len(terms))]
+    # narrow (q+2 int columns) — materialized once so the stats pass and
+    # the scoring pass don't re-tokenize the corpus
+    tf_ds = ds.map_batches(tf_stage, batch_format="pandas").materialize()
+
+    def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        row = {"n_docs": [len(batch)], "total_len": [batch["dl"].sum()]}
+        for c in tf_cols:
+            row[f"df_{c}"] = [(batch[c] > 0).sum()]
+        return pd.DataFrame(row).astype("int64")
+
+    parts = tf_ds.map_batches(stats_partial, batch_format="pandas",
+                              batch_size=65536).to_pandas()
+    n_docs = int(parts["n_docs"].sum())
+    total_len = int(parts["total_len"].sum())
+    dfs = [int(parts[f"df_{c}"].sum()) for c in tf_cols]
+    if n_docs == 0:
+        return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                             "score_fp": pd.Series(dtype="int64"),
+                             "rank": pd.Series(dtype="int64")})
+    avgdl = (2 * total_len + n_docs) // (2 * n_docs)
+
+    def score_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        mask = (batch[tf_cols].to_numpy() > 0).any(axis=1)
+        cand = batch[mask]
+        scores = []
+        for _, row in cand.iterrows():  # sparse: only rows with a match
+            s = 0
+            for j in range(len(terms)):
+                s += _term_contribution(int(row[f"tf_{j}"]), int(row["dl"]),
+                                        avgdl, n_docs, dfs[j])
+            scores.append(s)
+        out = pd.DataFrame({id_col: cand[id_col].to_numpy(),
+                            "score_fp": pd.Series(scores, dtype="int64")})
+        # per-block top-k partial: only k rows per block reach the driver
+        return out.sort_values(["score_fp", id_col],
+                               ascending=[False, True]).head(k)
+
+    partials = tf_ds.map_batches(score_partial,
+                                 batch_format="pandas").to_pandas()
+    top = partials.sort_values(["score_fp", id_col],
+                               ascending=[False, True]).head(k)
+    top = top.reset_index(drop=True)
+    top["rank"] = pd.Series(range(1, len(top) + 1), dtype="int64")
+    return top

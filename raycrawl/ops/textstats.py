@@ -317,3 +317,45 @@ def token_count_bpe(ds, id_col: str = "doc_id", text_col: str = "text"):
                              "n_bpe_tokens": counts.astype("int64")})
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+# PII patterns — RE2-compatible (no lookaround) so pyarrow's RE2 and
+# DuckDB's RE2 apply them identically; replacement order is part of the
+# contract (emails, then phones, then IPv4, each counted on the text as it
+# stands when that pass runs).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"(\+1[- ])?\d{3}-\d{3}-\d{4}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scrub(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """PII redaction (standard pretraining-data hygiene pass — e.g. the
+    email/phone/IP scrubbing described for public corpora like The Pile /
+    ROOTS): replaces emails, North-American phone numbers and IPv4
+    addresses with typed sentinels and reports per-document match counts.
+
+    Fully vectorized: three ``pc.count_substring_regex`` +
+    ``pc.replace_substring_regex`` passes per batch (RE2, zero-copy Arrow
+    in/out); the compiled regex programs live inside Arrow's kernel cache,
+    so there is no per-row Python. Streams — output is (id, n_emails,
+    n_phones, n_ips, text_scrubbed)."""
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch.column(text_col), pa.string())
+        t = pc.coalesce(t, "")
+        n_email = pc.count_substring_regex(t, PII_EMAIL_RE)
+        t = pc.replace_substring_regex(t, PII_EMAIL_RE, "<EMAIL>")
+        n_phone = pc.count_substring_regex(t, PII_PHONE_RE)
+        t = pc.replace_substring_regex(t, PII_PHONE_RE, "<PHONE>")
+        n_ip = pc.count_substring_regex(t, PII_IPV4_RE)
+        t = pc.replace_substring_regex(t, PII_IPV4_RE, "<IP>")
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_emails": pc.cast(n_email, pa.int64()),
+            "n_phones": pc.cast(n_phone, pa.int64()),
+            "n_ips": pc.cast(n_ip, pa.int64()),
+            "text_scrubbed": t,
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -947,3 +947,79 @@ def test_segment_dedup_first_occurrence_wins():
         {"doc_id": "int64", "n_segments": "int64", "n_kept": "int64"})
     assert got[["doc_id", "text", "n_segments", "n_kept"]].equals(exp)
     assert (exp["n_kept"] < exp["n_segments"]).any()  # something dropped
+
+
+def test_pii_scrub_counts_and_sentinels():
+    from raycrawl.ops.textstats import pii_scrub
+
+    ds = _docs([
+        "mail a@b.co and c.d+e@sub.domain.org now",
+        "call +1 555-123-4567 or 555-000-1111 from 192.168.1.1",
+        "clean text with no pii at all",
+        "",
+    ])
+    out = pii_scrub(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["n_emails"].tolist() == [2, 0, 0, 0]
+    assert out["n_phones"].tolist() == [0, 2, 0, 0]
+    assert out["n_ips"].tolist() == [0, 1, 0, 0]
+    assert out.loc[0, "text_scrubbed"] == "mail <EMAIL> and <EMAIL> now"
+    assert out.loc[1, "text_scrubbed"] == "call <PHONE> or <PHONE> from <IP>"
+    assert out.loc[2, "text_scrubbed"] == "clean text with no pii at all"
+
+
+def test_bm25_topk_matches_reference_fold():
+    from raycrawl.ops.search import SCORE_SCALE, bm25_topk, _term_contribution
+
+    texts = [
+        "spark spark spark merge",          # heavy on spark
+        "merge merge sort sort sort sort",  # heavy on merge, long
+        "vector",                           # short exact hit
+        "nothing relevant here at all",     # no hit
+        "spark merge vector",               # all three
+        "",
+    ]
+    terms = ["spark", "merge", "vector"]
+    out = bm25_topk(_docs(texts), terms, k=10)
+
+    # independent single-threaded reference
+    toks = [[w.lower() for w in t.strip().split()] if t.strip() else []
+            for t in texts]
+    dls = [len(ws) for ws in toks]
+    n_docs, total = len(texts), sum(dls)
+    avgdl = (2 * total + n_docs) // (2 * n_docs)
+    dfs = [sum(1 for ws in toks if term in ws) for term in terms]
+    exp = []
+    for i, ws in enumerate(toks):
+        s = sum(_term_contribution(ws.count(term), dls[i], avgdl, n_docs, dfs[j])
+                for j, term in enumerate(terms))
+        if any(term in ws for term in terms):
+            exp.append((i, s))
+    exp.sort(key=lambda t: (-t[1], t[0]))
+    assert list(zip(out["doc_id"], out["score_fp"])) == exp
+    assert out["rank"].tolist() == list(range(1, len(exp) + 1))
+    # a doc with every term outranks single-term docs of similar length
+    assert out.loc[0, "doc_id"] == 4
+    assert out["score_fp"].min() > 0 and out["score_fp"].max() < SCORE_SCALE * 100
+
+
+def test_cluster_assign_exact_and_tie_break():
+    from raycrawl.ops.knn import QUANT_SCALE, cluster_assign, quantize_vecs
+
+    vecs = [
+        [1.0, 0.0], [0.0, 1.0],            # centroids 0, 1 (vec_id 0, 1)
+        [0.9, 0.1],                         # nearest centroid 0
+        [0.1, 0.9],                         # nearest centroid 1
+        [0.5, 0.5],                         # exact tie -> cluster 0
+    ]
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(len(vecs), dtype="int64"),
+        "embedding": [np.asarray(v, dtype="float32") for v in vecs]}))
+    out = cluster_assign(ds, centroid_ids=[0, 1]) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert out["cluster_id"].tolist() == [0, 1, 0, 1, 0]
+    q = quantize_vecs(pd.Series([np.asarray(v, dtype="float32") for v in vecs]))
+    d_self = int(((q[2] - q[0]) ** 2).sum())
+    assert out.loc[2, "dist_sq"] == d_self
+    assert out.loc[0, "dist_sq"] == 0 and out.loc[1, "dist_sq"] == 0
+    assert (out["dist_sq"] >= 0).all()
+    assert QUANT_SCALE == 1 << 20
