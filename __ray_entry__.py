@@ -1078,6 +1078,21 @@ def _q_cluster_assign(sf_dir: str):
         .to_pandas().sort_values("vec_id").reset_index(drop=True)
 
 
+def _q_kmeans(sf_dir: str):
+    """Two full Lloyd iterations of exact-integer k-means (k=4, seeds =
+    embeddings 0..3) + a final assignment pass — the oracle unrolls the
+    identical iterations as SQL CTEs (floor-division means via the
+    ((s%n)+n)%n trick, since DuckDB's ``//`` truncates for negatives)."""
+    import ray.data as rd
+
+    from raycrawl.ops.knn import kmeans_fit
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    out, _centroids = kmeans_fit(emb, centroid_ids=list(range(4)), iters=2)
+    return out.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_pages": _q_extract_pages,
@@ -1139,6 +1154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_pii_scrub": _q_pii_scrub,
         "search_bm25": _q_bm25,
         "cluster_assign": _q_cluster_assign,
+        "cluster_kmeans": _q_kmeans,
     }
 
 
@@ -1185,6 +1201,60 @@ def _bm25_oracle() -> str:
         "SELECT doc_id, score_fp, CAST(rank AS BIGINT) AS rank "
         "FROM r WHERE rank <= 20"
     )
+_QUANT = ("list_transform(embedding, x -> "
+          "CAST(floor(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT))")
+
+
+def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
+    """SQL mirror of raycrawl/ops/knn.py::kmeans_fit — the Lloyd
+    iterations unrolled as CTE chains (assign → floor-mean update), all
+    in int64 arithmetic. Floor division of possibly-negative sums uses
+    (s - ((s%n)+n)%n) // n because DuckDB's ``//`` truncates toward zero
+    while numpy's floors."""
+    ctes = [
+        f"vq AS (SELECT vec_id, unnest({_QUANT}) AS vv, "
+        "unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)",
+        f"cq0 AS (SELECT cluster_id, unnest({_QUANT.replace('embedding', 'emb')}) AS cv, "
+        "unnest(range(1, len(emb) + 1)) AS i FROM "
+        "(SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id, "
+        f"embedding AS emb FROM embeddings WHERE vec_id < {k}))",
+    ]
+    for it in range(iters):
+        ctes.append(
+            f"d{it} AS (SELECT vq.vec_id, cq{it}.cluster_id, "
+            "sum((vv - cv) * (vv - cv)) AS dist "
+            f"FROM vq JOIN cq{it} ON vq.i = cq{it}.i "
+            "GROUP BY vq.vec_id, cq{it}.cluster_id)".replace("{it}", str(it)))
+        ctes.append(
+            f"a{it} AS (SELECT vec_id, cluster_id FROM "
+            f"(SELECT vec_id, cluster_id, row_number() OVER (PARTITION BY vec_id "
+            f"ORDER BY dist, cluster_id) AS rn FROM d{it}) WHERE rn = 1)")
+        ctes.append(
+            f"u{it} AS (SELECT cluster_id, i, "
+            "(s - ((s % n) + n) % n) // n AS cv FROM "
+            f"(SELECT a{it}.cluster_id, vq.i, sum(vq.vv) AS s, "
+            f"CAST(count(*) AS BIGINT) AS n FROM a{it} "
+            f"JOIN vq ON vq.vec_id = a{it}.vec_id GROUP BY a{it}.cluster_id, vq.i))")
+        ctes.append(
+            f"cq{it + 1} AS (SELECT cq{it}.cluster_id, cq{it}.i, "
+            f"COALESCE(u{it}.cv, cq{it}.cv) AS cv FROM cq{it} "
+            f"LEFT JOIN u{it} ON u{it}.cluster_id = cq{it}.cluster_id "
+            f"AND u{it}.i = cq{it}.i)")
+    ctes.append(
+        f"df AS (SELECT vq.vec_id, cq{iters}.cluster_id, "
+        "sum((vv - cv) * (vv - cv)) AS dist "
+        f"FROM vq JOIN cq{iters} ON vq.i = cq{iters}.i "
+        f"GROUP BY vq.vec_id, cq{iters}.cluster_id)")
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id, "
+        "CAST(dist AS BIGINT) AS dist_sq FROM "
+        "(SELECT vec_id, cluster_id, dist, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn FROM df) "
+        "WHERE rn = 1"
+    )
+
+
 _EN = "('the','a','and','of','to','in','is','it','that','for','on','with')"
 _FR = "('le','la','les','de','des','et','un','une','est','que','pour','dans')"
 _DE = "('der','die','das','und','ist','ein','eine','zu','den','von','mit','für')"
@@ -1928,4 +1998,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id, "
             "CAST(dist AS BIGINT) AS dist_sq FROM r WHERE rn = 1"
         ),
+        # two unrolled Lloyd iterations + final assignment, all int64
+        "cluster_kmeans": _kmeans_oracle(),
     }

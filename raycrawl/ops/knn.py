@@ -316,3 +316,90 @@ def cluster_assign(ds, centroid_ids: list[int], id_col: str = "vec_id",
                                  dtype="int64")})
 
     return ds.map_batches(assign, batch_format="pandas", batch_size=2048)
+
+
+def kmeans_fit(ds, centroid_ids: list[int], iters: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Distributed Lloyd's k-means over 2^20-quantized int64 vectors.
+
+    Exact-integer variant: assignment is ``cluster_assign``'s int64 argmin;
+    the M-step recomputes each centroid as the elementwise FLOOR-DIVIDED
+    mean (sum // count) of its members, so every iteration stays in exact
+    integer arithmetic and the whole fit is reproducible bit-for-bit by an
+    unrolled SQL oracle (no float accumulation order anywhere). An empty
+    cluster keeps its previous centroid.
+
+    Shape per iteration (the standard scalable k-means layout):
+    - centroids broadcast once via ``ray.put`` (k×d int64 — tiny);
+    - one ``map_batches`` pass emits per-batch partials of
+      (cluster_id, member count, per-dim sums) — k rows × d ints per batch,
+      independent of batch row count;
+    - the driver folds the partials (k×d integers total) and floor-divides.
+    Nothing but k×d-integer partials crosses the wire; the vector table
+    streams from the object store every pass.
+
+    Returns (assignment Dataset with (id, cluster_id, dist_sq) from a final
+    E-step, centroids int64 ndarray (k, d))."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    cid_sorted = sorted(centroid_ids)
+    cset = pa.array(cid_sorted, pa.int64())
+    c_tbl = (
+        ds.map_batches(lambda b: b.filter(pc.is_in(b.column(id_col), cset)),
+                       batch_format="pyarrow")
+        .select_columns([id_col, vec_col]).to_pandas()
+        .sort_values(id_col).reset_index(drop=True)
+    )
+    centroids = quantize_vecs(c_tbl[vec_col])      # (k, d) int64
+    k, d = centroids.shape
+
+    for _ in range(iters):
+        ref = ray.put((centroids,
+                       np.einsum("kd,kd->k", centroids, centroids)))
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            cm, cs = ray.get(ref)
+            q = quantize_vecs(batch[vec_col])
+            d2 = (np.einsum("bd,bd->b", q, q)[:, None]
+                  + cs[None, :] - 2 * (q @ cm.T))
+            best = d2.argmin(axis=1)
+            counts = np.bincount(best, minlength=len(cm)).astype(np.int64)
+            sums = np.zeros_like(cm)
+            np.add.at(sums, best, q)
+            return pd.DataFrame({
+                "cluster_id": pd.Series(np.arange(len(cm)), dtype="int64"),
+                "n": pd.Series(counts, dtype="int64"),
+                "vsum": list(sums)})
+
+        parts = ds.map_batches(partial, batch_format="pandas",
+                               batch_size=2048).to_pandas()
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, d), dtype=np.int64)
+        for cid, n, vs in zip(parts["cluster_id"], parts["n"], parts["vsum"]):
+            counts[cid] += n
+            sums[cid] += np.asarray(vs, dtype=np.int64)
+        nonempty = counts > 0
+        centroids = centroids.copy()
+        centroids[nonempty] = (
+            sums[nonempty] // counts[nonempty, None])  # floor mean, exact
+
+    final_ref = ray.put((centroids,
+                         np.einsum("kd,kd->k", centroids, centroids)))
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        cm, cs = ray.get(final_ref)
+        ids = batch[id_col].to_numpy()
+        q = quantize_vecs(batch[vec_col])
+        d2 = (np.einsum("bd,bd->b", q, q)[:, None]
+              + cs[None, :] - 2 * (q @ cm.T))
+        best = d2.argmin(axis=1)
+        return pd.DataFrame({
+            id_col: ids,
+            "cluster_id": pd.Series(best, dtype="int64"),
+            "dist_sq": pd.Series(d2[np.arange(len(ids)), best],
+                                 dtype="int64")})
+
+    out = ds.map_batches(assign, batch_format="pandas", batch_size=2048)
+    return out, centroids

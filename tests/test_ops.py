@@ -1023,3 +1023,38 @@ def test_cluster_assign_exact_and_tie_break():
     assert out.loc[0, "dist_sq"] == 0 and out.loc[1, "dist_sq"] == 0
     assert (out["dist_sq"] >= 0).all()
     assert QUANT_SCALE == 1 << 20
+
+
+def test_kmeans_fit_integer_lloyd_matches_reference():
+    from raycrawl.ops.knn import kmeans_fit, quantize_vecs
+
+    # negative components force negative sums → floor-division semantics;
+    # centroid 1 starts far away and captures nothing (empty-cluster keep)
+    vecs = [
+        [-1.0, -1.0], [100.0, 100.0],                 # seeds 0, 1
+        [-0.9, -1.1], [-1.2, -0.8], [-1.05, -0.95],
+    ]
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(len(vecs), dtype="int64"),
+        "embedding": [np.asarray(v, dtype="float32") for v in vecs]}))
+    out, cents = kmeans_fit(ds, centroid_ids=[0, 1], iters=2)
+    out = out.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+    # single-threaded exact-integer reference
+    q = quantize_vecs(pd.Series([np.asarray(v, dtype="float32")
+                                 for v in vecs]))
+    c = q[:2].copy()
+    for _ in range(2):
+        d2 = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        best = d2.argmin(axis=1)
+        for j in range(2):
+            members = q[best == j]
+            if len(members):
+                c[j] = members.sum(axis=0) // len(members)  # floor mean
+    d2 = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    exp_best = d2.argmin(axis=1)
+    assert out["cluster_id"].tolist() == exp_best.tolist()
+    assert (cents == c).all()
+    assert out["dist_sq"].tolist() == d2[np.arange(len(q)), exp_best].tolist()
+    # cluster 1 never captured anything → its centroid kept the seed value
+    assert (cents[1] == q[1]).all()
