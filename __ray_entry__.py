@@ -1078,6 +1078,19 @@ def _q_cluster_assign(sf_dir: str):
         .to_pandas().sort_values("vec_id").reset_index(drop=True)
 
 
+def _q_dup_spans(sf_dir: str):
+    """Substring-level duplicate-span stats (4-token windows occurring ≥2×
+    corpus-wide; covered-position union per doc)."""
+    import ray.data as rd
+
+    from raycrawl.ops.dedup import dup_spans
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return dup_spans(docs, gram_len=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_kmeans(sf_dir: str):
     """Two full Lloyd iterations of exact-integer k-means (k=4, seeds =
     embeddings 0..3) + a final assignment pass — the oracle unrolls the
@@ -1155,6 +1168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25": _q_bm25,
         "cluster_assign": _q_cluster_assign,
         "cluster_kmeans": _q_kmeans,
+        "dedup_spans": _q_dup_spans,
     }
 
 
@@ -2000,4 +2014,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         # two unrolled Lloyd iterations + final assignment, all int64
         "cluster_kmeans": _kmeans_oracle(),
+        # 4-token windows occurring >= 2x corpus-wide; per-doc union of
+        # covered positions (gram hash = md5-8-byte of chr(1)-joined window)
+        "dedup_spans": (
+            "WITH w AS (SELECT doc_id, CASE WHEN trim(COALESCE(text, '')) = '' THEN [] "
+            "  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks FROM documents), "
+            "g AS (SELECT doc_id, s, ('0x'||substr(md5("
+            "  list_aggregate(toks[s : s + 3], 'string_agg', chr(1))), 1, 16))::UBIGINT AS h "
+            "  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 4 + 2)) AS s FROM w)), "
+            "c AS (SELECT h, count(*) AS c FROM g GROUP BY h), "
+            "d AS (SELECT g.doc_id, g.s FROM g JOIN c ON c.h = g.h WHERE c.c >= 2), "
+            "cov AS (SELECT doc_id, count(DISTINCT p) AS n_dup_tokens FROM "
+            "  (SELECT doc_id, unnest(range(s, s + 4)) AS p FROM d) GROUP BY doc_id), "
+            "st AS (SELECT doc_id, count(*) AS n_dup_starts FROM d GROUP BY doc_id) "
+            "SELECT w.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+            "CAST(COALESCE(st.n_dup_starts, 0) AS BIGINT) AS n_dup_starts, "
+            "CAST(COALESCE(cov.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens "
+            "FROM w LEFT JOIN st ON st.doc_id = w.doc_id "
+            "LEFT JOIN cov ON cov.doc_id = w.doc_id"
+        ),
     }

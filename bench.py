@@ -135,7 +135,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "dedup_exact", "dedup_minhash_pairs", "knn_bruteforce", "knn_ivf",
              "q1_pricing_summary", "top_orders_by_revenue", "events_hourly",
              "events_sessionize", "text_quality", "dedup_embedding_pairs",
-             "convert_docx", "convert_pdf"]
+             "convert_docx", "convert_pdf", "text_pii_scrub", "search_bm25",
+             "cluster_kmeans"]
     out = {}
     for name in picks:
         t0 = time.time()

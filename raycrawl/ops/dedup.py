@@ -1103,3 +1103,84 @@ def dedup_survivors_by_score(all_ids, pairs: pd.DataFrame,
         "doc_id": base["doc_id"],
         "canonical_id": pd.Series(
             [int(best[c]) for c in base["canonical_id"]], dtype="int64")})
+
+
+def dup_spans(ds, gram_len: int = 8, id_col: str = "doc_id",
+              text_col: str = "text"):
+    """Substring-level duplicate-span detection (the fixed-gram variant of
+    exact substring dedup, Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better" — public): a token position is
+    "duplicated" when it is covered by any ``gram_len``-token window that
+    occurs ≥ 2 times anywhere in the corpus (including within one doc).
+
+    Two passes:
+    1. per-batch gram-hash Counters → driver merge → the duplicated-gram
+       hash set (gram hash = md5-8-byte of the chr(1)-joined window — the
+       repo's SQL-parity hash). The merged table is bounded by the corpus's
+       distinct-gram count; at web scale stage the partials to Parquet and
+       semi-join instead of driver-merging (``exact_dedup_against_corpus``
+       pattern), or swap a Bloom filter for the exact set.
+    2. broadcast the dup set (``ray.put`` once); per doc, take the union of
+       the duplicated windows' [s, s+L) intervals via one vectorized
+       merged-interval sweep and count covered positions.
+
+    Returns (id, n_tokens, n_dup_starts, n_dup_tokens)."""
+    import ray
+
+    from collections import Counter
+
+    L = gram_len
+
+    def _grams(toks: "list[str]") -> "list[int]":
+        return [
+            int.from_bytes(
+                hashlib.md5("\x01".join(toks[s : s + L]).encode())
+                .digest()[:8], "big")
+            for s in range(len(toks) - L + 1)
+        ]
+
+    def count_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in batch[text_col].fillna(""):
+            t = t.strip()
+            if t:
+                c.update(_grams(t.split()))
+        return pd.DataFrame({"h": pd.Series(list(c.keys()), dtype="uint64"),
+                             "cnt": pd.Series(list(c.values()),
+                                              dtype="int64")})
+
+    partials = ds.map_batches(count_batch, batch_format="pandas",
+                              batch_size=65536).to_pandas()
+    if len(partials):
+        totals = partials.groupby("h")["cnt"].sum()
+        dup_set = frozenset(totals[totals >= 2].index.tolist())
+    else:
+        dup_set = frozenset()
+    dref = ray.put(dup_set)
+
+    def cover(batch: pd.DataFrame) -> pd.DataFrame:
+        dups = ray.get(dref)
+        n_toks, n_starts, n_cov = [], [], []
+        for t in batch[text_col].fillna(""):
+            t = t.strip()
+            toks = t.split() if t else []
+            hs = _grams(toks)
+            starts = np.flatnonzero(
+                np.fromiter((h in dups for h in hs), dtype=bool,
+                            count=len(hs)))
+            n_toks.append(len(toks))
+            n_starts.append(len(starts))
+            if len(starts) == 0:
+                n_cov.append(0)
+                continue
+            # union of [s, s+L) intervals over sorted starts: each new
+            # start adds min(L, gap-from-previous-start) positions
+            gaps = np.diff(starts)
+            n_cov.append(int(L + np.minimum(gaps, L).sum()))
+        return pd.DataFrame({
+            id_col: batch[id_col],
+            "n_tokens": pd.Series(n_toks, dtype="int64"),
+            "n_dup_starts": pd.Series(n_starts, dtype="int64"),
+            "n_dup_tokens": pd.Series(n_cov, dtype="int64")})
+
+    return ds.map_batches(cover, batch_format="pandas")

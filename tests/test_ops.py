@@ -1058,3 +1058,28 @@ def test_kmeans_fit_integer_lloyd_matches_reference():
     assert out["dist_sq"].tolist() == d2[np.arange(len(q)), exp_best].tolist()
     # cluster 1 never captured anything → its centroid kept the seed value
     assert (cents[1] == q[1]).all()
+
+
+def test_dup_spans_coverage_union():
+    from raycrawl.ops.dedup import dup_spans
+
+    # doc0/doc1 share "p q r" (cross-doc dup); doc2 repeats "x y z"
+    # internally with overlapping windows; doc3 is all-unique; doc4 short
+    ds = _docs([
+        "p q r unique0 tail0",
+        "head1 p q r tail1",
+        "x y z x y z x",
+        "totally fresh words only here",
+        "a b",
+    ])
+    out = dup_spans(ds, gram_len=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["n_tokens"].tolist() == [5, 5, 7, 5, 2]
+    # doc0: dup start at 0 ("p q r") -> covers 3 tokens
+    assert out.loc[0, "n_dup_starts"] == 1 and out.loc[0, "n_dup_tokens"] == 3
+    assert out.loc[1, "n_dup_starts"] == 1 and out.loc[1, "n_dup_tokens"] == 3
+    # doc2 grams: xyz,yzx,zxy,xyz,yzx -> xyz and yzx occur twice (zxy once);
+    # dup starts {0,1,3,4}, interval union still covers all 7 tokens
+    assert out.loc[2, "n_dup_starts"] == 4 and out.loc[2, "n_dup_tokens"] == 7
+    assert out.loc[3, "n_dup_starts"] == 0 and out.loc[3, "n_dup_tokens"] == 0
+    assert out.loc[4, "n_dup_starts"] == 0  # shorter than the gram
