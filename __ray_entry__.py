@@ -1078,6 +1078,32 @@ def _q_cluster_assign(sf_dir: str):
         .to_pandas().sort_values("vec_id").reset_index(drop=True)
 
 
+_NORM_SALT = ["  CaFÉ  déjà\tVu ", " Übermäßig  ŁÓDŹ ", " 한국어 테스트 q̃ ",
+              " हिन्दी   MiXeD "]
+
+
+def _q_normalize(sf_dir: str):
+    """Unicode normalization over documents salted with mixed-case,
+    accented, Indic/Hangul and messy-whitespace suffixes (doc_id-keyed so
+    both sides build the identical input)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raycrawl.ops.textstats import normalize_text
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def salt(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].astype("int64")
+        suffix = d.map(lambda i: _NORM_SALT[i % 4])
+        return pd.DataFrame({"doc_id": d,
+                             "text": b["text"].fillna("") + suffix})
+
+    return normalize_text(docs.map_batches(salt, batch_format="pandas")) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_dup_spans(sf_dir: str):
     """Substring-level duplicate-span stats (4-token windows occurring ≥2×
     corpus-wide; covered-position union per doc)."""
@@ -1169,6 +1195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_assign": _q_cluster_assign,
         "cluster_kmeans": _q_kmeans,
         "dedup_spans": _q_dup_spans,
+        "text_normalize": _q_normalize,
     }
 
 
@@ -2032,5 +2059,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(cov.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens "
             "FROM w LEFT JOIN st ON st.doc_id = w.doc_id "
             "LEFT JOIN cov ON cov.doc_id = w.doc_id"
+        ),
+        # same salt list, then the probed-equal normalization chain:
+        # strip_accents == NFD-drop-\p{M}-NFC (utf8proc), explicit ASCII
+        # whitespace class (RE2 \s vs Python \s differ), trim spaces only
+        "text_normalize": (
+            "WITH s AS (SELECT doc_id, COALESCE(text, '') || "
+            "(['  CaFÉ  déjà' || chr(9) || 'Vu ', ' Übermäßig  ŁÓDŹ ', "
+            "' 한국어 테스트 q̃ ', ' हिन्दी   MiXeD '])"
+            "[1 + CAST(doc_id % 4 AS INT)] AS t FROM documents) "
+            "SELECT doc_id, trim(regexp_replace(lower(strip_accents("
+            "nfc_normalize(t))), '[\\t\\n\\f\\r ]+', ' ', 'g'), ' ') "
+            "AS text_norm FROM s"
         ),
     }

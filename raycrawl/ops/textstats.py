@@ -359,3 +359,44 @@ def pii_scrub(ds, id_col: str = "doc_id", text_col: str = "text"):
         })
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# exact whitespace class shared with the SQL oracle: RE2's \s is
+# [\t\n\f\r ] (ASCII, no \v) while Python's \s is Unicode-wide — so both
+# sides spell the class out
+_WS_COLLAPSE_RE = re.compile(r"[\t\n\f\r ]+")
+
+
+def normalize_unicode(text: str) -> str:
+    """One document through the normalization chain: NFC → strip all
+    Unicode marks (category M*, via NFD decomposition) → NFC recompose →
+    casefold to lower → collapse ASCII whitespace runs → trim spaces.
+
+    Matches DuckDB's ``trim(regexp_replace(lower(strip_accents(
+    nfc_normalize(t))), '[\\t\\n\\f\\r ]+', ' ', 'g'), ' ')`` exactly
+    (probed across Latin accents, arbitrary combining marks, Indic matras,
+    Hangul, CJK): utf8proc's strip_accents removes category-M codepoints,
+    not just nonzero-combining-class ones, and recomposes Hangul — hence
+    unicodedata here rather than pyarrow's utf8_normalize, whose NFC does
+    not recompose Hangul Jamo (utf8proc quirk)."""
+    import unicodedata
+
+    t = unicodedata.normalize("NFC", text)
+    t = "".join(c for c in unicodedata.normalize("NFD", t)
+                if not unicodedata.category(c).startswith("M"))
+    t = unicodedata.normalize("NFC", t).lower()
+    return _WS_COLLAPSE_RE.sub(" ", t).strip(" ")
+
+
+def normalize_text(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, text_norm): Unicode normalization pass (the standard corpus
+    cleanup before tokenization/dedup). Per-row ``unicodedata`` — the
+    vectorized Arrow chain is blocked by the Hangul-recomposition quirk
+    documented on ``normalize_unicode``; the kernel is still C-speed per
+    string and the stage streams like every other textstats op."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[text_col].fillna("").apply(normalize_unicode)
+        return pd.DataFrame({id_col: batch[id_col], "text_norm": out})
+
+    return ds.map_batches(f, batch_format="pandas")

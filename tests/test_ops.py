@@ -1083,3 +1083,16 @@ def test_dup_spans_coverage_union():
     assert out.loc[2, "n_dup_starts"] == 4 and out.loc[2, "n_dup_tokens"] == 7
     assert out.loc[3, "n_dup_starts"] == 0 and out.loc[3, "n_dup_tokens"] == 0
     assert out.loc[4, "n_dup_starts"] == 0  # shorter than the gram
+
+
+def test_normalize_unicode_chain():
+    from raycrawl.ops.textstats import normalize_unicode, normalize_text
+
+    assert normalize_unicode("  CaFÉ  déjà\tVu ") == "cafe deja vu"
+    assert normalize_unicode("Übermäßig ŁÓDŹ") == "ubermaßig łodz"
+    assert normalize_unicode("한국어") == "한국어"       # Hangul recomposed
+    assert normalize_unicode("हिन्दी") == "हनद"          # matras stripped
+    assert normalize_unicode("") == ""
+    out = normalize_text(_docs(["  A\t\tB  ", "ñ"])).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["text_norm"].tolist() == ["a b", "n"]
