@@ -1078,6 +1078,28 @@ def _q_cluster_assign(sf_dir: str):
         .to_pandas().sort_values("vec_id").reset_index(drop=True)
 
 
+def _q_quantiles(sf_dir: str):
+    """Grouped exact quantiles (p25/p50/p75/p90 of l_quantity per return
+    flag) via the distributed-histogram shape — integer order statistics,
+    no float index math."""
+    import ray.data as rd
+
+    from raycrawl.ops.sketch import grouped_exact_quantiles
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_returnflag", "l_quantity"])
+    li = li.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("l_quantity"), "l_quantity",
+            b.column("l_quantity").cast("int64")),
+        batch_format="pyarrow")
+    out = grouped_exact_quantiles(
+        li, "l_returnflag", "l_quantity",
+        qs=[(1, 4), (1, 2), (3, 4), (9, 10)])
+    return out.sort_values(["l_returnflag", "q_num", "q_den"]) \
+        .reset_index(drop=True)
+
+
 _NORM_SALT = ["  CaFÉ  déjà\tVu ", " Übermäßig  ŁÓDŹ ", " 한국어 테스트 q̃ ",
               " हिन्दी   MiXeD "]
 
@@ -1196,6 +1218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_kmeans": _q_kmeans,
         "dedup_spans": _q_dup_spans,
         "text_normalize": _q_normalize,
+        "quantiles_lineitem_qty": _q_quantiles,
     }
 
 
@@ -2071,5 +2094,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, trim(regexp_replace(lower(strip_accents("
             "nfc_normalize(t))), '[\\t\\n\\f\\r ]+', ' ', 'g'), ' ') "
             "AS text_norm FROM s"
+        ),
+        # order statistic at floor(q_num*(n-1)/q_den) per group — the
+        # value at that sorted index is tie-order-independent
+        "quantiles_lineitem_qty": (
+            "WITH v AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS val "
+            "  FROM lineitem), "
+            "n AS (SELECT l_returnflag, count(*) AS n FROM v GROUP BY l_returnflag), "
+            "r AS (SELECT l_returnflag, val, row_number() OVER "
+            "  (PARTITION BY l_returnflag ORDER BY val) - 1 AS idx FROM v), "
+            "q AS (SELECT * FROM (VALUES (1, 4), (1, 2), (3, 4), (9, 10)) "
+            "  AS t(q_num, q_den)) "
+            "SELECT r.l_returnflag, CAST(q.q_num AS BIGINT) AS q_num, "
+            "CAST(q.q_den AS BIGINT) AS q_den, "
+            "CAST(r.val AS BIGINT) AS quantile_value "
+            "FROM r JOIN n ON n.l_returnflag = r.l_returnflag "
+            "JOIN q ON r.idx = (q.q_num * (n.n - 1)) // q.q_den"
         ),
     }

@@ -267,3 +267,56 @@ def approx_distinct(ds, col: str, p: int = 14,
     blob = tree_merge_sketches(sk, merge_blobs, fanin=fanin)
     merged = HyperLogLog(p) if blob is None else HyperLogLog.deserialize(blob)
     return merged.estimate()
+
+
+def grouped_exact_quantiles(ds, group_col: str, value_col: str,
+                            qs: "list[float]",
+                            batch_size: int = 65536) -> pd.DataFrame:
+    """Exact discrete quantiles per group via the distributed-histogram
+    shape: each batch emits (group, value, count) partials — payload
+    bounded by the per-batch distinct-(group, value) count, independent of
+    row count — and the driver folds them into cumulative counts and picks
+    the order statistic at index floor(q · (n−1)) ("lower" discrete
+    quantile, DuckDB ``quantile_disc``-compatible when q·(n−1) is exact).
+
+    Exactness contract: the quantile index is computed as (q_num·(n−1)) //
+    q_den with the q given as an exact fraction (e.g. (1, 4) for 0.25) —
+    no float multiply anywhere, so the SQL oracle (row_number over a sorted
+    window) reproduces it bit-for-bit.
+
+    Scale note: this is the bounded-cardinality path (the value column's
+    distinct count per group must fit the driver — true for enum-ish
+    measures like quantities/sizes/status codes). For unbounded values use
+    the staged two-pass selection or a mergeable quantile sketch instead;
+    the histogram shape is the exact member of that family.
+
+    ``qs`` entries are (numerator, denominator) integer tuples."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby([group_col, value_col], sort=False).size()
+        out = g.reset_index()
+        out.columns = [group_col, value_col, "cnt"]
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=batch_size).to_pandas()
+    hist = (parts.groupby([group_col, value_col], sort=True)["cnt"].sum()
+            .reset_index())
+    rows = {group_col: [], "q_num": [], "q_den": [], "quantile_value": []}
+    for gkey, grp in hist.groupby(group_col, sort=True):
+        vals = grp[value_col].to_numpy()
+        cum = grp["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        for q_num, q_den in qs:
+            idx = (q_num * (n - 1)) // q_den      # 0-based order statistic
+            pos = int(np.searchsorted(cum, idx + 1))
+            rows[group_col].append(gkey)
+            rows["q_num"].append(q_num)
+            rows["q_den"].append(q_den)
+            rows["quantile_value"].append(vals[pos])
+    return pd.DataFrame({
+        group_col: rows[group_col],
+        "q_num": pd.Series(rows["q_num"], dtype="int64"),
+        "q_den": pd.Series(rows["q_den"], dtype="int64"),
+        "quantile_value": pd.Series(rows["quantile_value"], dtype="int64")})

@@ -1096,3 +1096,24 @@ def test_normalize_unicode_chain():
     out = normalize_text(_docs(["  A\t\tB  ", "ñ"])).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert out["text_norm"].tolist() == ["a b", "n"]
+
+
+def test_grouped_exact_quantiles_order_statistics():
+    from raycrawl.ops.sketch import grouped_exact_quantiles
+
+    vals = {"a": [5, 1, 3, 2, 4], "b": [10, 10, 10, 20]}
+    df = pd.DataFrame({
+        "grp": [g for g, vs in vals.items() for _ in vs],
+        "val": pd.Series([v for vs in vals.values() for v in vs],
+                         dtype="int64")})
+    out = grouped_exact_quantiles(rd.from_pandas(df), "grp", "val",
+                                  qs=[(0, 1), (1, 2), (1, 1)])
+    got = {(r.grp, r.q_num, r.q_den): r.quantile_value
+           for r in out.itertuples()}
+    # group a sorted = [1,2,3,4,5]: min=1, median idx (1*(5-1))//2=2 -> 3, max=5
+    assert got[("a", 0, 1)] == 1
+    assert got[("a", 1, 2)] == 3
+    assert got[("a", 1, 1)] == 5
+    # group b sorted = [10,10,10,20]: median idx (4-1)//2=1 -> 10, max=20
+    assert got[("b", 1, 2)] == 10
+    assert got[("b", 1, 1)] == 20
