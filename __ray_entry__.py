@@ -1065,6 +1065,30 @@ def _q_bm25(sf_dir: str):
     return bm25_topk(docs, _BM25_TERMS, k=20)
 
 
+def _q_index_lookup(sf_dir: str):
+    """Inverted-index keyword lookup: builds the bucket-partitioned
+    postings index once (cached by the documents file's identity), then
+    reads ONLY the query terms' hash-bucket partitions."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raycrawl.ops.search import build_text_index, index_postings
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(path)
+    key = hashlib.sha1(
+        f"{path}|{st.st_mtime_ns}|{st.st_size}|64".encode()).hexdigest()[:12]
+    index_dir = f"/tmp/raycrawl_txtidx/q_{key}"
+    docs = rd.read_parquet(path, columns=["doc_id", "text"])
+    build_text_index(
+        docs, index_dir, num_buckets=64,
+        cardinality_hint=pq.ParquetFile(path).metadata.num_rows)
+    return index_postings(index_dir, _BM25_TERMS).to_pandas() \
+        .sort_values(["term", "doc_id"]).reset_index(drop=True)
+
+
 def _q_cluster_assign(sf_dir: str):
     """Nearest-centroid assignment (k-means E-step / IVF routing) over
     2^20-quantized int64 vectors — exact distances, deterministic argmin."""
@@ -1219,6 +1243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans": _q_dup_spans,
         "text_normalize": _q_normalize,
         "quantiles_lineitem_qty": _q_quantiles,
+        "search_index_lookup": _q_index_lookup,
     }
 
 
@@ -2110,5 +2135,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(r.val AS BIGINT) AS quantile_value "
             "FROM r JOIN n ON n.l_returnflag = r.l_returnflag "
             "JOIN q ON r.idx = (q.q_num * (n.n - 1)) // q.q_den"
+        ),
+        # postings of the query terms: (term, doc_id, tf) — the staged
+        # index's bucket-pruned read must equal the direct group-by
+        "search_index_lookup": (
+            "WITH w AS (SELECT doc_id, CASE WHEN trim(COALESCE(text,'')) = '' THEN [] "
+            "  ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)) END AS toks FROM documents), "
+            "t AS (SELECT doc_id, unnest(toks) AS term FROM w) "
+            "SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM t "
+            "WHERE term IN ('dup', 'spark', 'merge', 'vector') "
+            "GROUP BY term, doc_id"
         ),
     }

@@ -41,6 +41,7 @@ oracle.
 
 from __future__ import annotations
 
+import os
 import re
 
 import pandas as pd
@@ -123,3 +124,100 @@ def bm25_topk(ds, terms: list[str], k: int = 20, id_col: str = "doc_id",
     top = top.reset_index(drop=True)
     top["rank"] = pd.Series(range(1, len(top) + 1), dtype="int64")
     return top
+
+
+def _term_bucket(term: str, num_buckets: int) -> int:
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(term.encode()).digest()[:8],
+                          "big") % num_buckets
+
+
+def build_text_index(ds, index_dir: str, num_buckets: int = 64,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     cardinality_hint: "int | None" = None) -> None:
+    """Stage an inverted text index as bucket-partitioned Parquet: one
+    (term, doc_id, tf) posting row per distinct (doc, token), hive-
+    partitioned by ``term_bucket = md5_64(term) % num_buckets`` so a
+    keyword lookup reads ONLY its terms' partitions (the same real-IO-
+    pruning shape as the IVF vector index — knn.py:build_ivf_index).
+
+    This is the scale path for keyword search: ``bm25_topk`` broadcasts
+    per-term stats (right for a handful of query terms), while the staged
+    index serves arbitrary vocabularies with reads proportional to the
+    queried buckets, not the corpus. Cached on disk behind a _DONE marker;
+    a dir without the marker is a partial build and is rebuilt from
+    scratch (crash safety — Parquet appends would duplicate postings)."""
+    import shutil
+
+    done = os.path.join(index_dir, "_DONE")
+    if os.path.exists(done):
+        return
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+    B = num_buckets
+
+    def postings(batch: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        terms, ids, tfs = [], [], []
+        for did, t in zip(batch[id_col], batch[text_col].fillna("")):
+            t = t.strip()
+            if not t:
+                continue
+            for term, tf in Counter(w.lower() for w in t.split()).items():
+                terms.append(term)
+                ids.append(did)
+                tfs.append(tf)
+        out = pd.DataFrame({"term": pd.Series(terms, dtype="string"),
+                            id_col: pd.Series(ids, dtype="int64"),
+                            "tf": pd.Series(tfs, dtype="int64")})
+        # hash each batch's UNIQUE terms once (corpus token reuse is high)
+        uniq = {term: _term_bucket(term, B) for term in set(terms)}
+        bucket = out["term"].map(uniq).astype("int32")
+        out["term_bucket"] = bucket  # hive partition key (path-consumed)
+        out["bucket"] = bucket       # duplicated as a data column
+        return out
+
+    os.makedirs(index_dir, exist_ok=True)
+    n_rows = cardinality_hint if cardinality_hint is not None else ds.count()
+    n_blocks = max(1, n_rows // 100_000 + 1)
+    ds.map_batches(postings, batch_format="pandas").repartition(
+        n_blocks).write_parquet(index_dir, partition_cols=["term_bucket"])
+    with open(done, "w") as f:
+        f.write("ok")
+
+
+def index_postings(index_dir: str, terms: list[str],
+                   num_buckets: int = 64):
+    """Read the postings of ``terms`` from a staged text index, touching
+    only the partitions their hash buckets live in. Returns a Dataset of
+    (term, doc_id, tf)."""
+    import glob
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    buckets = sorted({_term_bucket(t, num_buckets) for t in terms})
+    files: list[str] = []
+    for b in buckets:
+        files.extend(sorted(glob.glob(
+            os.path.join(index_dir, f"term_bucket={b}", "*.parquet"))))
+    if not files:
+        import pyarrow as pa
+
+        return rd.from_arrow(pa.table({
+            "term": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "tf": pa.array([], pa.int64())}))
+    import pyarrow as pa
+
+    tset = pa.array(sorted(set(terms)), pa.string())
+
+    def pick(batch):
+        return batch.filter(pc.is_in(batch.column("term"), tset))
+
+    return (rd.read_parquet(files)
+            .map_batches(pick, batch_format="pyarrow")
+            .select_columns(["term", "doc_id", "tf"]))

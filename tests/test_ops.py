@@ -1117,3 +1117,26 @@ def test_grouped_exact_quantiles_order_statistics():
     # group b sorted = [10,10,10,20]: median idx (4-1)//2=1 -> 10, max=20
     assert got[("b", 1, 2)] == 10
     assert got[("b", 1, 1)] == 20
+
+
+def test_text_index_bucket_pruned_lookup(tmp_path):
+    from raycrawl.ops.search import (_term_bucket, build_text_index,
+                                     index_postings)
+
+    texts = ["alpha beta alpha", "beta gamma", "alpha delta delta", ""]
+    idx = str(tmp_path / "tidx")
+    build_text_index(_docs(texts), idx, num_buckets=8)
+    out = index_postings(idx, ["alpha", "delta"], num_buckets=8) \
+        .to_pandas().sort_values(["term", "doc_id"]).reset_index(drop=True)
+    got = set(zip(out["term"], out["doc_id"], out["tf"]))
+    assert got == {("alpha", 0, 2), ("alpha", 2, 1), ("delta", 2, 2)}
+    # pruning is real: only the queried buckets' partition dirs are read
+    import glob
+    all_parts = {p.split("=")[-1] for p in glob.glob(f"{idx}/term_bucket=*")}
+    want = {str(_term_bucket(t, 8)) for t in ("alpha", "delta")}
+    assert want <= all_parts
+    # second build call is a no-op (cache hit via _DONE)
+    build_text_index(_docs(texts), idx, num_buckets=8)
+    out2 = index_postings(idx, ["beta"], num_buckets=8).to_pandas()
+    assert set(zip(out2["term"], out2["doc_id"], out2["tf"])) == \
+        {("beta", 0, 1), ("beta", 1, 1)}
