@@ -1102,6 +1102,33 @@ def _q_cluster_assign(sf_dir: str):
         .to_pandas().sort_values("vec_id").reset_index(drop=True)
 
 
+_CAMPAIGNS = [
+    (0, "2024-01-01 00:00:00", "2024-01-01 11:59:59.999999"),
+    (1, "2024-01-01 06:00:00", "2024-01-01 17:59:59.999999"),  # overlaps 0
+    (2, "2024-01-02 00:00:00", "2024-01-03 23:59:59.999999"),
+    (3, "2024-01-01 00:00:00", "2024-12-31 23:59:59.999999"),  # covers most
+]
+
+
+def _q_interval_join(sf_dir: str):
+    """Range join: events × overlapping campaign windows (broadcast
+    small side, one boolean containment matrix per batch)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raycrawl.ops.join import interval_join
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts"])
+    iv = pd.DataFrame({
+        "interval_id": pd.Series([c[0] for c in _CAMPAIGNS], dtype="int64"),
+        "lo": pd.to_datetime([c[1] for c in _CAMPAIGNS]),
+        "hi": pd.to_datetime([c[2] for c in _CAMPAIGNS])})
+    out = interval_join(ev, iv, on="ts",
+                        keep_cols=["event_id", "user_id"]).to_pandas()
+    return out.sort_values(["interval_id", "event_id"]).reset_index(drop=True)
+
+
 def _q_quantiles(sf_dir: str):
     """Grouped exact quantiles (p25/p50/p75/p90 of l_quantity per return
     flag) via the distributed-histogram shape — integer order statistics,
@@ -1244,6 +1271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_normalize": _q_normalize,
         "quantiles_lineitem_qty": _q_quantiles,
         "search_index_lookup": _q_index_lookup,
+        "events_interval_join": _q_interval_join,
     }
 
 
@@ -2145,5 +2173,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM t "
             "WHERE term IN ('dup', 'spark', 'merge', 'vector') "
             "GROUP BY term, doc_id"
+        ),
+        # inclusive-bounds range join against the same literal windows
+        "events_interval_join": (
+            "WITH iv AS (SELECT * FROM (VALUES "
+            + ", ".join(
+                f"({i}, TIMESTAMP '{lo}', TIMESTAMP '{hi}')"
+                for i, lo, hi in _CAMPAIGNS)
+            + ") AS t(interval_id, lo, hi)) "
+            "SELECT e.event_id, e.user_id, "
+            "CAST(iv.interval_id AS BIGINT) AS interval_id "
+            "FROM events e JOIN iv ON e.ts BETWEEN iv.lo AND iv.hi"
         ),
     }

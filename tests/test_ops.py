@@ -1140,3 +1140,19 @@ def test_text_index_bucket_pruned_lookup(tmp_path):
     out2 = index_postings(idx, ["beta"], num_buckets=8).to_pandas()
     assert set(zip(out2["term"], out2["doc_id"], out2["tf"])) == \
         {("beta", 0, 1), ("beta", 1, 1)}
+
+
+def test_interval_join_overlapping_windows():
+    from raycrawl.ops.join import interval_join
+
+    left = rd.from_pandas(pd.DataFrame({
+        "k": np.arange(6, dtype="int64"),
+        "v": pd.Series([0, 5, 10, 15, 20, 100], dtype="int64")}))
+    iv = pd.DataFrame({"interval_id": pd.Series([0, 1, 2], dtype="int64"),
+                       "lo": pd.Series([0, 10, 5], dtype="int64"),
+                       "hi": pd.Series([10, 20, 15], dtype="int64")})
+    out = interval_join(left, iv, on="v", keep_cols=["k"]).to_pandas()
+    got = set(zip(out["k"], out["interval_id"]))
+    # v=10 is in [0,10], [10,20] and [5,15]; v=100 matches nothing
+    assert got == {(0, 0), (1, 0), (1, 2), (2, 0), (2, 1), (2, 2),
+                   (3, 1), (3, 2), (4, 1)}
