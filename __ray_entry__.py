@@ -1179,15 +1179,19 @@ def _q_normalize(sf_dir: str):
 
 def _q_dup_spans(sf_dir: str):
     """Substring-level duplicate-span stats (4-token windows occurring ≥2×
-    corpus-wide; covered-position union per doc)."""
+    corpus-wide; covered-position union per doc). reduce='auto' picks the
+    driver merge at bench scale and the partitioned shuffle path above
+    100k docs (path equivalence is pytest-asserted)."""
+    import pyarrow.parquet as pq
     import ray.data as rd
 
     from raycrawl.ops.dedup import dup_spans
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=["doc_id", "text"])
-    return dup_spans(docs, gram_len=4).to_pandas() \
-        .sort_values("doc_id").reset_index(drop=True)
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = rd.read_parquet(path, columns=["doc_id", "text"])
+    return dup_spans(docs, gram_len=4, reduce="auto",
+                     cardinality_hint=pq.ParquetFile(path).metadata.num_rows) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_kmeans(sf_dir: str):

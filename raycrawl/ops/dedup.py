@@ -1105,46 +1105,65 @@ def dedup_survivors_by_score(all_ids, pairs: pd.DataFrame,
             [int(best[c]) for c in base["canonical_id"]], dtype="int64")})
 
 
+def _span_grams(toks: "list[str]", L: int) -> "list[int]":
+    """md5-8-byte hash (the repo's SQL-parity hash) of each L-token
+    chr(1)-joined window."""
+    return [
+        int.from_bytes(
+            hashlib.md5("\x01".join(toks[s : s + L]).encode())
+            .digest()[:8], "big")
+        for s in range(len(toks) - L + 1)
+    ]
+
+
 def dup_spans(ds, gram_len: int = 8, id_col: str = "doc_id",
-              text_col: str = "text"):
+              text_col: str = "text", reduce: str = "shuffle",
+              cardinality_hint: "int | None" = None, n_parts: int = 256):
     """Substring-level duplicate-span detection (the fixed-gram variant of
     exact substring dedup, Lee et al. 2022 "Deduplicating Training Data
     Makes Language Models Better" — public): a token position is
     "duplicated" when it is covered by any ``gram_len``-token window that
     occurs ≥ 2 times anywhere in the corpus (including within one doc).
 
-    Two passes:
-    1. per-batch gram-hash Counters → driver merge → the duplicated-gram
-       hash set (gram hash = md5-8-byte of the chr(1)-joined window — the
-       repo's SQL-parity hash). The merged table is bounded by the corpus's
-       distinct-gram count; at web scale stage the partials to Parquet and
-       semi-join instead of driver-merging (``exact_dedup_against_corpus``
-       pattern), or swap a Bloom filter for the exact set.
-    2. broadcast the dup set (``ray.put`` once); per doc, take the union of
-       the duplicated windows' [s, s+L) intervals via one vectorized
-       merged-interval sweep and count covered positions.
+    Returns (id, n_tokens, n_dup_starts, n_dup_tokens).
 
-    Returns (id, n_tokens, n_dup_starts, n_dup_tokens)."""
+    ``reduce`` picks how the corpus-global gram counts are realized
+    (``exact_dedup``'s convention):
+
+    - ``'shuffle'`` (default — the scale-safe path): gram rows
+      (hash, doc, start) are coarse-hash-partitioned by gram hash, so each
+      partition sees EVERY occurrence of its grams and marks duplicates
+      with one vectorized ``duplicated()`` — no corpus-sized driver state,
+      no broadcast. The surviving (doc, start) rows (plus one n_tokens
+      marker row per doc) are then coarse-partitioned by doc and the
+      merged-interval coverage is computed segment-vectorized across all
+      docs of a partition. Two bounded all-to-alls of narrow int rows.
+    - ``'driver'``: per-batch gram Counters merged into one driver dict and
+      broadcast — cheaper below Ray's all-to-all fixed cost, but driver
+      memory is O(distinct grams) ≈ O(corpus tokens); small inputs only.
+    - ``'auto'``: ``'driver'`` when ``cardinality_hint`` (row count) says
+      the corpus is small (≤ 100k docs), else ``'shuffle'``."""
+    if reduce == "auto":
+        reduce = ("driver" if cardinality_hint is not None
+                  and cardinality_hint <= 100_000 else "shuffle")
+    if reduce == "driver":
+        return _dup_spans_driver(ds, gram_len, id_col, text_col)
+    if reduce != "shuffle":
+        raise ValueError(f"unknown reduce mode: {reduce!r}")
+    return _dup_spans_shuffle(ds, gram_len, id_col, text_col, n_parts)
+
+
+def _dup_spans_driver(ds, L: int, id_col: str, text_col: str):
     import ray
 
     from collections import Counter
-
-    L = gram_len
-
-    def _grams(toks: "list[str]") -> "list[int]":
-        return [
-            int.from_bytes(
-                hashlib.md5("\x01".join(toks[s : s + L]).encode())
-                .digest()[:8], "big")
-            for s in range(len(toks) - L + 1)
-        ]
 
     def count_batch(batch: pd.DataFrame) -> pd.DataFrame:
         c: Counter = Counter()
         for t in batch[text_col].fillna(""):
             t = t.strip()
             if t:
-                c.update(_grams(t.split()))
+                c.update(_span_grams(t.split(), L))
         return pd.DataFrame({"h": pd.Series(list(c.keys()), dtype="uint64"),
                              "cnt": pd.Series(list(c.values()),
                                               dtype="int64")})
@@ -1164,7 +1183,7 @@ def dup_spans(ds, gram_len: int = 8, id_col: str = "doc_id",
         for t in batch[text_col].fillna(""):
             t = t.strip()
             toks = t.split() if t else []
-            hs = _grams(toks)
+            hs = _span_grams(toks, L)
             starts = np.flatnonzero(
                 np.fromiter((h in dups for h in hs), dtype=bool,
                             count=len(hs)))
@@ -1184,3 +1203,93 @@ def dup_spans(ds, gram_len: int = 8, id_col: str = "doc_id",
             "n_dup_tokens": pd.Series(n_cov, dtype="int64")})
 
     return ds.map_batches(cover, batch_format="pandas")
+
+
+def _dup_spans_shuffle(ds, L: int, id_col: str, text_col: str,
+                       n_parts: int):
+    from .agg import partitioned_map_partitions
+
+    def emit_grams(batch: pd.DataFrame) -> pd.DataFrame:
+        hs: "list[int]" = []
+        ids: "list[int]" = []
+        ss: "list[int]" = []
+        for did, t in zip(batch[id_col], batch[text_col].fillna("")):
+            t = t.strip()
+            g = _span_grams(t.split(), L) if t else []
+            hs.extend(g)
+            ids.extend([did] * len(g))
+            ss.extend(range(len(g)))
+        return pd.DataFrame({
+            "h": pd.Series(hs, dtype="uint64"),
+            id_col: pd.Series(ids, dtype="int64"),
+            "s": pd.Series(ss, dtype="int64")})
+
+    grams = ds.map_batches(emit_grams, batch_format="pandas")
+
+    # every occurrence of a gram lands in the same partition, so a plain
+    # duplicated(keep=False) IS the global count>=2 test — no join needed
+    def mark_dups(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.loc[g["h"].duplicated(keep=False), [id_col, "s"]].copy()
+        d["n_tokens"] = pd.Series(0, index=d.index, dtype="int64")
+        return d[[id_col, "s", "n_tokens"]]
+
+    dup_rows = partitioned_map_partitions(grams, "h", mark_dups,
+                                          n_parts=n_parts)
+
+    def emit_markers(batch: pd.DataFrame) -> pd.DataFrame:
+        nt = [len(t.strip().split()) if t.strip() else 0
+              for t in batch[text_col].fillna("")]
+        return pd.DataFrame({
+            id_col: batch[id_col].astype("int64"),
+            "s": pd.Series(-1, index=batch.index, dtype="int64"),
+            "n_tokens": pd.Series(nt, dtype="int64")})
+
+    markers = ds.map_batches(emit_markers, batch_format="pandas")
+
+    def coverage(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                id_col: pd.Series(dtype="int64"),
+                "n_tokens": pd.Series(dtype="int64"),
+                "n_dup_starts": pd.Series(dtype="int64"),
+                "n_dup_tokens": pd.Series(dtype="int64")})
+        ids = g[id_col].to_numpy()
+        s = g["s"].to_numpy()
+        nt = g["n_tokens"].to_numpy()
+        order = np.lexsort((s, ids))
+        ids_o, s_o, nt_o = ids[order], s[order], nt[order]
+        new_doc = np.empty(len(ids_o), dtype=bool)
+        new_doc[0] = True
+        new_doc[1:] = ids_o[1:] != ids_o[:-1]
+        doc_idx = np.cumsum(new_doc) - 1
+        is_dup = s_o >= 0
+        prev_same = ~new_doc
+        prev_dup = np.empty(len(s_o), dtype=bool)
+        prev_dup[0] = False
+        prev_dup[1:] = is_dup[:-1]
+        gaps = np.empty(len(s_o), dtype=np.int64)
+        gaps[0] = L
+        gaps[1:] = s_o[1:] - s_o[:-1]
+        # a dup row contributes min(gap, L) when the previous row is a dup
+        # start of the same doc, else L (first dup window of the doc —
+        # the marker row, s=-1, sorts first within every doc segment)
+        contrib = np.where(
+            is_dup,
+            np.where(prev_same & prev_dup, np.minimum(gaps, L), L), 0)
+        n_docs = int(doc_idx[-1]) + 1 if len(doc_idx) else 0
+        out_ids = ids_o[new_doc]
+        # the marker is each doc segment's first row → its n_tokens
+        out_nt = nt_o[new_doc]
+        out_starts = np.bincount(doc_idx, weights=is_dup,
+                                 minlength=n_docs).astype(np.int64)
+        out_cov = np.bincount(doc_idx, weights=contrib,
+                              minlength=n_docs).astype(np.int64)
+        return pd.DataFrame({
+            id_col: pd.Series(out_ids, dtype="int64"),
+            "n_tokens": pd.Series(out_nt, dtype="int64"),
+            "n_dup_starts": pd.Series(out_starts, dtype="int64"),
+            "n_dup_tokens": pd.Series(out_cov, dtype="int64")})
+
+    unioned = dup_rows.union(markers)
+    return partitioned_map_partitions(unioned, id_col, coverage,
+                                      n_parts=n_parts)

@@ -1156,3 +1156,19 @@ def test_interval_join_overlapping_windows():
     # v=10 is in [0,10], [10,20] and [5,15]; v=100 matches nothing
     assert got == {(0, 0), (1, 0), (1, 2), (2, 0), (2, 1), (2, 2),
                    (3, 1), (3, 2), (4, 1)}
+
+
+def test_dup_spans_shuffle_matches_driver():
+    from raycrawl.ops.dedup import dup_spans
+
+    texts = (["p q r unique0 tail0", "head1 p q r tail1", "x y z x y z x",
+              "totally fresh words only here", "a b", "",
+              "p q r p q r overlap city"] * 3)
+    texts = [t + f" salt{i % 5}" if t else t for i, t in enumerate(texts)]
+    ds = _docs(texts)
+    a = dup_spans(ds, gram_len=3, reduce="driver").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = dup_spans(ds, gram_len=3, reduce="shuffle", n_parts=16) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert a["n_dup_tokens"].sum() > 0  # the fixture actually has dups
