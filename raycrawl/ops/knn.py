@@ -373,13 +373,18 @@ def kmeans_fit(ds, centroid_ids: list[int], iters: int = 2,
                 "n": pd.Series(counts, dtype="int64"),
                 "vsum": list(sums)})
 
+        # driver fold of (batches × k) partial rows — vectorized; payload
+        # is k·d ints per batch independent of row count (tree-merge it in
+        # a second map_batches stage past ~10^5 batches, as sketch.py does)
         parts = ds.map_batches(partial, batch_format="pandas",
                                batch_size=2048).to_pandas()
-        counts = np.zeros(k, dtype=np.int64)
+        cid = parts["cluster_id"].to_numpy()
+        counts = np.bincount(cid, weights=parts["n"].to_numpy(),
+                             minlength=k).astype(np.int64)
         sums = np.zeros((k, d), dtype=np.int64)
-        for cid, n, vs in zip(parts["cluster_id"], parts["n"], parts["vsum"]):
-            counts[cid] += n
-            sums[cid] += np.asarray(vs, dtype=np.int64)
+        np.add.at(sums, cid,
+                  np.stack([np.asarray(v, dtype=np.int64)
+                            for v in parts["vsum"]]))
         nonempty = counts > 0
         centroids = centroids.copy()
         centroids[nonempty] = (
