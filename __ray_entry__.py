@@ -1129,6 +1129,15 @@ def _q_interval_join(sf_dir: str):
     return out.sort_values(["interval_id", "event_id"]).reset_index(drop=True)
 
 
+def _q_q3(sf_dir: str):
+    """TPC-H Q3 shape: broadcast customer semi-join + bucketed
+    orders⋈lineitem hash join with the aggregate and top-k partial pushed
+    into the co-located join groups (one all-to-all total)."""
+    from raycrawl.ops.relational import q3_shipping_priority
+
+    return q3_shipping_priority(sf_dir)
+
+
 def _q_quantiles(sf_dir: str):
     """Grouped exact quantiles (p25/p50/p75/p90 of l_quantity per return
     flag) via the distributed-histogram shape — integer order statistics,
@@ -1276,6 +1285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_lineitem_qty": _q_quantiles,
         "search_index_lookup": _q_index_lookup,
         "events_interval_join": _q_interval_join,
+        "q3_shipping_priority": _q_q3,
     }
 
 
@@ -2188,5 +2198,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.event_id, e.user_id, "
             "CAST(iv.interval_id AS BIGINT) AS interval_id "
             "FROM events e JOIN iv ON e.ts BETWEEN iv.lo AND iv.hi"
+        ),
+        # classic Q3: three-way join, integer-cents revenue, top 10 by
+        # (revenue desc, orderdate, orderkey)
+        "q3_shipping_priority": (
+            "SELECT l_orderkey, "
+            "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+            "o_orderdate, o_orderpriority "
+            "FROM customer, orders, lineitem "
+            "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey "
+            "AND l_orderkey = o_orderkey "
+            "AND o_orderdate < TIMESTAMP '1998-06-01' "
+            "AND l_shipdate > TIMESTAMP '1998-06-01' "
+            "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY revenue_cents DESC, o_orderdate, l_orderkey LIMIT 10"
         ),
     }

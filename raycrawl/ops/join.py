@@ -75,7 +75,8 @@ def _cleanup_stage_dirs() -> None:
 
 def bucket_hash_join(left_ds, right_ds, left_on: str, right_on: str,
                      num_buckets: int = 32, how: str = "inner",
-                     stage_dir: Optional[str] = None):
+                     stage_dir: Optional[str] = None,
+                     post: "Optional[callable]" = None):
     """Explicit partitioned hash join for two large sides.
 
     The right side is staged to Parquet under ``stage_dir``; the returned
@@ -85,7 +86,14 @@ def bucket_hash_join(left_ds, right_ds, left_on: str, right_on: str,
     long-lived driver never accumulates unbounded /tmp Parquet. Consume a
     joined dataset before starting ``_MAX_STAGE_DIRS`` further auto-staged
     joins, or pass ``stage_dir`` to manage the lifecycle yourself (e.g. to
-    reuse a staged side across joins)."""
+    reuse a staged side across joins).
+
+    ``post``: optional DataFrame→DataFrame applied to each bucket's merged
+    rows BEFORE they leave the join task. Because the bucket is a hash
+    partition of the join key, every row of a key is in the same call —
+    a key-grouped aggregate (or per-key top-k partial) pushed here is
+    globally correct and saves the second all-to-all a separate
+    groupby-after-join would need."""
     if stage_dir is None:
         stage_dir = tempfile.mkdtemp(prefix="raycrawl_join_", dir="/tmp")
         _register_stage_dir(stage_dir)
@@ -110,8 +118,9 @@ def bucket_hash_join(left_ds, right_ds, left_on: str, right_on: str,
         if not files:
             return pd.DataFrame()
         right = pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
-        return g.drop(columns="__bucket").merge(
+        merged = g.drop(columns="__bucket").merge(
             right, how=how, left_on=left_on, right_on=right_on)
+        return post(merged) if post is not None else merged
 
     return (left_ds.map_batches(tag_left, batch_format="pandas")
             .groupby("__bucket").map_groups(join_group, batch_format="pandas"))

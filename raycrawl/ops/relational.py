@@ -717,3 +717,82 @@ def asof_sliced_ds(ev, slice_freq: str = "D",
     return (out.astype({"event_id": "int64", "user_id": "int64",
                         "prev_purchase_id": "int64"})
             .sort_values("event_id").reset_index(drop=True))
+
+
+def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                         cutoff: str = "1998-06-01",
+                         k: int = 10) -> pd.DataFrame:
+    """TPC-H Q3 shape (shipping priority): customer ⋈ orders ⋈ lineitem
+    with date predicates, revenue per order, top-k by revenue.
+
+    Join strategy by side size (the canonical large-pipeline layout):
+    - customer is the SMALL side → its filtered custkey set is broadcast
+      (``ray.put``) and orders are semi-joined per batch (no shuffle);
+    - orders ⋈ lineitem are both LARGE → ``bucket_hash_join`` on orderkey,
+      with the revenue aggregate AND the per-bucket top-k partial pushed
+      into the join groups via ``post`` (a hash bucket holds every row of
+      its orderkeys, so the group aggregate is globally correct) — the
+      whole query costs ONE all-to-all plus a k-row driver merge.
+
+    Revenue is exact integer cents (floor(x·100 + 0.5), q1's convention).
+    Reads are column-pruned and date-filtered at the Parquet scan."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .join import bucket_hash_join
+
+    cut = np.datetime64(cutoff, "us")
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+        filter=(pc.field("c_mktsegment") == segment))
+    custkeys = ray.put(frozenset(cust.to_pandas()["c_custkey"]))
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=(pc.field("o_orderdate") < pc.scalar(cut)))
+
+    def semi(b: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(custkeys)
+        return b[b["o_custkey"].isin(keys)][
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]]
+
+    orders = orders.map_batches(semi, batch_format="pandas")
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") > pc.scalar(cut)))
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        rev = np.floor(b["l_extendedprice"] * (1 - b["l_discount"]) * 100
+                       + 0.5).astype("int64")
+        return pd.DataFrame({"l_orderkey": b["l_orderkey"],
+                             "rev_cents": rev})
+
+    li = li.map_batches(cents, batch_format="pandas")
+
+    def agg_topk(merged: pd.DataFrame) -> pd.DataFrame:
+        if len(merged) == 0:
+            return pd.DataFrame({
+                "l_orderkey": pd.Series(dtype="int64"),
+                "revenue_cents": pd.Series(dtype="int64"),
+                "o_orderdate": pd.Series(dtype="datetime64[us]"),
+                "o_orderpriority": pd.Series(dtype="object")})
+        g = (merged.groupby(
+                ["l_orderkey", "o_orderdate", "o_orderpriority"],
+                as_index=False, sort=False)["rev_cents"].sum()
+             .rename(columns={"rev_cents": "revenue_cents"}))
+        g["revenue_cents"] = g["revenue_cents"].astype("int64")
+        return g.sort_values(
+            ["revenue_cents", "o_orderdate", "l_orderkey"],
+            ascending=[False, True, True]).head(k)
+
+    partials = bucket_hash_join(li, orders, "l_orderkey", "o_orderkey",
+                                num_buckets=32, post=agg_topk).to_pandas()
+    top = partials.sort_values(
+        ["revenue_cents", "o_orderdate", "l_orderkey"],
+        ascending=[False, True, True]).head(k).reset_index(drop=True)
+    return top[["l_orderkey", "revenue_cents", "o_orderdate",
+                "o_orderpriority"]]

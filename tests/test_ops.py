@@ -1172,3 +1172,27 @@ def test_dup_spans_shuffle_matches_driver():
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
     assert a["n_dup_tokens"].sum() > 0  # the fixture actually has dups
+
+
+def test_bucket_hash_join_post_pushdown(tmp_path):
+    from raycrawl.ops.join import bucket_hash_join
+
+    left = rd.from_pandas(pd.DataFrame({
+        "k": pd.Series([1, 1, 2, 2, 2, 3], dtype="int64"),
+        "v": pd.Series([10, 5, 1, 2, 3, 7], dtype="int64")}))
+    right = rd.from_pandas(pd.DataFrame({
+        "rk": pd.Series([1, 2, 3], dtype="int64"),
+        "tag": ["a", "b", "c"]}))
+
+    def agg(m: pd.DataFrame) -> pd.DataFrame:
+        if len(m) == 0:
+            return pd.DataFrame({"k": pd.Series(dtype="int64"),
+                                 "tag": pd.Series(dtype="object"),
+                                 "v": pd.Series(dtype="int64")})
+        return m.groupby(["k", "tag"], as_index=False)["v"].sum()
+
+    out = bucket_hash_join(left, right, "k", "rk", num_buckets=4,
+                           stage_dir=str(tmp_path), post=agg).to_pandas()
+    got = {(r.k, r.tag): r.v for r in out.itertuples()}
+    # a key's rows all land in one bucket, so the pushed aggregate is global
+    assert got == {(1, "a"): 15, (2, "b"): 6, (3, "c"): 7}
