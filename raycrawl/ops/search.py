@@ -104,13 +104,14 @@ def bm25_topk(ds, terms: list[str], k: int = 20, id_col: str = "doc_id",
     def score_partial(batch: pd.DataFrame) -> pd.DataFrame:
         mask = (batch[tf_cols].to_numpy() > 0).any(axis=1)
         cand = batch[mask]
-        scores = []
-        for _, row in cand.iterrows():  # sparse: only rows with a match
-            s = 0
-            for j in range(len(terms)):
-                s += _term_contribution(int(row[f"tf_{j}"]), int(row["dl"]),
-                                        avgdl, n_docs, dfs[j])
-            scores.append(s)
+        dl_a = cand["dl"].to_numpy()
+        tf_a = [cand[c].to_numpy() for c in tf_cols]
+        scores = [
+            sum(_term_contribution(int(tf_a[j][i]), int(dl_a[i]),
+                                   avgdl, n_docs, dfs[j])
+                for j in range(len(terms)))
+            for i in range(len(cand))  # sparse: only rows with a match;
+        ]                              # bigint-exact, see module docstring
         out = pd.DataFrame({id_col: cand[id_col].to_numpy(),
                             "score_fp": pd.Series(scores, dtype="int64")})
         # per-block top-k partial: only k rows per block reach the driver
