@@ -1160,6 +1160,28 @@ def _q_quantiles(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _q_quantile_selection(sf_dir: str):
+    """Unbounded-domain exact quantiles (p50/p90/p99 of order totals in
+    cents) via the two-pass distributed-selection op: coarse histogram →
+    filtered second pass over only the target bins."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raycrawl.ops.sketch import exact_quantile_selection
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_totalprice"])
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"cents": np.floor(
+            b["o_totalprice"] * 100 + 0.5).astype("int64")})
+
+    return exact_quantile_selection(
+        orders.map_batches(cents, batch_format="pandas"), "cents",
+        qs=[(1, 2), (9, 10), (99, 100)])
+
+
 _NORM_SALT = ["  CaFÉ  déjà\tVu ", " Übermäßig  ŁÓDŹ ", " 한국어 테스트 q̃ ",
               " हिन्दी   MiXeD "]
 
@@ -1286,6 +1308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_index_lookup": _q_index_lookup,
         "events_interval_join": _q_interval_join,
         "q3_shipping_priority": _q_q3,
+        "quantiles_order_totals": _q_quantile_selection,
     }
 
 
@@ -2212,5 +2235,19 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1998-06-01' "
             "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
             "ORDER BY revenue_cents DESC, o_orderdate, l_orderkey LIMIT 10"
+        ),
+        # unbounded-domain order statistics at the same exact-fraction
+        # indices the selection op uses
+        "quantiles_order_totals": (
+            "WITH v AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) "
+            "  AS val FROM orders), "
+            "n AS (SELECT count(*) AS n FROM v), "
+            "r AS (SELECT val, row_number() OVER (ORDER BY val) - 1 AS idx FROM v), "
+            "q AS (SELECT * FROM (VALUES (1, 2), (9, 10), (99, 100)) "
+            "  AS t(q_num, q_den)) "
+            "SELECT CAST(q.q_num AS BIGINT) AS q_num, "
+            "CAST(q.q_den AS BIGINT) AS q_den, "
+            "CAST(r.val AS BIGINT) AS quantile_value "
+            "FROM r CROSS JOIN n JOIN q ON r.idx = (q.q_num * (n.n - 1)) // q.q_den"
         ),
     }

@@ -287,8 +287,8 @@ def grouped_exact_quantiles(ds, group_col: str, value_col: str,
     Scale note: this is the bounded-cardinality path (the value column's
     distinct count per group must fit the driver — true for enum-ish
     measures like quantities/sizes/status codes). For unbounded values use
-    the staged two-pass selection or a mergeable quantile sketch instead;
-    the histogram shape is the exact member of that family.
+    ``exact_quantile_selection`` below (two-pass distributed selection,
+    O(n_bins) driver memory) or a mergeable quantile sketch.
 
     ``qs`` entries are (numerator, denominator) integer tuples."""
 
@@ -320,3 +320,81 @@ def grouped_exact_quantiles(ds, group_col: str, value_col: str,
         "q_num": pd.Series(rows["q_num"], dtype="int64"),
         "q_den": pd.Series(rows["q_den"], dtype="int64"),
         "quantile_value": pd.Series(rows["quantile_value"], dtype="int64")})
+
+
+def exact_quantile_selection(ds, value_col: str, qs: "list[tuple]",
+                             n_bins: int = 4096,
+                             batch_size: int = 65536) -> pd.DataFrame:
+    """Exact order statistics over an UNBOUNDED integer value domain — the
+    two-pass distributed-selection companion to the histogram path of
+    ``grouped_exact_quantiles``:
+
+    1. one streaming pass builds a coarse fixed-width histogram (min/max
+       come from the same partials), locating for every requested quantile
+       the bin that contains its order statistic and the rank offset
+       within that bin — driver memory is O(n_bins), never O(distinct);
+    2. a second filtered pass collects ONLY the values inside the needed
+       bins (a tiny slice of the data for any reasonably spread
+       distribution), sorts them, and reads the answer off at the offset.
+
+    Quantile indices use the same exact-fraction convention:
+    idx = (q_num · (n−1)) // q_den. Returns (q_num, q_den,
+    quantile_value)."""
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[value_col].to_numpy()
+        return pd.DataFrame({"vmin": [int(v.min()) if len(v) else 0],
+                             "vmax": [int(v.max()) if len(v) else 0],
+                             "n": [len(v)]}).astype("int64")
+
+    stats = ds.map_batches(hist_partial, batch_format="pandas",
+                           batch_size=batch_size).to_pandas()
+    stats = stats[stats["n"] > 0]
+    if not len(stats):
+        return pd.DataFrame({"q_num": pd.Series(dtype="int64"),
+                             "q_den": pd.Series(dtype="int64"),
+                             "quantile_value": pd.Series(dtype="int64")})
+    lo, hi = int(stats["vmin"].min()), int(stats["vmax"].max())
+    n = int(stats["n"].sum())
+    width = max(1, (hi - lo) // n_bins + 1)
+
+    def bin_partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[value_col].to_numpy()
+        bins = (v - lo) // width
+        cnt = np.bincount(bins, minlength=n_bins)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"bin": pd.Series(nz, dtype="int64"),
+                             "cnt": pd.Series(cnt[nz], dtype="int64")})
+
+    parts = ds.map_batches(bin_partial, batch_format="pandas",
+                           batch_size=batch_size).to_pandas()
+    hist = parts.groupby("bin")["cnt"].sum().sort_index()
+    cum = hist.cumsum()
+
+    targets = []  # (q_num, q_den, bin, rank_within_bin)
+    for q_num, q_den in qs:
+        idx = (q_num * (n - 1)) // q_den
+        pos = int(np.searchsorted(cum.to_numpy(), idx + 1))
+        b = int(cum.index[pos])
+        before = int(cum.iloc[pos - 1]) if pos else 0
+        targets.append((q_num, q_den, b, idx - before))
+
+    need_bins = sorted({t[2] for t in targets})
+
+    def collect(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[value_col].to_numpy()
+        bins = (v - lo) // width
+        keep = np.isin(bins, need_bins)
+        return pd.DataFrame({value_col: pd.Series(v[keep], dtype="int64"),
+                             "bin": pd.Series(bins[keep], dtype="int64")})
+
+    picked = ds.map_batches(collect, batch_format="pandas",
+                            batch_size=batch_size).to_pandas()
+    out = {"q_num": [], "q_den": [], "quantile_value": []}
+    for q_num, q_den, b, off in targets:
+        vals = np.sort(picked.loc[picked["bin"] == b, value_col].to_numpy())
+        out["q_num"].append(q_num)
+        out["q_den"].append(q_den)
+        out["quantile_value"].append(int(vals[off]))
+    return pd.DataFrame({k: pd.Series(v, dtype="int64")
+                         for k, v in out.items()})

@@ -1196,3 +1196,19 @@ def test_bucket_hash_join_post_pushdown(tmp_path):
     got = {(r.k, r.tag): r.v for r in out.itertuples()}
     # a key's rows all land in one bucket, so the pushed aggregate is global
     assert got == {(1, "a"): 15, (2, "b"): 6, (3, "c"): 7}
+
+
+def test_exact_quantile_selection_unbounded_domain():
+    from raycrawl.ops.sketch import exact_quantile_selection
+
+    rng = np.random.RandomState(11)
+    vals = rng.randint(-1_000_000, 50_000_000, size=20_000).astype("int64")
+    ds = rd.from_pandas(pd.DataFrame({"cents": vals}))
+    out = exact_quantile_selection(ds, "cents",
+                                   qs=[(0, 1), (1, 2), (99, 100), (1, 1)],
+                                   n_bins=64)
+    got = {(r.q_num, r.q_den): r.quantile_value for r in out.itertuples()}
+    sv = np.sort(vals)
+    n = len(sv)
+    for q_num, q_den in [(0, 1), (1, 2), (99, 100), (1, 1)]:
+        assert got[(q_num, q_den)] == sv[(q_num * (n - 1)) // q_den]
