@@ -80,3 +80,67 @@ def test_extraction_deterministic_across_calls():
         r2 = extract_page(url, html.decode())
         assert r1["markdown"] == r2["markdown"]
         assert r1["links"] == r2["links"]
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=150, deadline=None)
+def test_normalize_unicode_idempotent(text):
+    from raycrawl.ops.textstats import normalize_unicode
+
+    once = normalize_unicode(text)
+    assert normalize_unicode(once) == once
+    # output contains no collapsible whitespace runs and no edge spaces
+    assert "  " not in once and "\t" not in once and "\n" not in once
+    assert once == once.strip(" ")
+
+
+@given(st.text(alphabet=string.printable, max_size=400))
+@settings(max_examples=100, deadline=None)
+def test_pii_scrub_single_doc_idempotent(text):
+    import re as _re
+
+    from raycrawl.ops.textstats import (PII_EMAIL_RE, PII_IPV4_RE,
+                                        PII_PHONE_RE)
+
+    t = _re.sub(PII_EMAIL_RE, "<EMAIL>", text)
+    t = _re.sub(PII_PHONE_RE, "<PHONE>", t)
+    t = _re.sub(PII_IPV4_RE, "<IP>", t)
+    # a scrubbed text has no remaining matches for any pattern
+    assert not _re.search(PII_EMAIL_RE, t)
+    assert not _re.search(PII_PHONE_RE, t)
+    assert not _re.search(PII_IPV4_RE, t)
+
+
+@given(st.lists(st.lists(st.sampled_from("abcdef"), min_size=0,
+                         max_size=20).map(" ".join),
+                min_size=1, max_size=12),
+       st.integers(min_value=2, max_value=4))
+@settings(max_examples=60, deadline=None)
+def test_dup_spans_reference_bounds(texts, L):
+    """Single-threaded reference of dup_spans' semantics + invariants."""
+    import hashlib as _hl
+
+    from collections import Counter
+
+    def grams(toks):
+        return [int.from_bytes(
+            _hl.md5("\x01".join(toks[s : s + L]).encode()).digest()[:8],
+            "big") for s in range(len(toks) - L + 1)]
+
+    tok_lists = [t.split() for t in texts]
+    counts = Counter(h for toks in tok_lists for h in grams(toks))
+    for toks in tok_lists:
+        starts = [s for s, h in enumerate(grams(toks)) if counts[h] >= 2]
+        cov = set()
+        for s in starts:
+            cov.update(range(s, s + L))
+        n_cov = len(cov)
+        # the merged-interval formula the operator uses
+        if starts:
+            fast = L + sum(min(b - a, L)
+                           for a, b in zip(starts, starts[1:]))
+        else:
+            fast = 0
+        assert fast == n_cov
+        assert n_cov <= len(toks)
+        assert (n_cov == 0) == (not starts)
