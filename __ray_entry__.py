@@ -487,6 +487,27 @@ def _q_audio_features(sf_dir: str):
         "audio_id").reset_index(drop=True)
 
 
+def _q_image_png_features(sf_dir: str):
+    """REAL multimodal image decode path: genuine PNG payloads (stdlib
+    zlib + numpy codec, raycrawl/ops/png.py — all five scanline filters
+    plus the adaptive MSAD heuristic are exercised across the corpus)
+    decoded in an actor pool → integer channel statistics, exactly
+    reproduced by the closed-form SQL oracle. The image analogue of
+    `audio_features`: no codec stub on this path."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raycrawl.ops.png import png_features, synth_png_table
+
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    t = synth_png_table(n)
+    step = max(1, (n + 7) // 8)  # >1 block so the actor pool fans out
+    ds = rd.from_arrow([t.slice(i, step) for i in range(0, n, step)])
+    return png_features(ds).to_pandas().sort_values(
+        "image_id").reset_index(drop=True)
+
+
 def _q_unigram_commonness(sf_dir: str):
     """Two-pass corpus-statistics scoring (aggregate → broadcast →
     per-doc score) — the LM-quality-filter pipeline shape, exact."""
@@ -1263,6 +1284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_repetition": _q_repetition,
         "text_unigram_commonness": _q_unigram_commonness,
         "audio_features": _q_audio_features,
+        "image_png_features": _q_image_png_features,
         "events_stratified_sample": _q_events_stratified,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
@@ -1580,6 +1602,27 @@ def oracle_sql() -> dict[str, str]:
             " AND 10 * n_symbols < n_words "
             " AND 5 * n_alpha_words >= 4 * n_words "
             " AND n_stop_distinct >= 2) AS keep FROM m"
+        ),
+        # REAL PNG decode (stdlib zlib codec) + integer channel stats,
+        # pixel values regenerated closed-form:
+        # value(i,y,x,c) = (i*7 + y*13 + x*17 + c*29) % 256
+        "image_png_features": (
+            "WITH ids AS (SELECT unnest(range(0, "
+            "  (SELECT count(*) FROM documents))) AS image_id), "
+            "dims AS (SELECT image_id, 16 + (image_id * 5) % 48 AS w, "
+            "  16 + (image_id * 3) % 40 AS h FROM ids), "
+            "yy AS (SELECT image_id, w, h, unnest(range(0, h)) AS y FROM dims), "
+            "xx AS (SELECT image_id, w, h, y, unnest(range(0, w)) AS x FROM yy), "
+            "v AS (SELECT image_id, w, h, "
+            "  (image_id * 7 + y * 13 + x * 17) % 256 AS r, "
+            "  (image_id * 7 + y * 13 + x * 17 + 29) % 256 AS g, "
+            "  (image_id * 7 + y * 13 + x * 17 + 58) % 256 AS b FROM xx) "
+            "SELECT image_id, CAST(max(w) AS BIGINT) AS width, "
+            "CAST(max(h) AS BIGINT) AS height, "
+            "CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g, "
+            "CAST(sum(b) AS BIGINT) AS sum_b, "
+            "CAST(greatest(max(r), max(g), max(b)) AS BIGINT) AS max_px "
+            "FROM v GROUP BY image_id"
         ),
         # real PCM decode + integer features, regenerated closed-form
         "audio_features": (
