@@ -17,9 +17,11 @@ replicated on top of this module's own text extractor:
 - images: per-page XObject /Subtype /Image extraction (filter dispatch as
   pdf_converter.py:176-210) fed through the M26 KB-budget ``encode_image``
   (multimodal.py) into base64 data-URI IMAGE elements, reference metadata
-  keys included (pdf_converter.py:145-160). The pixel codec is the
-  declared deterministic stand-in (PIL absent); the budget/resize
-  arithmetic and the data-URI shape are exact.
+  keys included (pdf_converter.py:145-160). FlateDecode images whose
+  inflated payload is raw 8-bit pixels are re-encoded through the REAL
+  stdlib PNG codec (ops/png.py); DCT/JPX streams use the declared
+  deterministic stand-in (no JPEG codec offline). The budget/resize
+  arithmetic and the data-URI shape are exact either way.
 
 Text-extractor spec (this engine's PyPDF2-replacement, documented
 contract): text-showing ops (Tj, ', ", TJ — numbers in TJ ignored) append
@@ -396,8 +398,20 @@ def convert_pdf(content: bytes) -> tuple[str, dict]:
             width = _int_entry(img_body, b"Width")
             height = _int_entry(img_body, b"Height")
             cs = re.search(rb"/ColorSpace\s*/(\w+)", img_body)
-            encoded = encode_image(data, width or 16, height or 16,
-                                   format=fmt)
+            if (fmt == "PNG" and width and height and len(data) in
+                    (width * height, width * height * 3,
+                     width * height * 4)):
+                # inflated FlateDecode payload IS raw 8-bit pixels →
+                # REAL re-encode through the stdlib PNG codec
+                # (ops/png.py); only DCT/JPX streams still go through
+                # the deterministic stand-in (no JPEG codec offline)
+                from .ops.png import PngCodec, RawPixelDecoder
+                encoded = encode_image(data, width, height, format=fmt,
+                                       decoder=RawPixelDecoder(),
+                                       codec=PngCodec())
+            else:
+                encoded = encode_image(data, width or 16, height or 16,
+                                       format=fmt)
             if encoded:
                 structure.add_element(DocumentElement(
                     type=ElementType.IMAGE, content=encoded,

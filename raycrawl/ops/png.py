@@ -219,6 +219,23 @@ class PngDecoder:
         return img
 
 
+class RawPixelDecoder:
+    """Decoder hook for payloads that are ALREADY raw 8-bit pixels (e.g.
+    a PDF FlateDecode image XObject after inflation): reshape to
+    (H,W[,C]), inferring the channel count from the payload size."""
+
+    def __call__(self, payload: bytes, width: int,
+                 height: int) -> np.ndarray:
+        n = len(payload)
+        for c in (3, 1, 4):
+            if n == width * height * c:
+                a = np.frombuffer(payload, dtype=np.uint8)
+                return (a.reshape(height, width, c) if c > 1
+                        else a.reshape(height, width))
+        raise ValueError(
+            f"payload size {n} does not match {width}x{height} pixels")
+
+
 def _synth_pixels(i: int, w: int, h: int) -> np.ndarray:
     """Closed-form RGB pixels a SQL engine can regenerate:
     value(i,y,x,c) = (i*7 + y*13 + x*17 + c*29) % 256."""

@@ -281,3 +281,28 @@ def test_pdf_image_unknown_filter_skipped():
     assert meta["images_count"] == 0
     assert "![Image]" not in md
     assert "text stays." in md
+
+
+def test_pdf_flate_image_real_png_roundtrip():
+    """FlateDecode image whose inflated payload is raw 8-bit RGB pixels
+    → REAL stdlib PNG re-encode (ops/png.py): the embedded data-URI
+    decodes back to the exact pixel array (under budget → no resize)."""
+    import base64
+
+    import numpy as np
+
+    from raycrawl.convert_pdf import convert_pdf
+    from raycrawl.office_fixtures import build_pdf
+    from raycrawl.ops.png import png_decode
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(30, 40, 3), dtype=np.uint8)
+    pdf = build_pdf([["Body text."]],
+                    images={0: [(40, 30, img.tobytes(), "FlateDecode")]})
+    md, meta = convert_pdf(pdf)
+    assert meta["images_count"] == 1
+    uri = next(ln for ln in md.split("\n") if "image/png" in ln)
+    payload = base64.b64decode(uri.split("base64,")[1].rstrip(")"))
+    decoded = png_decode(payload)
+    assert decoded.shape == (30, 40, 3)
+    assert (decoded == img).all()
