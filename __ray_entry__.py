@@ -508,6 +508,33 @@ def _q_image_png_features(sf_dir: str):
         "image_id").reset_index(drop=True)
 
 
+def _q_quality_gate(sf_dir: str):
+    """Corpus-percentile quality filter (two-pass: exact distributed P90
+    of the per-doc token count → broadcast threshold → streaming filter)
+    — the canonical LLM-data quality-gate pipeline, exact."""
+    import ray.data as rd
+
+    from raycrawl.ops.textstats import quality_gate
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return quality_gate(docs).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+
+
+def _q_vocab(sf_dir: str):
+    """Corpus vocabulary stats: total tokens + exact distinct tokens via
+    per-batch unique → coarse-hash-partition distinct (never one Ray
+    group per token, never a driver token set)."""
+    import ray.data as rd
+
+    from raycrawl.ops.textstats import vocab_stats
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return vocab_stats(docs)
+
+
 def _q_unigram_commonness(sf_dir: str):
     """Two-pass corpus-statistics scoring (aggregate → broadcast →
     per-doc score) — the LM-quality-filter pipeline shape, exact."""
@@ -1285,6 +1312,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_unigram_commonness": _q_unigram_commonness,
         "audio_features": _q_audio_features,
         "image_png_features": _q_image_png_features,
+        "text_quality_gate": _q_quality_gate,
+        "text_vocab": _q_vocab,
         "events_stratified_sample": _q_events_stratified,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
@@ -1602,6 +1631,29 @@ def oracle_sql() -> dict[str, str]:
             " AND 10 * n_symbols < n_words "
             " AND 5 * n_alpha_words >= 4 * n_words "
             " AND n_stop_distinct >= 2) AS keep FROM m"
+        ),
+        # two-pass percentile quality gate: exact P90 order statistic of
+        # the token count (idx = (9*(n-1))//10), then filter
+        "text_quality_gate": (
+            "WITH w AS (SELECT doc_id, "
+            "  CASE WHEN trim(COALESCE(text, '')) = '' THEN 1 "
+            "       ELSE length(regexp_split_to_array(trim(text), '\\s+')) "
+            "  END AS n_tokens FROM documents), "
+            "r AS (SELECT n_tokens, "
+            "  row_number() OVER (ORDER BY n_tokens) - 1 AS rk FROM w), "
+            "t AS (SELECT n_tokens AS thr FROM r "
+            "  WHERE rk = (SELECT (9 * (count(*) - 1)) // 10 FROM w)) "
+            "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens FROM w "
+            "WHERE n_tokens >= (SELECT thr FROM t)"
+        ),
+        # corpus vocabulary: total + exact distinct whitespace tokens
+        "text_vocab": (
+            "WITH w AS (SELECT CASE WHEN trim(COALESCE(text, '')) = '' "
+            "  THEN [''] ELSE regexp_split_to_array(trim(text), '\\s+') "
+            "  END AS toks FROM documents), "
+            "t AS (SELECT unnest(toks) AS tok FROM w) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens FROM t"
         ),
         # REAL PNG decode (stdlib zlib codec) + integer channel stats,
         # pixel values regenerated closed-form:

@@ -400,3 +400,70 @@ def normalize_text(ds, id_col: str = "doc_id", text_col: str = "text"):
         return pd.DataFrame({id_col: batch[id_col], "text_norm": out})
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def quality_gate(ds, q: "tuple[int, int]" = (9, 10),
+                 id_col: str = "doc_id", text_col: str = "text"):
+    """Corpus-percentile quality gate — the canonical LLM-data filter
+    shape, composed from existing scale-safe pieces:
+
+    1. per-doc integer score (whitespace token count, ``token_count``),
+       materialized ONCE as a slim (id, n_tokens) projection so the
+       later passes never re-tokenize;
+    2. the exact q-th order statistic of the score across the corpus via
+       the two-pass distributed-selection op
+       (``sketch.exact_quantile_selection`` — driver memory O(n_bins),
+       second pass reads only the target bins);
+    3. the scalar threshold broadcast into a streaming filter.
+
+    Returns (id_col, n_tokens) of docs with score >= threshold. Exact
+    SQL oracle: order statistic at idx = (q_num·(n−1))//q_den."""
+    from .sketch import exact_quantile_selection
+
+    scored = token_count(ds, id_col=id_col, text_col=text_col).materialize()
+    thr = int(exact_quantile_selection(
+        scored, "n_tokens", qs=[q])["quantile_value"].iloc[0])
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["n_tokens"] >= thr]
+
+    return scored.map_batches(keep, batch_format="pandas")
+
+
+def vocab_stats(ds, id_col: str = "doc_id", text_col: str = "text",
+                n_parts: int = 64) -> pd.DataFrame:
+    """Corpus vocabulary statistics: total whitespace tokens + EXACT
+    distinct-token count, scale-safe — per-batch ``pd.unique`` shrinks
+    each batch to its unique tokens before any shuffle, then coarse hash
+    partitions (``agg.partitioned_map_partitions``) count distinct per
+    partition; the driver folds ≤ n_parts rows. No per-token Ray group,
+    no driver-side token set (SURVEY.md §7.5 shuffle rules)."""
+    from .agg import partitioned_map_partitions
+
+    def totals(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b[text_col].fillna("").str.strip()
+        n = sum(len(_WS_SPLIT_RE.split(t)) if t else 1 for t in texts)
+        return pd.DataFrame({"n": pd.Series([n], dtype="int64")})
+
+    n_tokens = int(ds.map_batches(
+        totals, batch_format="pandas").to_pandas()["n"].sum())
+
+    def uniq_batch(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b[text_col].fillna("").str.strip()
+        toks = [_WS_SPLIT_RE.split(t) if t else [""] for t in texts]
+        if toks:
+            u = pd.unique(np.concatenate(
+                [np.asarray(x, dtype=object) for x in toks]))
+        else:
+            u = np.array([], dtype=object)
+        return pd.DataFrame({"token": pd.Series(u, dtype=object)})
+
+    parts = partitioned_map_partitions(
+        ds.map_batches(uniq_batch, batch_format="pandas"), "token",
+        lambda g: pd.DataFrame(
+            {"n": pd.Series([g["token"].nunique()], dtype="int64")}),
+        n_parts=n_parts).to_pandas()
+    return pd.DataFrame({
+        "n_tokens": pd.Series([n_tokens], dtype="int64"),
+        "n_distinct_tokens": pd.Series([int(parts["n"].sum())],
+                                       dtype="int64")})

@@ -1212,3 +1212,38 @@ def test_exact_quantile_selection_unbounded_domain():
     n = len(sv)
     for q_num, q_den in [(0, 1), (1, 2), (99, 100), (1, 1)]:
         assert got[(q_num, q_den)] == sv[(q_num * (n - 1)) // q_den]
+
+
+def test_quality_gate_exact_threshold():
+    """quality_gate keeps exactly the docs at/above the exact P90 order
+    statistic of the token count (idx = (9*(n-1))//10)."""
+    import ray.data as rd
+
+    from raycrawl.ops.textstats import quality_gate
+
+    texts = [" ".join(["w"] * (3 + 7 * i % 23)) for i in range(40)]
+    ds = rd.from_items([{"doc_id": i, "text": t}
+                        for i, t in enumerate(texts)])
+    got = quality_gate(ds).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    counts = [len(t.split()) for t in texts]
+    thr = sorted(counts)[(9 * (len(counts) - 1)) // 10]
+    exp = sorted(i for i, c in enumerate(counts) if c >= thr)
+    assert list(got["doc_id"]) == exp
+    assert (got["n_tokens"].to_numpy()
+            == [counts[i] for i in exp]).all()
+
+
+def test_vocab_stats_exact():
+    import ray.data as rd
+
+    from raycrawl.ops.textstats import vocab_stats
+
+    texts = ["a b c", "b c d d", "", "  e  a "]
+    ds = rd.from_items([{"doc_id": i, "text": t}
+                        for i, t in enumerate(texts)])
+    out = vocab_stats(ds, n_parts=8)
+    # '' counts as the single token of the empty doc (SQL convention)
+    assert int(out["n_tokens"].iloc[0]) == 3 + 4 + 1 + 2
+    assert int(out["n_distinct_tokens"].iloc[0]) == len(
+        {"a", "b", "c", "d", "e", ""})
