@@ -495,17 +495,33 @@ def _q_image_png_features(sf_dir: str):
     reproduced by the closed-form SQL oracle. The image analogue of
     `audio_features`: no codec stub on this path."""
     import pyarrow.parquet as pq
-    import ray.data as rd
 
-    from raycrawl.ops.png import png_features, synth_png_table
+    from raycrawl.ops.png import png_features, synth_png_dataset
 
     n = pq.ParquetFile(
         os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
-    t = synth_png_table(n)
-    step = max(1, (n + 7) // 8)  # >1 block so the actor pool fans out
+    ds = synth_png_dataset(n, n_blocks=2 * _pool(1.0))  # distributed encode
+    return png_features(ds, batch_size=64).to_pandas() \
+        .sort_values("image_id").reset_index(drop=True)
+
+
+def _q_video_frames(sf_dir: str):
+    """REAL video frame sampling: raw concatenated-RGB clips (no codec
+    stub — an uncompressed container, like the raw-PCM audio path)
+    flat-mapped to every-2nd-frame rows with integer channel sums,
+    regenerated closed-form by the SQL oracle."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raycrawl.ops.multimodal import synth_video_table, video_frame_sample
+
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    t = synth_video_table(n)
+    step = max(1, (n + 7) // 8)
     ds = rd.from_arrow([t.slice(i, step) for i in range(0, n, step)])
-    return png_features(ds).to_pandas().sort_values(
-        "image_id").reset_index(drop=True)
+    return video_frame_sample(ds, every_k=2).to_pandas().sort_values(
+        ["video_id", "frame_idx"]).reset_index(drop=True)
 
 
 def _q_quality_gate(sf_dir: str):
@@ -1314,6 +1330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_png_features": _q_image_png_features,
         "text_quality_gate": _q_quality_gate,
         "text_vocab": _q_vocab,
+        "video_frame_sample": _q_video_frames,
         "events_stratified_sample": _q_events_stratified,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
@@ -1631,6 +1648,32 @@ def oracle_sql() -> dict[str, str]:
             " AND 10 * n_symbols < n_words "
             " AND 5 * n_alpha_words >= 4 * n_words "
             " AND n_stop_distinct >= 2) AS keep FROM m"
+        ),
+        # REAL raw-RGB video frame sampling + integer channel sums,
+        # pixels regenerated closed-form:
+        # value(i,f,y,x,c) = (i*7 + f*11 + y*13 + x*17 + c*29) % 256
+        "video_frame_sample": (
+            "WITH ids AS (SELECT unnest(range(0, "
+            "  (SELECT count(*) FROM documents))) AS video_id), "
+            "dims AS (SELECT video_id, 8 + video_id % 5 AS w, "
+            "  6 + video_id % 4 AS h, 4 + video_id % 9 AS nf FROM ids), "
+            "fr AS (SELECT video_id, w, h, unnest(range(0, nf)) AS f "
+            "  FROM dims), "
+            "sampled AS (SELECT * FROM fr WHERE f % 2 = 0), "
+            "yy AS (SELECT video_id, w, h, f, unnest(range(0, h)) AS y "
+            "  FROM sampled), "
+            "xx AS (SELECT video_id, w, f, y, unnest(range(0, w)) AS x "
+            "  FROM yy), "
+            "v AS (SELECT video_id, f, "
+            "  (video_id * 7 + f * 11 + y * 13 + x * 17) % 256 AS r, "
+            "  (video_id * 7 + f * 11 + y * 13 + x * 17 + 29) % 256 AS g, "
+            "  (video_id * 7 + f * 11 + y * 13 + x * 17 + 58) % 256 AS b "
+            "  FROM xx) "
+            "SELECT video_id, CAST(f AS BIGINT) AS frame_idx, "
+            "CAST(sum(r) AS BIGINT) AS sum_r, "
+            "CAST(sum(g) AS BIGINT) AS sum_g, "
+            "CAST(sum(b) AS BIGINT) AS sum_b "
+            "FROM v GROUP BY video_id, f"
         ),
         # two-pass percentile quality gate: exact P90 order statistic of
         # the token count (idx = (9*(n-1))//10), then filter

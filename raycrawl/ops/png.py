@@ -160,26 +160,33 @@ def png_decode(data: bytes) -> np.ndarray:
         elif f == 2:
             rec = row + prev  # uint8 wraparound
         elif f == 3:
-            rec = np.empty(stride, dtype=np.uint8)
-            left = np.zeros(bpp, dtype=np.int16)
-            pr = prev.astype(np.int16)
-            rw = row.astype(np.int16)
-            for x in range(0, stride, bpp):
-                px = (rw[x:x + bpp] + ((left + pr[x:x + bpp]) >> 1)) & 0xFF
-                rec[x:x + bpp] = px
-                left = px.astype(np.int16)
+            # sequential x-recurrence — plain-int Python beats per-pixel
+            # numpy micro-ops ~10× here (tiny-vector dispatch overhead)
+            rl = row.tolist()
+            pl = prev.tolist()
+            for x in range(stride):
+                a = rl[x - bpp] if x >= bpp else 0
+                rl[x] = (rl[x] + ((a + pl[x]) >> 1)) & 0xFF
+            rec = np.array(rl, dtype=np.uint8)
         elif f == 4:
-            rec = np.empty(stride, dtype=np.uint8)
-            left = np.zeros(bpp, dtype=np.int16)
-            upleft = np.zeros(bpp, dtype=np.int16)
-            pr = prev.astype(np.int16)
-            rw = row.astype(np.int16)
-            for x in range(0, stride, bpp):
-                upv = pr[x:x + bpp]
-                px = (rw[x:x + bpp] + _paeth(left, upv, upleft)) & 0xFF
-                rec[x:x + bpp] = px
-                left = px.astype(np.int16)
-                upleft = upv
+            rl = row.tolist()
+            pl = prev.tolist()
+            for x in range(stride):
+                a = rl[x - bpp] if x >= bpp else 0
+                b = pl[x]
+                c = pl[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                rl[x] = (rl[x] + pred) & 0xFF
+            rec = np.array(rl, dtype=np.uint8)
         else:
             raise ValueError(f"bad scanline filter {f}")
         out[y] = rec
@@ -245,28 +252,46 @@ def _synth_pixels(i: int, w: int, h: int) -> np.ndarray:
     return ((i * 7 + y * 13 + x * 17 + c * 29) % 256).astype(np.uint8)
 
 
-def synth_png_table(n: int):
-    """n rows of REAL PNG payloads with closed-form pixel values and
-    dimensions (w = 16 + (i*5) % 48, h = 16 + (i*3) % 40) so the decode +
-    feature pipeline is exactly SQL-oracle-checkable. The scanline filter
-    cycles i % 5 then adaptive every 6th, so every decode path
-    (None/Sub/Up/Average/Paeth + MSAD) is exercised by the corpus."""
+def synth_png_batch(ids) -> "object":
+    """REAL PNG payload rows for the given image ids, with closed-form
+    pixel values and dimensions (w = 16 + (i*5) % 48, h = 16 + (i*3) %
+    40) so the decode + feature pipeline is exactly SQL-oracle-checkable.
+    The scanline filter cycles i % 5 then adaptive every 6th, so every
+    decode path (None/Sub/Up/Average/Paeth + MSAD) is exercised. Batch
+    form so fixture ENCODE distributes across the cluster as a
+    map_batches stage rather than serializing on the driver."""
     import pyarrow as pa
 
-    ids, payloads, ws, hs = [], [], [], []
-    for i in range(n):
+    out_ids, payloads, ws, hs = [], [], [], []
+    for i in ids:
+        i = int(i)
         w = 16 + (i * 5) % 48
         h = 16 + (i * 3) % 40
         ft: "int | str" = "adaptive" if i % 6 == 5 else i % 5
         payloads.append(png_encode(_synth_pixels(i, w, h), filter_type=ft))
-        ids.append(i)
+        out_ids.append(i)
         ws.append(w)
         hs.append(h)
     return pa.Table.from_arrays(
-        [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary()),
-         pa.array(["png"] * n, pa.string()),
+        [pa.array(out_ids, pa.int64()), pa.array(payloads, pa.binary()),
+         pa.array(["png"] * len(out_ids), pa.string()),
          pa.array(ws, pa.int32()), pa.array(hs, pa.int32())],
         names=["image_id", "payload", "format", "width", "height"])
+
+
+def synth_png_table(n: int):
+    """Driver-side convenience wrapper over ``synth_png_batch`` for
+    tests / small fixtures."""
+    return synth_png_batch(range(n))
+
+
+def synth_png_dataset(n: int, n_blocks: int = 16):
+    """Distributed fixture build: id range → per-batch REAL PNG encode
+    (the scale path — nothing is encoded on the driver)."""
+    import ray.data as rd
+
+    return rd.range(n, override_num_blocks=n_blocks).map_batches(
+        lambda b: synth_png_batch(b["id"]), batch_format="numpy")
 
 
 class PngFeatureStage:
@@ -305,6 +330,15 @@ class PngFeatureStage:
         })
 
 
-def png_features(ds, concurrency: int = 4, batch_size: int = 32):
+def png_features(ds, concurrency: "int | None" = None,
+                 batch_size: int = 32):
+    """PNG decode + features. The decoder is STATELESS (no model/table
+    load), so the default is a task pool — fully elastic, no actor
+    startup cost; pass ``concurrency`` to pin an actor pool instead
+    (the shape a stateful decoder — e.g. a GPU codec — would use)."""
+    if concurrency is None:
+        return ds.map_batches(lambda b: PngFeatureStage()(b),
+                              batch_format="pyarrow",
+                              batch_size=batch_size)
     return ds.map_batches(PngFeatureStage, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency)

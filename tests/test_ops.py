@@ -1247,3 +1247,33 @@ def test_vocab_stats_exact():
     assert int(out["n_tokens"].iloc[0]) == 3 + 4 + 1 + 2
     assert int(out["n_distinct_tokens"].iloc[0]) == len(
         {"a", "b", "c", "d", "e", ""})
+
+
+def test_video_frame_sample_real_decode():
+    """RawVideoSampleStage decodes raw concatenated-RGB clips for real:
+    every-k-th frame, integer channel sums match numpy recomputation."""
+    import ray.data as rd
+
+    from raycrawl.ops.multimodal import (RawVideoSampleStage,
+                                         synth_video_table,
+                                         video_frame_sample)
+    import numpy as np
+
+    t = synth_video_table(9)
+    got = (video_frame_sample(rd.from_arrow(t), every_k=3, concurrency=2,
+                              batch_size=4)
+           .to_pandas().sort_values(["video_id", "frame_idx"])
+           .reset_index(drop=True))
+    rows = 0
+    for i in range(9):
+        w, h, nf = 8 + i % 5, 6 + i % 4, 4 + i % 9
+        clip = np.frombuffer(
+            t.column("frames")[i].as_py(), dtype=np.uint8).reshape(
+            nf, h, w, 3).astype(np.int64)
+        for f in range(0, nf, 3):
+            r = got[(got["video_id"] == i) & (got["frame_idx"] == f)]
+            assert len(r) == 1
+            assert r["sum_r"].iloc[0] == clip[f, :, :, 0].sum()
+            assert r["sum_b"].iloc[0] == clip[f, :, :, 2].sum()
+            rows += 1
+    assert len(got) == rows
