@@ -551,6 +551,19 @@ def _q_vocab(sf_dir: str):
     return vocab_stats(docs)
 
 
+def _q_collocations(sf_dir: str):
+    """Corpus top-50 adjacent-bigram collocations: per-batch combiner →
+    coarse-partition sum + local top-k → tiny driver merge; integer
+    counts, (w1, w2) tie-break — exact vs the SQL GROUP BY / ORDER BY."""
+    import ray.data as rd
+
+    from raycrawl.ops.textstats import collocations
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return collocations(docs, k=50)
+
+
 def _q_unigram_commonness(sf_dir: str):
     """Two-pass corpus-statistics scoring (aggregate → broadcast →
     per-doc score) — the LM-quality-filter pipeline shape, exact."""
@@ -1331,6 +1344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality_gate": _q_quality_gate,
         "text_vocab": _q_vocab,
         "video_frame_sample": _q_video_frames,
+        "text_collocations": _q_collocations,
         "events_stratified_sample": _q_events_stratified,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
@@ -1674,6 +1688,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(g) AS BIGINT) AS sum_g, "
             "CAST(sum(b) AS BIGINT) AS sum_b "
             "FROM v GROUP BY video_id, f"
+        ),
+        # corpus top-50 adjacent-bigram collocations, (w1,w2) tie-break
+        "text_collocations": (
+            "WITH w AS (SELECT doc_id, "
+            "  CASE WHEN trim(COALESCE(text, '')) = '' THEN [''] "
+            "       ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks "
+            "  FROM documents), "
+            "tk AS (SELECT doc_id, unnest(toks) AS w, "
+            "  unnest(range(1, length(toks) + 1)) AS i FROM w), "
+            "b AS (SELECT a.w AS w1, c.w AS w2 FROM tk a "
+            "  JOIN tk c ON c.doc_id = a.doc_id AND c.i = a.i + 1) "
+            "SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM b "
+            "GROUP BY w1, w2 ORDER BY cnt DESC, w1, w2 LIMIT 50"
         ),
         # two-pass percentile quality gate: exact P90 order statistic of
         # the token count (idx = (9*(n-1))//10), then filter

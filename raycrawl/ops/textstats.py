@@ -467,3 +467,50 @@ def vocab_stats(ds, id_col: str = "doc_id", text_col: str = "text",
         "n_tokens": pd.Series([n_tokens], dtype="int64"),
         "n_distinct_tokens": pd.Series([int(parts["n"].sum())],
                                        dtype="int64")})
+
+
+def collocations(ds, k: int = 50, text_col: str = "text",
+                 n_parts: int = 64) -> pd.DataFrame:
+    """Corpus-wide top-k adjacent-bigram collocations, integer-exact:
+    per-batch bigram value_counts (the combiner — each batch shrinks to
+    its distinct bigrams before any shuffle) → coarse hash partitions
+    sum per bigram and keep their local top-k (safe: a bigram lives
+    wholly in one hash partition) → driver merges ≤ n_parts·k rows.
+    Ties broken by (w1, w2) so the result is deterministic and matches
+    the SQL oracle ORDER BY."""
+    from .agg import partitioned_map_partitions
+
+    def big_batch(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b[text_col].fillna("").str.strip()
+        bgs = []
+        for t in texts:
+            ws = _WS_SPLIT_RE.split(t) if t else []
+            if len(ws) > 1:
+                bgs.append(np.asarray(
+                    [a + "\x01" + c for a, c in zip(ws, ws[1:])],
+                    dtype=object))
+        if not bgs:
+            return pd.DataFrame({"bg": pd.Series(dtype=object),
+                                 "cnt": pd.Series(dtype="int64")})
+        vc = pd.Series(np.concatenate(bgs)).value_counts()
+        return pd.DataFrame({"bg": vc.index.to_numpy(object),
+                             "cnt": vc.to_numpy("int64")})
+
+    def part_topk(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby("bg", sort=False)["cnt"].sum().reset_index())
+        parts = agg["bg"].str.split("\x01", n=1, expand=True)
+        if len(parts.columns) < 2:  # empty partition
+            return pd.DataFrame({"w1": pd.Series(dtype=object),
+                                 "w2": pd.Series(dtype=object),
+                                 "cnt": pd.Series(dtype="int64")})
+        out = pd.DataFrame({"w1": parts[0], "w2": parts[1],
+                            "cnt": agg["cnt"].astype("int64")})
+        return out.sort_values(["cnt", "w1", "w2"],
+                               ascending=[False, True, True]).head(k)
+
+    cand = partitioned_map_partitions(
+        ds.map_batches(big_batch, batch_format="pandas"), "bg",
+        part_topk, n_parts=n_parts).to_pandas()
+    return (cand.sort_values(["cnt", "w1", "w2"],
+                             ascending=[False, True, True])
+            .head(k).reset_index(drop=True))

@@ -1277,3 +1277,23 @@ def test_video_frame_sample_real_decode():
             assert r["sum_b"].iloc[0] == clip[f, :, :, 2].sum()
             rows += 1
     assert len(got) == rows
+
+
+def test_collocations_topk_exact():
+    import collections
+
+    import ray.data as rd
+
+    from raycrawl.ops.textstats import collocations
+
+    texts = ["a b a b c", "b c b c", "a b", ""]
+    ds = rd.from_items([{"doc_id": i, "text": t}
+                        for i, t in enumerate(texts)])
+    got = collocations(ds, k=3, n_parts=4)
+    cnt = collections.Counter()
+    for t in texts:
+        ws = t.split()
+        cnt.update(zip(ws, ws[1:]))
+    exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert list(zip(got["w1"], got["w2"])) == [p for p, _ in exp]
+    assert list(got["cnt"]) == [c for _, c in exp]
