@@ -265,6 +265,49 @@ def _q_chunk_semantic(sf_dir: str):
 
 
 
+def _q_warc_extract(sf_dir: str):
+    """Common-Crawl-style ingestion e2e: documents corpus → one .warc.gz
+    per host bucket (per-record gzip members, payload digests) →
+    ``read_warc`` Ray datasource → actor-pool extraction. Checks the full
+    WARC write/parse/extract chain value-for-value: doc id, title,
+    language, description and extracted-link count are closed forms of the
+    documents table (raycrawl/warc.py)."""
+    import hashlib
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raycrawl import warc as W
+    from raycrawl.extract import scrape_dataset
+
+    corpus = _docs_corpus(sf_dir)
+    with open(W.__file__, "rb") as f:
+        wver = hashlib.sha1(f.read()).hexdigest()[:8]
+    # corpus basename already embeds the fixture-source hash + sf dir
+    warc_dir = f"/tmp/raycrawl_warc/{os.path.basename(corpus)}_{wver}"
+    W.write_warc(corpus, warc_dir)
+    pages = W.read_warc(warc_dir)
+    out = scrape_dataset(pages, concurrency=_pool(0.5), batch_size=64)
+
+    def project(batch):
+        import pyarrow as pa
+
+        ids = pc.extract_regex(batch.column("url"), r"/doc(?P<id>\d+)\.html$")
+        return pa.table({
+            "doc_id": pc.cast(pc.struct_field(ids, "id"), pa.int64()),
+            "title": batch.column("title"),
+            "language": batch.column("language"),
+            "status_code": batch.column("status_code"),
+            "description": batch.column("description"),
+            "n_links": pc.cast(pc.list_value_length(batch.column("links")),
+                               pa.int64()),
+        })
+
+    return (out.select_columns(
+        ["url", "title", "language", "status_code", "description", "links"])
+        .map_batches(project, batch_format="pyarrow").to_pandas())
+
+
 def _q_crawl_bfs_docs(sf_dir: str):
     """Crawl ordering with an exact SQL oracle: BFS over the docs0-host
     4-ary lattice visits members in rank order (seq == rank, depth ==
@@ -1321,6 +1364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_pages": _q_extract_pages,
         "extract_links": _q_extract_links,
+        "warc_extract": _q_warc_extract,
         "crawl_bfs": _q_crawl_bfs,
         "crawl_seen": _q_crawl_seen,
         "crawl_bfs_docs": _q_crawl_bfs_docs,
@@ -1526,6 +1570,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p.doc_id AS src_doc_id, c.doc_id AS dst_doc_id "
             "FROM ranked p JOIN ranked c ON c.h = p.h "
             "AND c.rnk IN (4*p.rnk+1, 4*p.rnk+2, 4*p.rnk+3, 4*p.rnk+4)"
+        ),
+        # WARC roundtrip e2e: title/description/lang are closed forms of
+        # the documents row; n_links = |{k in 1..4 : 4*rnk+k < n}| in the
+        # per-host 4-ary lattice the corpus builder emits
+        "warc_extract": (
+            "WITH ranked AS (SELECT doc_id, lang, doc_id % 16 AS h, "
+            "  row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) - 1 AS rnk, "
+            "  count(*) OVER (PARTITION BY doc_id % 16) AS n FROM documents) "
+            "SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title, "
+            "lang AS language, CAST(200 AS INTEGER) AS status_code, "
+            "'document ' || CAST(doc_id AS VARCHAR) AS description, "
+            "CAST(GREATEST(0, LEAST(4, n - 1 - 4*rnk)) AS BIGINT) AS n_links "
+            "FROM ranked"
         ),
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
