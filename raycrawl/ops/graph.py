@@ -1,0 +1,233 @@
+"""Link-graph analytics: distributed PageRank for frontier prioritization.
+
+A crawl at 10^10-URL scale wants to spend its politeness budget on pages
+that matter; the classic signal is PageRank over the already-extracted
+link graph (Page et al., 1999, "The PageRank citation ranking"). This
+module computes it with **integer fixed-point arithmetic** so results are
+bit-reproducible across partitionings, merge orders and the SQL oracle —
+the same cents/fixed-point discipline as relational.py and search.py.
+
+Recurrence (all floor divisions, nonnegative operands — Python ``//`` ==
+DuckDB ``//``):
+
+    N     = |nodes|,  BASE = scale // N
+    r0[v] = BASE
+    share[u]   = r[u] // outdeg[u]            (outdeg > 0)
+    contrib[v] = Σ share[u] over edges u→v
+    dang       = Σ r[u] over outdeg-0 nodes   (dangling mass)
+    r'[v] = (15*BASE + 85*(contrib[v] + dang // N)) // 100   (d = 0.85)
+
+Two execution paths, auto-selected by node cardinality (the repo-wide
+``'auto'`` convention, cf. ops/dedup.py):
+
+- ``'broadcast'`` (N below threshold): the rank/degree vectors live in
+  the object store (``ray.put`` once per iteration, read by every edge
+  task — never re-shipped per batch); edges stream through
+  ``map_batches`` which computes shares and per-batch partial sums by
+  dst; the driver folds partials into a numpy vector (≤ N entries —
+  exactly the regime where a Ray shuffle's fixed cost dwarfs the work,
+  see ops/agg.py). One pass over the edges per iteration.
+- ``'shuffle'`` (cluster scale, ranks don't fit one heap): ranks are a
+  Dataset; per iteration one ``bucket_hash_join`` edges⋈ranks on src
+  (share computed inside the join task), a coarse-partition sum by dst,
+  and a second bucket join back onto the node table. Nothing ever
+  materializes on the driver except the (scalar) dangling mass.
+
+Edges are ``materialize()``d up front: PageRank makes ``num_iters``
+passes, and re-executing an upstream extract pipeline per pass is the
+exact anti-pattern the knn.py cardinality_hint note documents.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+_AUTO_BROADCAST_NODES = 2_000_000  # ≈32 MB of id+rank+deg vectors
+
+
+def _fold_partials(ids: np.ndarray, vec: np.ndarray, part: pd.DataFrame,
+                   key: str, val: str) -> None:
+    """Accumulate (key, val) partial rows into vec (ids sorted unique)."""
+    if len(part) == 0:
+        return
+    idx = np.searchsorted(ids, part[key].to_numpy(np.int64))
+    np.add.at(vec, idx, part[val].to_numpy(np.int64))
+
+
+def _outdegree_vec(edges_ds, ids: np.ndarray) -> np.ndarray:
+    """Distributed out-degree: per-batch counts by src, driver fold."""
+    deg = np.zeros(len(ids), dtype=np.int64)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("src", as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    parts = edges_ds.map_batches(partial, batch_format="pandas")
+    for batch in parts.iter_batches(batch_format="pandas"):
+        _fold_partials(ids, deg, batch, "src", "cnt")
+    return deg
+
+
+def pagerank(edges_ds, node_ids, *, num_iters: int = 5,
+             scale: int = 10**12, method: str = "auto",
+             num_buckets: int = 32, n_parts: int = 64) -> pd.DataFrame:
+    """PageRank over Dataset(src:int64, dst:int64) → DataFrame(node, rank_fp).
+
+    ``node_ids``: explicit node universe (list/ndarray for the broadcast
+    path, or a Dataset with a ``node`` column for the shuffle path) —
+    required because isolated nodes appear in no edge. ``rank_fp`` is the
+    fixed-point integer rank (sum ≈ ``scale``); divide by ``scale`` for
+    the conventional probabilities.
+    """
+    if method == "auto":
+        n_hint = (node_ids.count() if hasattr(node_ids, "map_batches")
+                  else len(node_ids))
+        method = "broadcast" if n_hint <= _AUTO_BROADCAST_NODES else "shuffle"
+    if method == "broadcast":
+        return _pagerank_broadcast(edges_ds, node_ids, num_iters, scale)
+    if method == "shuffle":
+        return _pagerank_shuffle(edges_ds, node_ids, num_iters, scale,
+                                 num_buckets, n_parts)
+    raise ValueError(method)
+
+
+# ---------------------------------------------------------------------------
+# broadcast path
+# ---------------------------------------------------------------------------
+
+def _pagerank_broadcast(edges_ds, node_ids, num_iters: int,
+                        scale: int) -> pd.DataFrame:
+    import ray
+
+    if hasattr(node_ids, "to_pandas"):  # Dataset universe also accepted
+        node_ids = node_ids.to_pandas()["node"].to_numpy(np.int64)
+    ids = np.unique(np.asarray(node_ids, dtype=np.int64))
+    n = len(ids)
+    base = scale // n
+    edges = edges_ds.materialize()  # num_iters passes over the edge set
+    deg = _outdegree_vec(edges, ids)
+    r = np.full(n, base, dtype=np.int64)
+    dangling = deg == 0
+
+    for _ in range(num_iters):
+        state_ref = ray.put({"ids": ids, "r": r, "deg": deg})
+
+        def share_partial(b: pd.DataFrame, ref=state_ref) -> pd.DataFrame:
+            st = ray.get(ref)  # zero-copy numpy views from the object store
+            src = b["src"].to_numpy(np.int64)
+            si = np.searchsorted(st["ids"], src)
+            share = st["r"][si] // st["deg"][si]
+            # exact int64 segment-sum by dst (bincount would go float64
+            # and lose exactness past 2^53): cumsum over dst-sorted shares
+            dst = b["dst"].to_numpy(np.int64)
+            uniq = np.unique(dst)
+            order = np.argsort(dst, kind="stable")
+            csum = np.concatenate(([0], np.cumsum(share[order])))
+            sorted_dst = dst[order]
+            starts = np.searchsorted(sorted_dst, uniq, side="left")
+            bounds = np.searchsorted(sorted_dst, uniq, side="right")
+            return pd.DataFrame({"dst": uniq,
+                                 "contrib": csum[bounds] - csum[starts]})
+
+        contrib = np.zeros(n, dtype=np.int64)
+        parts = edges.map_batches(share_partial, batch_format="pandas")
+        for batch in parts.iter_batches(batch_format="pandas"):
+            _fold_partials(ids, contrib, batch, "dst", "contrib")
+        dang = int(r[dangling].sum())
+        add = dang // n
+        r = (15 * base + 85 * (contrib + add)) // 100
+    return pd.DataFrame({"node": ids, "rank_fp": r})
+
+
+# ---------------------------------------------------------------------------
+# shuffle path (ranks never materialize on the driver)
+# ---------------------------------------------------------------------------
+
+def _pagerank_shuffle(edges_ds, node_ids, num_iters: int, scale: int,
+                      num_buckets: int, n_parts: int) -> pd.DataFrame:
+    import ray.data as rd
+
+    from .agg import partitioned_map_partitions
+    from .join import bucket_hash_join
+
+    if not hasattr(node_ids, "map_batches"):
+        nodes_ds = rd.from_pandas(pd.DataFrame(
+            {"node": np.unique(np.asarray(node_ids, dtype=np.int64))}))
+    else:
+        nodes_ds = node_ids
+    edges = edges_ds.materialize()
+    n = nodes_ds.count()
+    base = scale // n
+
+    # out-degree as a dataset: coarse-partition sum by src
+    def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("src", as_index=False).size()
+        return g.rename(columns={"src": "node", "size": "deg"})
+
+    def deg_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", as_index=False)["deg"].sum()
+
+    deg_ds = partitioned_map_partitions(
+        edges.map_batches(deg_partial, batch_format="pandas"),
+        "node", deg_combine, n_parts=n_parts)
+
+    # ranks := nodes ⟕ deg (deg 0 for leaves), r = BASE
+    def seed_rank(m: pd.DataFrame) -> pd.DataFrame:
+        if "deg" not in m:  # bucket where every node is a leaf
+            m = m.assign(deg=0)
+        m["deg"] = m["deg"].fillna(0).astype(np.int64)
+        m["r"] = np.int64(base)
+        return m[["node", "deg", "r"]]
+
+    ranks = bucket_hash_join(nodes_ds, deg_ds, "node", "node",
+                             num_buckets=num_buckets, how="left",
+                             post=seed_rank).materialize()
+
+    for _ in range(num_iters):
+        # dangling mass: scalar aggregate, the only driver-side value
+        def dang_partial(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"d": [int(b.loc[b["deg"] == 0, "r"].sum())]})
+
+        dang = sum(int(batch["d"].sum()) for batch in
+                   ranks.map_batches(dang_partial, batch_format="pandas")
+                   .iter_batches(batch_format="pandas"))
+        add = dang // n
+
+        # shares: edges ⋈ ranks on src, partial-sum by dst inside the
+        # join bucket, then coarse-partition global sum by dst
+        def share_post(m: pd.DataFrame) -> pd.DataFrame:
+            live = m[m["deg"] > 0]
+            share = live["r"].to_numpy(np.int64) // live["deg"].to_numpy(np.int64)
+            part = (pd.DataFrame({"dst": live["dst"].to_numpy(np.int64),
+                                  "share": share})
+                    .groupby("dst", as_index=False)["share"].sum())
+            return part.rename(columns={"dst": "node", "share": "contrib"})
+
+        shares = bucket_hash_join(edges, ranks, "src", "node",
+                                  num_buckets=num_buckets, post=share_post)
+
+        def contrib_combine(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby("node", as_index=False)["contrib"].sum()
+
+        contrib_ds = partitioned_map_partitions(shares, "node",
+                                                contrib_combine,
+                                                n_parts=n_parts)
+
+        def apply_rank(m: pd.DataFrame, base=base, add=add) -> pd.DataFrame:
+            c = (m["contrib"].fillna(0).astype(np.int64).to_numpy()
+                 if "contrib" in m else np.zeros(len(m), dtype=np.int64))
+            m["r"] = (15 * base + 85 * (c + add)) // 100
+            return m[["node", "deg", "r"]]
+
+        ranks = bucket_hash_join(ranks, contrib_ds, "node", "node",
+                                 num_buckets=num_buckets, how="left",
+                                 post=apply_rank).materialize()
+
+    # collect the final vector for API parity with the broadcast path; a
+    # cluster-scale caller keeps iterating on `ranks` as a Dataset instead
+    out = ranks.to_pandas()[["node", "r"]].rename(columns={"r": "rank_fp"})
+    return out.sort_values("node").reset_index(drop=True)

@@ -116,8 +116,16 @@ def bucket_hash_join(left_ds, right_ds, left_on: str, right_on: str,
         bucket = int(g["__bucket"].iloc[0])
         files = files_by_bucket.get(bucket, [])
         if not files:
-            return pd.DataFrame()
-        right = pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
+            if how != "left":
+                return pd.DataFrame()
+            # left join with an empty right bucket keeps every left row;
+            # merge against a key-only empty frame so dtypes stay intact
+            # (post fns must tolerate absent right columns)
+            right = pd.DataFrame(
+                {right_on: pd.Series([], dtype=g[left_on].dtype)})
+        else:
+            right = pa.concat_tables(
+                [pq.read_table(f) for f in files]).to_pandas()
         merged = g.drop(columns="__bucket").merge(
             right, how=how, left_on=left_on, right_on=right_on)
         return post(merged) if post is not None else merged

@@ -1,0 +1,100 @@
+"""Integer fixed-point PageRank (raycrawl/ops/graph.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from raycrawl.ops.graph import pagerank
+
+
+def reference_pagerank(edges, nodes, num_iters=5, scale=10**12):
+    """Serial dict implementation of the documented recurrence."""
+    nodes = sorted(set(nodes))
+    n = len(nodes)
+    base = scale // n
+    deg = {u: 0 for u in nodes}
+    for u, _ in edges:
+        deg[u] += 1
+    r = {u: base for u in nodes}
+    for _ in range(num_iters):
+        contrib = {u: 0 for u in nodes}
+        for u, v in edges:
+            contrib[v] += r[u] // deg[u]
+        dang = sum(r[u] for u in nodes if deg[u] == 0)
+        add = dang // n
+        r = {u: (15 * base + 85 * (contrib[u] + add)) // 100 for u in nodes}
+    return pd.DataFrame({"node": nodes,
+                         "rank_fp": [r[u] for u in nodes]})
+
+
+def _random_graph(n=200, m=800, seed=7, isolated=5):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n - isolated, size=m)
+    dst = rng.integers(0, n, size=m)
+    keep = src != dst
+    edges = list({(int(s), int(d)) for s, d in zip(src[keep], dst[keep])})
+    edges.sort()
+    return edges, list(range(n))
+
+
+def test_broadcast_matches_reference():
+    edges, nodes = _random_graph()
+    eds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = pagerank(eds, nodes, num_iters=5, method="broadcast")
+    want = reference_pagerank(edges, nodes)
+    pd.testing.assert_frame_equal(
+        got.sort_values("node").reset_index(drop=True), want,
+        check_dtype=False)
+    # mass approximately conserved (floor-division leakage only)
+    assert 0.99 * 10**12 < got["rank_fp"].sum() <= 10**12
+
+
+def test_shuffle_path_equivalent():
+    edges, nodes = _random_graph(n=150, m=500, seed=11)
+    eds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    b = pagerank(eds, nodes, num_iters=3, method="broadcast")
+    s = pagerank(
+        rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"])),
+        nodes, num_iters=3, method="shuffle", num_buckets=8, n_parts=8)
+    pd.testing.assert_frame_equal(
+        b.sort_values("node").reset_index(drop=True),
+        s.sort_values("node").reset_index(drop=True), check_dtype=False)
+
+
+def test_dangling_and_isolated_nodes():
+    # star: 0 -> 1..4; node 5 isolated; 1..4 dangling
+    edges = [(0, k) for k in range(1, 5)]
+    nodes = list(range(6))
+    got = pagerank(rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"])),
+                   nodes, num_iters=4, method="broadcast")
+    want = reference_pagerank(edges, nodes, num_iters=4)
+    pd.testing.assert_frame_equal(
+        got.sort_values("node").reset_index(drop=True), want,
+        check_dtype=False)
+    ranks = dict(zip(got["node"], got["rank_fp"]))
+    assert ranks[1] == ranks[2] == ranks[3] == ranks[4] > ranks[0]
+    assert ranks[5] < ranks[1]  # isolated node gets only teleport + dangling
+
+
+def test_auto_picks_broadcast_at_small_n():
+    edges, nodes = _random_graph(n=50, m=100, seed=3)
+    eds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = pagerank(eds, nodes, num_iters=2, method="auto")
+    want = reference_pagerank(edges, nodes, num_iters=2)
+    pd.testing.assert_frame_equal(
+        got.sort_values("node").reset_index(drop=True), want,
+        check_dtype=False)
+
+
+def test_left_join_empty_bucket_keeps_rows():
+    """Regression: bucket_hash_join(how='left') must not drop left rows
+    whose bucket has no right-side rows (graph.py relies on this)."""
+    from raycrawl.ops.join import bucket_hash_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": list(range(64))}))
+    right = rd.from_pandas(pd.DataFrame({"k": [0], "v": [7]}))
+    out = bucket_hash_join(left, right, "k", "k", num_buckets=16,
+                           how="left").to_pandas()
+    assert len(out) == 64
+    assert out.loc[out["k"] == 0, "v"].iloc[0] == 7
