@@ -290,9 +290,66 @@ def _q_link_pagerank(sf_dir: str):
     return ranks.rename(columns={"node": "doc_id"})
 
 
-def _pagerank_oracle(num_iters: int = 5, scale: int = 10**12) -> str:
+def _q_graph_components(sf_dir: str):
+    """Distributed connected components (hash-min label propagation) over
+    the extracted link graph. Each host's 4-ary lattice is one tree, so
+    the exact components are the host partitions — min-doc-id-per-host in
+    SQL (raycrawl/ops/graph.py::connected_components)."""
+    import pyarrow.parquet as pq
+
+    from raycrawl.ops.graph import connected_components
+
+    nodes = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id"]).column("doc_id").to_pylist()
+    cc = connected_components(_edges_dataset(sf_dir), nodes, method="auto")
+    return cc
+
+
+def _q_host_rank_mass(sf_dir: str):
+    """Politeness-budget allocation signal: total PageRank mass per host
+    (pagerank → 16-host aggregate — the composition a scheduler runs)."""
+    ranks = _q_link_pagerank(sf_dir)
+    ranks["h"] = ranks["doc_id"] % 16
+    out = ranks.groupby("h", as_index=False)["rank_fp"].sum()
+    return out.rename(columns={"rank_fp": "rank_mass"})
+
+
+def _q_crawl_delta(sf_dir: str):
+    """Recrawl freshness delta: snapshot v2 = deterministic mutation of
+    the documents table (1-in-13 pages removed, 1-in-5 texts edited,
+    1-in-11 new pages); one coarse-partition shuffle classifies every url
+    as added/removed/changed (raycrawl/ops/delta.py::snapshot_delta)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raycrawl.ops.delta import snapshot_delta
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    old = rd.read_parquet(path, columns=["doc_id", "text"])
+
+    def mutate(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b[b["doc_id"] % 13 != 7].copy()
+        edited = keep["doc_id"] % 5 == 0
+        keep.loc[edited, "text"] = (
+            keep.loc[edited, "text"].fillna("") + " v2")
+        added = b[b["doc_id"] % 11 == 0]
+        new_rows = pd.DataFrame({
+            "doc_id": added["doc_id"] + 1_000_000,
+            "text": "new page " + added["doc_id"].astype(str),
+        })
+        return pd.concat([keep, new_rows], ignore_index=True)
+
+    new = rd.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        mutate, batch_format="pandas")
+    return snapshot_delta(old, new, key="doc_id",
+                          payload="text").to_pandas()
+
+
+def _pagerank_oracle(num_iters: int = 5, scale: int = 10**12,
+                     final: str | None = None) -> str:
     """SQL mirror of ops/graph.py::pagerank — the 4-ary lattice edges via
-    window functions, then the exact integer recurrence unrolled."""
+    window functions, then the exact integer recurrence unrolled.
+    ``final`` overrides the terminal SELECT (e.g. host aggregation)."""
     sql = [
         "WITH ranked AS (SELECT doc_id, doc_id % 16 AS h, "
         " row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) - 1 AS rnk "
@@ -317,7 +374,8 @@ def _pagerank_oracle(num_iters: int = 5, scale: int = 10**12) -> str:
             f" + 85 * (COALESCE(c.contrib, 0) "
             f" + (SELECT dang FROM d{k}) // (SELECT n FROM consts))) // 100 "
             f" AS BIGINT) AS r FROM nodes n LEFT JOIN c{k} c USING (doc_id))")
-    sql.append(f" SELECT doc_id, r AS rank_fp FROM r{num_iters}")
+    sql.append(final if final is not None
+               else f" SELECT doc_id, r AS rank_fp FROM r{num_iters}")
     return "".join(sql)
 
 
@@ -1422,6 +1480,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": _q_extract_links,
         "warc_extract": _q_warc_extract,
         "link_pagerank": _q_link_pagerank,
+        "host_rank_mass": _q_host_rank_mass,
+        "graph_components": _q_graph_components,
+        "crawl_delta": _q_crawl_delta,
         "crawl_bfs": _q_crawl_bfs,
         "crawl_seen": _q_crawl_seen,
         "crawl_bfs_docs": _q_crawl_bfs_docs,
@@ -1642,6 +1703,36 @@ def oracle_sql() -> dict[str, str]:
             "FROM ranked"
         ),
         "link_pagerank": _pagerank_oracle(num_iters=5),
+        "host_rank_mass": _pagerank_oracle(
+            num_iters=5,
+            final=(" SELECT doc_id % 16 AS h, "
+                   "CAST(sum(r) AS BIGINT) AS rank_mass "
+                   "FROM r5 GROUP BY doc_id % 16")),
+        # lattice edges stay within a host, and each host's lattice is one
+        # tree → components are exactly the host partitions
+        "graph_components": (
+            "SELECT doc_id AS node, "
+            "min(doc_id) OVER (PARTITION BY doc_id % 16) AS component "
+            "FROM documents"
+        ),
+        # recrawl delta: v2 = remove 1-in-13, edit 1-in-5, add 1-in-11
+        "crawl_delta": (
+            "WITH newt AS ("
+            " SELECT doc_id, CASE WHEN doc_id % 5 = 0 "
+            "  THEN COALESCE(text, '') || ' v2' ELSE COALESCE(text, '') END AS text "
+            " FROM documents WHERE doc_id % 13 <> 7 "
+            " UNION ALL "
+            " SELECT doc_id + 1000000 AS doc_id, "
+            "  'new page ' || CAST(doc_id AS VARCHAR) AS text "
+            " FROM documents WHERE doc_id % 11 = 0) "
+            "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, "
+            "CASE WHEN o.doc_id IS NULL THEN 'added' "
+            " WHEN n.doc_id IS NULL THEN 'removed' "
+            " ELSE 'changed' END AS status "
+            "FROM documents o FULL OUTER JOIN newt n USING (doc_id) "
+            "WHERE o.doc_id IS NULL OR n.doc_id IS NULL "
+            " OR COALESCE(o.text, '') <> n.text"
+        ),
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
         ),

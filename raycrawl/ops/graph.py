@@ -231,3 +231,149 @@ def _pagerank_shuffle(edges_ds, node_ids, num_iters: int, scale: int,
     # cluster-scale caller keeps iterating on `ranks` as a Dataset instead
     out = ranks.to_pandas()[["node", "r"]].rename(columns={"r": "rank_fp"})
     return out.sort_values("node").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# connected components (hash-min label propagation)
+# ---------------------------------------------------------------------------
+
+def connected_components(edges_ds, node_ids, *, max_iters: int = 50,
+                         method: str = "auto",
+                         n_parts: int = 64) -> pd.DataFrame:
+    """Undirected connected components → DataFrame(node, component), where
+    ``component`` is the minimum node id of the component (the same
+    min-label convention as dedup.py's union-find survivors).
+
+    Hash-min label propagation (Rastogi et al., ICDE'13 family): every
+    node starts labeled with itself; each round a node adopts the min
+    label among itself and its neighbors; converged when a round changes
+    nothing. Rounds ≤ graph diameter. This is the DISTRIBUTED scale path
+    for near-dup clustering — dedup.py's driver union-find is right while
+    verified pairs ≪ corpus, but a pair set that no longer fits the
+    driver propagates here with only per-round edge passes.
+
+    ``'broadcast'``: the label vector lives in the object store (one
+    ``ray.put`` per round); edges stream through ``map_batches`` emitting
+    per-batch (node, min-candidate) partials folded on the driver.
+    ``'shuffle'``: labels stay a Dataset; each round is one
+    ``bucket_hash_join`` edges⋈labels per direction + a coarse-partition
+    min by node — nothing driver-side but the changed-count scalar.
+    """
+    if method == "auto":
+        n_hint = (node_ids.count() if hasattr(node_ids, "map_batches")
+                  else len(node_ids))
+        method = "broadcast" if n_hint <= _AUTO_BROADCAST_NODES else "shuffle"
+    if method == "broadcast":
+        return _cc_broadcast(edges_ds, node_ids, max_iters)
+    if method == "shuffle":
+        return _cc_shuffle(edges_ds, node_ids, max_iters, n_parts)
+    raise ValueError(method)
+
+
+def _cc_broadcast(edges_ds, node_ids, max_iters: int) -> pd.DataFrame:
+    import ray
+
+    if hasattr(node_ids, "to_pandas"):
+        node_ids = node_ids.to_pandas()["node"].to_numpy(np.int64)
+    ids = np.unique(np.asarray(node_ids, dtype=np.int64))
+    labels = ids.copy()
+    edges = edges_ds.materialize()
+
+    for _ in range(max_iters):
+        ref = ray.put({"ids": ids, "labels": labels})
+
+        def min_partial(b: pd.DataFrame, ref=ref) -> pd.DataFrame:
+            st = ray.get(ref)
+            src = b["src"].to_numpy(np.int64)
+            dst = b["dst"].to_numpy(np.int64)
+            ls = st["labels"][np.searchsorted(st["ids"], src)]
+            ld = st["labels"][np.searchsorted(st["ids"], dst)]
+            # undirected: each endpoint proposes its label to the other
+            node = np.concatenate([dst, src])
+            cand = np.concatenate([ls, ld])
+            df = pd.DataFrame({"node": node, "cand": cand})
+            return df.groupby("node", as_index=False)["cand"].min()
+
+        new_labels = labels.copy()
+        parts = edges.map_batches(min_partial, batch_format="pandas")
+        for batch in parts.iter_batches(batch_format="pandas"):
+            idx = np.searchsorted(ids, batch["node"].to_numpy(np.int64))
+            np.minimum.at(new_labels, idx, batch["cand"].to_numpy(np.int64))
+        if np.array_equal(new_labels, labels):
+            break
+        labels = new_labels
+    return pd.DataFrame({"node": ids, "component": labels})
+
+
+def _cc_shuffle(edges_ds, node_ids, max_iters: int,
+                n_parts: int) -> pd.DataFrame:
+    import ray.data as rd
+
+    from .agg import partitioned_map_partitions
+    from .join import bucket_hash_join
+
+    if not hasattr(node_ids, "map_batches"):
+        nodes_df = pd.DataFrame(
+            {"node": np.unique(np.asarray(node_ids, dtype=np.int64))})
+        nodes_ds = rd.from_pandas(nodes_df)
+    else:
+        nodes_ds = node_ids
+
+    # undirected once: double the edge list up front
+    def undirect(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat([b[["src", "dst"]],
+                          b.rename(columns={"src": "dst", "dst": "src"})
+                          [["src", "dst"]]], ignore_index=True)
+
+    edges = edges_ds.map_batches(
+        undirect, batch_format="pandas").materialize()
+
+    def seed(m: pd.DataFrame) -> pd.DataFrame:
+        m["label"] = m["node"]
+        return m[["node", "label"]]
+
+    labels = nodes_ds.map_batches(seed, batch_format="pandas").materialize()
+
+    for _ in range(max_iters):
+        # candidates: every neighbor's label, then min per node
+        def prop_post(m: pd.DataFrame) -> pd.DataFrame:
+            return (pd.DataFrame({"node": m["dst"].to_numpy(np.int64),
+                                  "cand": m["label"].to_numpy(np.int64)})
+                    .groupby("node", as_index=False)["cand"].min())
+
+        cands = bucket_hash_join(edges, labels, "src", "node",
+                                 num_buckets=16, post=prop_post)
+
+        def min_combine(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby("node", as_index=False)["cand"].min()
+
+        cand_ds = partitioned_map_partitions(cands, "node", min_combine,
+                                             n_parts=n_parts)
+
+        changed = [0]
+
+        def apply_min(m: pd.DataFrame) -> pd.DataFrame:
+            lab = m["label"].to_numpy(np.int64)
+            if "cand" in m:
+                # NaN-mask instead of fillna(INT64_MAX): the fill value
+                # round-trips through float64 and would wrap to INT64_MIN
+                has = m["cand"].notna().to_numpy()
+                c = m["cand"].fillna(0).astype(np.int64).to_numpy()
+                new = np.where(has, np.minimum(lab, c), lab)
+            else:
+                new = lab
+            m = m.assign(label=new, __changed=(new != lab).astype(np.int64))
+            return m[["node", "label", "__changed"]]
+
+        merged = bucket_hash_join(labels, cand_ds, "node", "node",
+                                  num_buckets=16, how="left",
+                                  post=apply_min).materialize()
+        n_changed = sum(
+            int(b["__changed"].sum()) for b in
+            merged.select_columns(["__changed"])
+            .iter_batches(batch_format="pandas"))
+        labels = merged.drop_columns(["__changed"]).materialize()
+        if n_changed == 0:
+            break
+    out = labels.to_pandas().rename(columns={"label": "component"})
+    return out.sort_values("node").reset_index(drop=True)

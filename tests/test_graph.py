@@ -98,3 +98,61 @@ def test_left_join_empty_bucket_keeps_rows():
                            how="left").to_pandas()
     assert len(out) == 64
     assert out.loc[out["k"] == 0, "v"].iloc[0] == 7
+
+
+def reference_components(edges, nodes):
+    parent = {u: u for u in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # min-label convention
+    comp = {}
+    for u in sorted(nodes):
+        comp[u] = find(u)
+    # path-compress to true minimum
+    return pd.DataFrame({"node": sorted(nodes),
+                         "component": [find(u) for u in sorted(nodes)]})
+
+
+def test_cc_broadcast_matches_union_find():
+    from raycrawl.ops.graph import connected_components
+
+    edges, nodes = _random_graph(n=300, m=250, seed=13, isolated=40)
+    eds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = connected_components(eds, nodes, method="broadcast")
+    want = reference_components(edges, nodes)
+    pd.testing.assert_frame_equal(
+        got.sort_values("node").reset_index(drop=True), want,
+        check_dtype=False)
+
+
+def test_cc_shuffle_equivalent():
+    from raycrawl.ops.graph import connected_components
+
+    edges, nodes = _random_graph(n=120, m=100, seed=17, isolated=10)
+    eds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    b = connected_components(eds, nodes, method="broadcast")
+    s = connected_components(
+        rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"])),
+        nodes, method="shuffle", n_parts=8)
+    pd.testing.assert_frame_equal(
+        b.sort_values("node").reset_index(drop=True),
+        s.sort_values("node").reset_index(drop=True), check_dtype=False)
+
+
+def test_cc_chain_needs_diameter_rounds():
+    from raycrawl.ops.graph import connected_components
+
+    # path graph 0-1-2-...-19: worst-case diameter for hash-min
+    edges = [(i, i + 1) for i in range(19)]
+    eds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = connected_components(eds, list(range(20)), method="broadcast")
+    assert (got["component"] == 0).all()
