@@ -136,7 +136,8 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     if reduce == "driver":
         import ray.data as rd
 
-        frames = [b for b in partials.iter_batches(batch_format="pandas")]
+        frames = [b for b in partials.iter_batches(
+            batch_format="pandas", batch_size=None)]
         allp = pd.concat(frames, ignore_index=True) if frames else \
             pd.DataFrame({"text_hash": [], id_col: []})
         out = allp.groupby("text_hash", as_index=False)[id_col].min()

@@ -46,6 +46,9 @@ import numpy as np
 import pandas as pd
 
 _AUTO_BROADCAST_NODES = 2_000_000  # ≈32 MB of id+rank+deg vectors
+_EDGE_BATCH = 262_144  # edges per task: vectorized kernels want big
+# batches (default 1024-row batches cost ~30x in per-task overhead,
+# measured by tools/graph_scale_check.py)
 
 
 def _fold_partials(ids: np.ndarray, vec: np.ndarray, part: pd.DataFrame,
@@ -65,8 +68,12 @@ def _outdegree_vec(edges_ds, ids: np.ndarray) -> np.ndarray:
         g = b.groupby("src", as_index=False).size()
         return g.rename(columns={"size": "cnt"})
 
-    parts = edges_ds.map_batches(partial, batch_format="pandas")
-    for batch in parts.iter_batches(batch_format="pandas"):
+    # batch_size=None yields whole blocks: the default 256-row iterator
+    # batches made the driver fold 10x slower than the map stage itself
+    # (measured in tools/graph_scale_check.py)
+    parts = edges_ds.map_batches(partial, batch_format="pandas",
+                                 batch_size=_EDGE_BATCH)
+    for batch in parts.iter_batches(batch_format="pandas", batch_size=None):
         _fold_partials(ids, deg, batch, "src", "cnt")
     return deg
 
@@ -133,8 +140,9 @@ def _pagerank_broadcast(edges_ds, node_ids, num_iters: int,
                                  "contrib": csum[bounds] - csum[starts]})
 
         contrib = np.zeros(n, dtype=np.int64)
-        parts = edges.map_batches(share_partial, batch_format="pandas")
-        for batch in parts.iter_batches(batch_format="pandas"):
+        parts = edges.map_batches(share_partial, batch_format="pandas",
+                          batch_size=_EDGE_BATCH)
+        for batch in parts.iter_batches(batch_format="pandas", batch_size=None):
             _fold_partials(ids, contrib, batch, "dst", "contrib")
         dang = int(r[dangling].sum())
         add = dang // n
@@ -194,7 +202,7 @@ def _pagerank_shuffle(edges_ds, node_ids, num_iters: int, scale: int,
 
         dang = sum(int(batch["d"].sum()) for batch in
                    ranks.map_batches(dang_partial, batch_format="pandas")
-                   .iter_batches(batch_format="pandas"))
+                   .iter_batches(batch_format="pandas", batch_size=None))
         add = dang // n
 
         # shares: edges ⋈ ranks on src, partial-sum by dst inside the
@@ -295,8 +303,9 @@ def _cc_broadcast(edges_ds, node_ids, max_iters: int) -> pd.DataFrame:
             return df.groupby("node", as_index=False)["cand"].min()
 
         new_labels = labels.copy()
-        parts = edges.map_batches(min_partial, batch_format="pandas")
-        for batch in parts.iter_batches(batch_format="pandas"):
+        parts = edges.map_batches(min_partial, batch_format="pandas",
+                          batch_size=_EDGE_BATCH)
+        for batch in parts.iter_batches(batch_format="pandas", batch_size=None):
             idx = np.searchsorted(ids, batch["node"].to_numpy(np.int64))
             np.minimum.at(new_labels, idx, batch["cand"].to_numpy(np.int64))
         if np.array_equal(new_labels, labels):
@@ -371,7 +380,7 @@ def _cc_shuffle(edges_ds, node_ids, max_iters: int,
         n_changed = sum(
             int(b["__changed"].sum()) for b in
             merged.select_columns(["__changed"])
-            .iter_batches(batch_format="pandas"))
+            .iter_batches(batch_format="pandas", batch_size=None))
         labels = merged.drop_columns(["__changed"]).materialize()
         if n_changed == 0:
             break
