@@ -67,7 +67,8 @@ def _crawl_oracle_dir() -> str:
                 raycrawl.gen_golden):
         with open(mod.__file__, "rb") as f:
             h.update(f.read())
-    h.update(repr((_POLITE_SEEDS, sorted(_POLITE_KW.items()))).encode())
+    h.update(repr((_POLITE_SEEDS, sorted(_POLITE_KW.items()),
+                   sorted(_PRIORITY_KW.items()))).encode())
     out_dir = f"/tmp/raycrawl_oracle/{h.hexdigest()[:12]}"
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
@@ -105,6 +106,18 @@ def _crawl_oracle_dir() -> str:
                   "depth": pa.array([p.depth for p in pres.pages], pa.int32()),
                   "url": pa.array([p.url for p in pres.pages], pa.string())}),
         os.path.join(out_dir, "crawl_polite.parquet"))
+    # best-first frontier conformance: pop order (url_priority(url), seq)
+    # under a 40-page budget — serial model's priority branch, with the
+    # pop index recorded so the order itself is value-checked
+    from raycrawl.gen_golden import url_priority
+    prio_res = crawl_oracle(feature_corpus(**T2), SEED, wave_budget=16,
+                            priority_fn=url_priority, **_PRIORITY_KW)
+    pq.write_table(
+        pa.table({"pop_rank": pa.array(range(len(prio_res.pages)), pa.int64()),
+                  "seq": pa.array([p.seq for p in prio_res.pages], pa.int64()),
+                  "depth": pa.array([p.depth for p in prio_res.pages], pa.int32()),
+                  "url": pa.array([p.url for p in prio_res.pages], pa.string())}),
+        os.path.join(out_dir, "crawl_priority.parquet"))
     with open(done, "w") as f:
         f.write("ok")
     return out_dir
@@ -114,6 +127,9 @@ _POLITE_SEEDS = ["https://h0.example/d0/p0.html", "https://h1.example/d0/p0.html
 _POLITE_KW = dict(max_depth=3, max_pages=60,
                   exclude_patterns=[r"/skip/", r"\.(jpg|png)$"],
                   respect_robots=True)
+_PRIORITY_KW = dict(max_depth=3, max_pages=40,
+                    exclude_patterns=[r"/skip/", r"\.(jpg|png)$"],
+                    respect_robots=False)
 
 
 # ---------------------------------------------------------------------------
@@ -345,6 +361,51 @@ def _q_crawl_delta(sf_dir: str):
                           payload="text").to_pandas()
 
 
+def _q_recrawl_schedule(sf_dir: str):
+    """Freshness scheduler: which 100 pages to refetch next. Score =
+    staleness (seconds since warc_ts at a fixed reference instant) ×
+    PageRank importance, exact int64; distributed per-batch top-k
+    partials + tiny driver merge (the knn partial-top-k shape)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from raycrawl.ops.graph import pagerank
+
+    import pyarrow.parquet as pq
+
+    nodes = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id"]).column("doc_id").to_pylist()
+    ranks = pagerank(_edges_dataset(sf_dir), nodes, num_iters=5,
+                     scale=10**12, method="auto")
+    rank_ref = ray.put({
+        "ids": ranks["node"].to_numpy(np.int64),
+        "r": ranks["rank_fp"].to_numpy(np.int64)})
+    ref_us = pd.Timestamp("2025-07-01").value // 1000  # fixed instant
+    k = 100
+
+    def partial_topk(b: pd.DataFrame, ref=rank_ref) -> pd.DataFrame:
+        st = ray.get(ref)
+        doc_id = (b["url"].str.extract(r"/doc(\d+)\.html$")[0]
+                  .astype("int64").to_numpy())
+        age_sec = ((ref_us - b["warc_ts"].astype("int64").to_numpy())
+                   // 1_000_000)
+        r = st["r"][np.searchsorted(st["ids"], doc_id)]
+        score = age_sec * r
+        out = pd.DataFrame({"doc_id": doc_id, "score": score})
+        return out.sort_values(["score", "doc_id"],
+                               ascending=[False, True]).head(k)
+
+    corpus = rd.read_parquet(_docs_corpus(sf_dir),
+                             columns=["url", "warc_ts"])
+    parts = corpus.map_batches(partial_topk, batch_format="pandas",
+                               batch_size=65536).to_pandas()
+    return (parts.sort_values(["score", "doc_id"],
+                              ascending=[False, True])
+            .head(k).reset_index(drop=True))
+
+
 def _pagerank_oracle(num_iters: int = 5, scale: int = 10**12,
                      final: str | None = None) -> str:
     """SQL mirror of ops/graph.py::pagerank — the 4-ary lattice edges via
@@ -420,6 +481,39 @@ def _q_warc_extract(sf_dir: str):
     return (out.select_columns(
         ["url", "title", "language", "status_code", "description", "links"])
         .map_batches(project, batch_format="pyarrow").to_pandas())
+
+
+def _q_crawl_priority(sf_dir: str):
+    """Best-first frontier conformance: the sharded priority queue pops by
+    (url_priority(url), seq) instead of BFS (depth, seq); under a 40-page
+    budget the crawled set, seq assignment AND pop order must match the
+    serial oracle's priority branch value-for-value (pop_rank column =
+    row order of the engine's wave files)."""
+    import glob as _glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from raycrawl.gen_golden import SEED, url_priority
+    from raycrawl.pipeline import CrawlConfig, crawl
+
+    out_dir = (f"/tmp/raycrawl_q/crawl_priority_"
+               f"{os.path.basename(os.path.normpath(sf_dir))}")
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = CrawlConfig(seed_url=SEED, num_shards=4, wave_budget=16,
+                      out_dir=out_dir, priority_fn=url_priority,
+                      **_PRIORITY_KW)
+    out = crawl(_feature_corpus_dir(), cfg)
+    rows = []
+    for f in sorted(_glob.glob(os.path.join(out.results_dir,
+                                            "wave=*", "*.parquet"))):
+        t = pq.read_table(f, columns=["seq", "depth", "url"])
+        rows.append(t.to_pandas())
+    df = pd.concat(rows, ignore_index=True)
+    df.insert(0, "pop_rank", range(len(df)))
+    return df
 
 
 def _q_crawl_bfs_docs(sf_dir: str):
@@ -1483,7 +1577,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_rank_mass": _q_host_rank_mass,
         "graph_components": _q_graph_components,
         "crawl_delta": _q_crawl_delta,
+        "recrawl_schedule": _q_recrawl_schedule,
         "crawl_bfs": _q_crawl_bfs,
+        "crawl_priority": _q_crawl_priority,
         "crawl_seen": _q_crawl_seen,
         "crawl_bfs_docs": _q_crawl_bfs_docs,
         "crawl_politeness": _q_crawl_politeness,
@@ -1677,6 +1773,10 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT seq, depth, url "
             f"FROM read_parquet('{oracle_dir}/crawl_polite.parquet')"
         ),
+        "crawl_priority": (
+            "SELECT pop_rank, seq, depth, url "
+            f"FROM read_parquet('{oracle_dir}/crawl_priority.parquet')"
+        ),
         "extract_pages": (
             "SELECT 'Doc ' || CAST(doc_id AS VARCHAR) AS title, "
             "lang AS language, CAST(200 AS INTEGER) AS status_code FROM documents"
@@ -1708,6 +1808,19 @@ def oracle_sql() -> dict[str, str]:
             final=(" SELECT doc_id % 16 AS h, "
                    "CAST(sum(r) AS BIGINT) AS rank_mass "
                    "FROM r5 GROUP BY doc_id % 16")),
+        # staleness × importance refetch budget: warc_ts is EPOCH + global
+        # write row (hosts in h order, ranks ascending), age at the fixed
+        # 2025-07-01 instant, times the unrolled PageRank
+        "recrawl_schedule": _pagerank_oracle(
+            num_iters=5,
+            final=(" SELECT t.doc_id, "
+                   "CAST(date_diff('second', t.ts, TIMESTAMP '2025-07-01') "
+                   " * r5.r AS BIGINT) AS score "
+                   "FROM (SELECT doc_id, TIMESTAMP '2025-01-01' + "
+                   " to_seconds(row_number() OVER (ORDER BY h, rnk) - 1) AS ts "
+                   " FROM ranked) t "
+                   "JOIN r5 ON r5.doc_id = t.doc_id "
+                   "ORDER BY score DESC, t.doc_id LIMIT 100")),
         # lattice edges stay within a host, and each host's lattice is one
         # tree → components are exactly the host partitions
         "graph_components": (

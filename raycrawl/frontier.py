@@ -6,9 +6,12 @@ and holds the only cross-task mutable state in the system (SURVEY.md ST3-ST6):
 - the URL-seen set — a cuckoo filter over 20-byte SHA-1 keys of canonical
   URLs (``ExactShadow`` mode pairs it with an exact set at test scale so
   conformance checks are exact while proving no-false-negatives);
-- a priority queue keyed ``(depth, seq)`` — BFS-equivalent pop order
-  (reference FIFO asyncio.Queue, queue_manager.py:26,54,79, with seq = the
-  global admission sequence);
+- a priority queue keyed ``(priority, seq)``. Default priority is the
+  BFS depth — pop order (depth, seq), exactly the reference's FIFO
+  asyncio.Queue (queue_manager.py:26,54,79, with seq = the global
+  admission sequence). A custom ``priority_fn(url) -> int`` turns the
+  crawl best-first (score-ordered frontier — e.g. PageRank-derived
+  host scores) while keeping admission/seen semantics identical;
 - per-host politeness token buckets (rate = pops/host/wave, refilled in
   virtual wave time so runs are deterministic; the reference's global
   ``rate_limit_delay = 0.0`` corresponds to rate=∞, queue_manager.py:30);
@@ -52,10 +55,14 @@ class FrontierShardLocal:
         seed_host: Optional[str] = None,
         respect_robots: bool = True,
         wave_seconds: float = 1.0,
+        priority_fn=None,
     ) -> None:
         self.shard_id = shard_id
         self.seen = ExactShadow(capacity) if exact_shadow else CuckooFilter(capacity)
-        self.heap: list[tuple[int, int, str, str, Optional[str]]] = []  # (depth, seq, url, host, parent)
+        # (priority, seq, depth, url, host, parent); priority defaults to
+        # depth, which makes the pop order exactly the former (depth, seq)
+        self.priority_fn = priority_fn
+        self.heap: list[tuple[int, int, int, str, str, Optional[str]]] = []
         self.robots = RobotsCache(seed_host_only=seed_host_only, seed_host=seed_host)
         self.respect_robots = respect_robots
         self.rate = politeness_rate
@@ -128,7 +135,8 @@ class FrontierShardLocal:
                     f"insert_batch: url already in seen set ({url!r}, "
                     f"seq={seq}) — caller violated the one-check_batch-"
                     f"per-wave admission contract")
-            heapq.heappush(self.heap, (depth, seq, url, host, parent))
+            prio = self.priority_fn(url) if self.priority_fn else depth
+            heapq.heappush(self.heap, (prio, seq, depth, url, host, parent))
             n += 1
         self.n_admitted += n
         return n
@@ -149,33 +157,35 @@ class FrontierShardLocal:
 
     def pop_batch(
         self, wave: int, budget: int
-    ) -> list[tuple[int, int, str, Optional[str]]]:
-        """Pop ≤budget URLs in (depth, seq) order whose host has politeness
-        tokens this wave. Skipped (throttled) URLs stay queued."""
-        popped: list[tuple[int, int, str, Optional[str]]] = []
-        held: list[tuple[int, int, str, str, Optional[str]]] = []
+    ) -> list[tuple[int, int, int, str, Optional[str]]]:
+        """Pop ≤budget URLs in (priority, seq) order whose host has
+        politeness tokens this wave. Skipped (throttled) URLs stay queued.
+        Returns (priority, seq, depth, url, parent) — the first two fields
+        are the global merge key the driver sorts on."""
+        popped: list[tuple[int, int, int, str, Optional[str]]] = []
+        held: list[tuple[int, int, int, str, str, Optional[str]]] = []
         while self.heap and len(popped) < budget:
-            depth, seq, url, host, parent = heapq.heappop(self.heap)
+            prio, seq, depth, url, host, parent = heapq.heappop(self.heap)
             tok = self._refill(host, wave)
             if tok >= 1.0:
                 if tok != math.inf:
                     self.tokens[host] = tok - 1.0
-                popped.append((depth, seq, url, parent))
+                popped.append((prio, seq, depth, url, parent))
             else:
-                held.append((depth, seq, url, host, parent))
+                held.append((prio, seq, depth, url, host, parent))
         for item in held:
             heapq.heappush(self.heap, item)
         self.n_popped += len(popped)
         return popped
 
-    def push_back(self, items: list[tuple[int, int, str, Optional[str]]]) -> None:
+    def push_back(self, items: list[tuple[int, int, int, str, Optional[str]]]) -> None:
         """Return surplus pops (truncated by the global wave budget) to the
         queue, refunding their politeness tokens."""
         from .urlnorm import host_of
 
-        for depth, seq, url, parent in items:
+        for prio, seq, depth, url, parent in items:
             host = host_of(url)
-            heapq.heappush(self.heap, (depth, seq, url, host, parent))
+            heapq.heappush(self.heap, (prio, seq, depth, url, host, parent))
             if self.rate != math.inf or host in self.host_rate:
                 self.tokens[host] = min(max(1.0, self.burst if self.burst != math.inf else 1.0),
                                         self.tokens.get(host, 0.0) + 1.0)

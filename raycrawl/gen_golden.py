@@ -33,6 +33,15 @@ CRAWL_KW = dict(
 )
 
 
+def url_priority(url: str) -> int:
+    """Deterministic best-first score for priority-crawl conformance runs:
+    first md5 byte of the URL → [0, 16). Pure function of the URL, shared
+    by the engine config, the serial oracle, and the driver query."""
+    import hashlib
+
+    return hashlib.md5(url.encode()).digest()[0] % 16
+
+
 def main() -> None:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     corpus = feature_corpus(**T2)

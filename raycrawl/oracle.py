@@ -22,6 +22,7 @@ same canonical keys, so the sharded cuckoo path is independently checked.
 
 from __future__ import annotations
 
+import heapq
 import math
 from collections import deque
 from dataclasses import dataclass, field
@@ -73,6 +74,7 @@ def crawl_oracle(
     politeness_rate: float = math.inf,
     politeness_burst: float = math.inf,
     wave_seconds: float = 1.0,
+    priority_fn=None,
 ) -> OracleResult:
     url_col = corpus.column("url").to_pylist()
     html_col = corpus.column("html").to_pylist()
@@ -102,7 +104,11 @@ def crawl_oracle(
 
     res = OracleResult()
     seen_keys: set[str] = set()
+    # BFS default: a FIFO deque (admission order == (depth, seq) order).
+    # With priority_fn the frontier is a heap keyed (priority, seq) —
+    # mirroring FrontierShardLocal's best-first mode.
     queue: deque[tuple[str, int, int, Optional[str]]] = deque()  # url, depth, seq, parent
+    pheap: list[tuple[int, int, str, int, Optional[str]]] = []
     next_seq = 0
 
     def admit(url: str, depth: int, parent: Optional[str]) -> None:
@@ -114,7 +120,11 @@ def crawl_oracle(
         if respect_robots and not robots.is_allowed(url):
             return
         seen_keys.add(key)
-        queue.append((url, depth, next_seq, parent))
+        if priority_fn is not None:
+            heapq.heappush(pheap,
+                           (priority_fn(url), next_seq, url, depth, parent))
+        else:
+            queue.append((url, depth, next_seq, parent))
         res.seen.append((url, depth, next_seq, parent))
         next_seq += 1
 
@@ -140,24 +150,32 @@ def crawl_oracle(
         tokens[host] = tok
         return tok
 
-    while queue:
+    while queue or pheap:
         if len(res.pages) >= max_pages:  # crawler_service.py:125-127
             break
         budget = min(wave_budget, max_pages - len(res.pages))
         wave_items: list[tuple[str, int, int, Optional[str]]] = []
         held: list[tuple[str, int, int, Optional[str]]] = []
-        while queue and len(wave_items) < budget:
-            url, depth, seq, parent = queue.popleft()
+        pheld: list[tuple[int, int, str, int, Optional[str]]] = []
+        while (queue or pheap) and len(wave_items) < budget:
+            if priority_fn is not None:
+                prio, seq, url, depth, parent = heapq.heappop(pheap)
+            else:
+                url, depth, seq, parent = queue.popleft()
             host = host_of(url)
             tok = refill(host)
             if tok >= 1.0:
                 if tok != math.inf:
                     tokens[host] = tok - 1.0
                 wave_items.append((url, depth, seq, parent))
+            elif priority_fn is not None:
+                pheld.append((prio, seq, url, depth, parent))
             else:
                 held.append((url, depth, seq, parent))
         for item in reversed(held):
             queue.appendleft(item)
+        for pitem in pheld:
+            heapq.heappush(pheap, pitem)
         if not wave_items:
             wave += 1
             continue

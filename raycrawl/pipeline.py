@@ -63,6 +63,9 @@ class CrawlConfig:
     exact_shadow: bool = True
     filter_capacity: int = 1 << 16
     max_waves: Optional[int] = None  # stop after N waves (checkpoint test hook)
+    # best-first frontier: pop order (priority_fn(url), seq) instead of the
+    # BFS (depth, seq). None = BFS, exactly the reference semantics.
+    priority_fn: "Optional[callable]" = None
 
 
 class WaveExtractor:
@@ -279,6 +282,7 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
             seed_host_only=seed_host_only,
             seed_host=seed_host,
             respect_robots=cfg.respect_robots,
+            priority_fn=cfg.priority_fn,
         )
         for i in range(S)
     ]
@@ -370,9 +374,8 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
         wave_items, surplus = merged[:budget], merged[budget:]
         if surplus:  # return over-popped items to their shards
             back: dict[int, list] = {}
-            for depth, seq, url, parent in surplus:
-                back.setdefault(host_shard(host_of(url), S), []).append(
-                    (depth, seq, url, parent))
+            for item in surplus:  # (prio, seq, depth, url, parent)
+                back.setdefault(host_shard(host_of(item[3]), S), []).append(item)
             ray.get([shards[sid].push_back.remote(items)
                      for sid, items in back.items()])
         if not wave_items:
@@ -382,7 +385,7 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
             wave += 1  # politeness throttled everything this wave; advance time
             continue
 
-        wave_urls = [u for (_, _, u, _) in wave_items]
+        wave_urls = [u for (_, _, _, u, _) in wave_items]
         phase_sec["pop"] += time.monotonic() - _tp
 
         # --- fetch (J4) + extract on the persistent worker pool -----------
@@ -421,7 +424,7 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
                   if wave_tbl is not None else [])
         take_idx: list[int] = []
         meta_rows: list[tuple[int, int, str, Optional[str]]] = []
-        for depth, seq, url, parent in wave_items:
+        for _prio, seq, depth, url, parent in wave_items:
             i = rows_by_url.get(url)
             if i is None or status[i] != 200:
                 pages_failed += 1  # crawler_service.py:77-80 failure path
@@ -456,9 +459,14 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
         phase_sec["assemble"] += time.monotonic() - _ta
         # --- two-phase admission -----------------------------------------
         # link canonicalization + SHA-1 already done in the worker pool;
-        # this loop only assigns dense ranks in (parent_seq, doc-pos) order
+        # this loop only assigns dense ranks in (parent-pop-order, doc-pos)
+        # order. Under BFS pop order within a wave IS parent_seq order (the
+        # sort is a belt-and-braces no-op); under a priority_fn the serial
+        # semantics admit children in parent POP order, so the list must
+        # stay as assembled from wave_items.
         _tm = time.monotonic()
-        links_by_seq.sort(key=lambda x: x[0])
+        if cfg.priority_fn is None:
+            links_by_seq.sort(key=lambda x: x[0])
         cands: list[tuple[int, bytes, str, str, int, str]] = []
         rank = 0
         for seq, depth, links, keys, hosts, parent_url in links_by_seq:

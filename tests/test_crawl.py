@@ -260,3 +260,49 @@ def test_crawl_delay_override_matches_oracle():
     slow_waves = sorted(r["wave"] for r in res if "slow.example" in r["url"])
     assert all(b - a >= 2 for a, b in zip(slow_waves, slow_waves[1:]))
     assert len(slow_waves) == 6
+
+
+def test_priority_crawl_matches_oracle():
+    """Best-first frontier: pop order (priority_fn(url), seq) instead of
+    BFS (depth, seq). The engine's crawl order AND crawled set must match
+    the serial oracle's priority branch exactly — and differ from BFS,
+    since the max_pages budget cuts off a different subtree."""
+    from raycrawl.gen_golden import url_priority
+
+    corpus_dir = cached_corpus("feature", **T2)
+    corpus = feature_corpus(**T2)
+    seeds = ["https://h0.example/d0/p0.html"]
+    kw = dict(max_depth=3, max_pages=40,
+              exclude_patterns=[r"/skip/", r"\.(jpg|png)$"])
+    cfg = CrawlConfig(seed_url=seeds, num_shards=4, wave_budget=16,
+                      out_dir="/tmp/raycrawl_test_priority",
+                      priority_fn=url_priority, **kw)
+    shutil.rmtree(cfg.out_dir, ignore_errors=True)
+    out = crawl(corpus_dir, cfg)
+    oracle = crawl_oracle(corpus, seeds, wave_budget=16,
+                          priority_fn=url_priority, **kw)
+    # results() returns seq order (a public-API invariant); compare the
+    # crawled set + seq/depth assignment there, and the actual POP order
+    # against the raw wave files (within a wave rows are written in pop
+    # order, waves are ordered)
+    got = out.results().select(["seq", "depth", "url"]).to_pylist()
+    exp = sorted(({"seq": p.seq, "depth": p.depth, "url": p.url}
+                  for p in oracle.pages), key=lambda r: r["seq"])
+    assert got == exp
+    assert len(got) == 40
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    pop_urls = []
+    for f in sorted(_glob.glob(os.path.join(out.results_dir,
+                                            "wave=*", "*.parquet"))):
+        pop_urls.extend(_pq.read_table(f, columns=["url"])
+                        .column("url").to_pylist())
+    assert pop_urls == [p.url for p in oracle.pages]
+    # genuinely best-first: pop depths interleave (BFS would be monotone)
+    oracle_depths = [p.depth for p in oracle.pages]
+    assert oracle_depths != sorted(oracle_depths)
+    # and the crawled SET differs from the BFS run under the same budget
+    bfs = crawl_oracle(corpus, seeds, wave_budget=16, **kw)
+    assert {r["url"] for r in got} != {p.url for p in bfs.pages}

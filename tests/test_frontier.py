@@ -28,7 +28,9 @@ def test_pop_order_depth_then_seq():
              (3, 1, "https://h/x3", "h", None, _k("https://h/x3"))]
     s.insert_batch(items)
     popped = s.pop_batch(wave=0, budget=10)
-    assert [(d, q) for d, q, _, _ in popped] == [(0, 2), (1, 3), (1, 5)]
+    # (priority, seq, depth, url, parent); default priority == depth
+    assert [(p, q) for p, q, _, _, _ in popped] == [(0, 2), (1, 3), (1, 5)]
+    assert all(p == d for p, _, d, _, _ in popped)
 
 
 def test_politeness_token_bucket_and_refill():
@@ -110,7 +112,7 @@ def test_robots_crawl_delay_overrides_politeness():
     pops_by_wave = []
     for w in range(8):
         popped = s.pop_batch(wave=w, budget=100)
-        pops_by_wave.append([u.split("/")[2] for (_, _, u, _) in popped])
+        pops_by_wave.append([u.split("/")[2] for (_, _, _, u, _) in popped])
         if s.queue_size() == 0:
             break
     # fast host unthrottled (all 4 in wave 0); slow host ≤1 per wave and
