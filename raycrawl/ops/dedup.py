@@ -1053,16 +1053,38 @@ def embedding_dup_pairs_bucketed(ds, threshold: float = 0.95,
 # near-dup survivor selection (connected components over verified pairs)
 # ---------------------------------------------------------------------------
 
-def dedup_survivors(all_ids: "pd.Series | list[int]",
-                    pairs: pd.DataFrame) -> pd.DataFrame:
-    """Collapse verified near-dup pairs into clusters and keep the min id of
-    each connected component (min-label propagation — the guide's pattern;
-    run driver-side because the verified-pair set is orders of magnitude
-    smaller than the corpus; at ≥10^8 pairs the same labels iterate as
-    groupby rounds).
+_SURVIVORS_DRIVER_MAX_PAIRS = 5_000_000  # ≈ a few hundred MB of dict churn
 
-    Returns (doc_id, canonical_id) for every input id — survivors are rows
-    where doc_id == canonical_id."""
+
+def dedup_survivors(all_ids: "pd.Series | list[int]",
+                    pairs, method: str = "auto") -> pd.DataFrame:
+    """Collapse verified near-dup pairs into clusters and keep the min id of
+    each connected component. Returns (doc_id, canonical_id) for every
+    input id — survivors are rows where doc_id == canonical_id.
+
+    ``method='driver'``: union-find over a pandas pair table — right while
+    verified pairs ≪ corpus (the common case). ``'distributed'``: hash-min
+    label propagation over a pair Dataset (ops/graph.py
+    connected_components — per-round edge passes, nothing driver-side).
+    ``'auto'``: driver below _SURVIVORS_DRIVER_MAX_PAIRS pandas rows;
+    a Dataset ``pairs`` always takes the distributed path. Both produce
+    the identical min-label convention (equivalence-tested)."""
+    if hasattr(pairs, "map_batches") or (
+            method == "auto" and len(pairs) > _SURVIVORS_DRIVER_MAX_PAIRS
+    ) or method == "distributed":
+        import ray.data as rd
+
+        from .graph import connected_components
+
+        edges = (pairs if hasattr(pairs, "map_batches")
+                 else rd.from_pandas(pairs))
+        edges = edges.map_batches(
+            lambda b: b.rename(columns={"id_a": "src", "id_b": "dst"}),
+            batch_format="pandas")
+        cc = connected_components(
+            edges, np.asarray([int(x) for x in all_ids], dtype=np.int64))
+        return cc.rename(columns={"node": "doc_id",
+                                  "component": "canonical_id"})
     label: dict[int, int] = {}
 
     def find(x: int) -> int:

@@ -156,3 +156,22 @@ def test_cc_chain_needs_diameter_rounds():
     eds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
     got = connected_components(eds, list(range(20)), method="broadcast")
     assert (got["component"] == 0).all()
+
+
+def test_survivors_distributed_equals_driver():
+    """dedup_survivors: union-find (driver) and hash-min CC (distributed)
+    must produce the identical min-label canonical ids."""
+    from raycrawl.ops.dedup import dedup_survivors
+
+    rng = np.random.default_rng(23)
+    ids = list(range(400))
+    pairs = pd.DataFrame({
+        "id_a": rng.integers(0, 400, size=150),
+        "id_b": rng.integers(0, 400, size=150)})
+    pairs = pairs[pairs.id_a != pairs.id_b].reset_index(drop=True)
+    drv = dedup_survivors(ids, pairs, method="driver")
+    dist = dedup_survivors(ids, pairs, method="distributed")
+    pd.testing.assert_frame_equal(
+        drv.sort_values("doc_id").reset_index(drop=True),
+        dist.sort_values("doc_id").reset_index(drop=True),
+        check_dtype=False)
