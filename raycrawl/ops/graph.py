@@ -51,12 +51,24 @@ _EDGE_BATCH = 262_144  # edges per task: vectorized kernels want big
 # measured by tools/graph_scale_check.py)
 
 
+def _lookup(ids: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """searchsorted + membership check: a key outside the node universe
+    would otherwise silently index a NEIGHBOR slot and corrupt the fold."""
+    idx = np.searchsorted(ids, keys)
+    bad = (idx >= len(ids)) | (ids[np.minimum(idx, len(ids) - 1)] != keys)
+    if bad.any():
+        raise ValueError(
+            f"graph op: {int(bad.sum())} edge endpoint(s) not in the node "
+            f"universe (e.g. {int(keys[bad][0])}) — pass every node id")
+    return idx
+
+
 def _fold_partials(ids: np.ndarray, vec: np.ndarray, part: pd.DataFrame,
                    key: str, val: str) -> None:
     """Accumulate (key, val) partial rows into vec (ids sorted unique)."""
     if len(part) == 0:
         return
-    idx = np.searchsorted(ids, part[key].to_numpy(np.int64))
+    idx = _lookup(ids, part[key].to_numpy(np.int64))
     np.add.at(vec, idx, part[val].to_numpy(np.int64))
 
 
@@ -125,7 +137,7 @@ def _pagerank_broadcast(edges_ds, node_ids, num_iters: int,
         def share_partial(b: pd.DataFrame, ref=state_ref) -> pd.DataFrame:
             st = ray.get(ref)  # zero-copy numpy views from the object store
             src = b["src"].to_numpy(np.int64)
-            si = np.searchsorted(st["ids"], src)
+            si = _lookup(st["ids"], src)
             share = st["r"][si] // st["deg"][si]
             # exact int64 segment-sum by dst (bincount would go float64
             # and lose exactness past 2^53): cumsum over dst-sorted shares
@@ -294,8 +306,8 @@ def _cc_broadcast(edges_ds, node_ids, max_iters: int) -> pd.DataFrame:
             st = ray.get(ref)
             src = b["src"].to_numpy(np.int64)
             dst = b["dst"].to_numpy(np.int64)
-            ls = st["labels"][np.searchsorted(st["ids"], src)]
-            ld = st["labels"][np.searchsorted(st["ids"], dst)]
+            ls = st["labels"][_lookup(st["ids"], src)]
+            ld = st["labels"][_lookup(st["ids"], dst)]
             # undirected: each endpoint proposes its label to the other
             node = np.concatenate([dst, src])
             cand = np.concatenate([ls, ld])
@@ -306,7 +318,7 @@ def _cc_broadcast(edges_ds, node_ids, max_iters: int) -> pd.DataFrame:
         parts = edges.map_batches(min_partial, batch_format="pandas",
                           batch_size=_EDGE_BATCH)
         for batch in parts.iter_batches(batch_format="pandas", batch_size=None):
-            idx = np.searchsorted(ids, batch["node"].to_numpy(np.int64))
+            idx = _lookup(ids, batch["node"].to_numpy(np.int64))
             np.minimum.at(new_labels, idx, batch["cand"].to_numpy(np.int64))
         if np.array_equal(new_labels, labels):
             break

@@ -36,6 +36,10 @@ def main() -> None:
     p.add_argument("--politeness-rate", type=float, default=math.inf,
                    help="pops per host per wave (default unlimited)")
     p.add_argument("--concurrency", type=int, default=8)
+    p.add_argument("--priority", choices=["bfs", "url-hash"], default="bfs",
+                   help="frontier pop order: bfs = (depth, seq) reference "
+                        "semantics; url-hash = best-first by "
+                        "gen_golden.url_priority(url)")
     p.add_argument("--out", required=True)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--num-cpus", type=int, default=None,
@@ -62,6 +66,10 @@ def main() -> None:
         wave_budget=args.wave_budget, politeness_rate=args.politeness_rate,
         extract_concurrency=args.concurrency, out_dir=args.out,
         resume=args.resume)
+    if args.priority == "url-hash":
+        from raycrawl.gen_golden import url_priority
+
+        cfg.priority_fn = url_priority
     outcome = crawl(args.corpus, cfg)
     with open(os.path.join(args.out, "metrics.prom"), "w") as f:
         f.write(render_prometheus(outcome.stats))
