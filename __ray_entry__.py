@@ -361,6 +361,19 @@ def _q_crawl_delta(sf_dir: str):
                           payload="text").to_pandas()
 
 
+def _q_bigram_commonness(sf_dir: str):
+    """Two-pass conditional (bigram) LM-filter shape: corpus bigram counts
+    → broadcast → per-doc bigram-frequency stats (exact integers —
+    raycrawl/ops/textstats.py::bigram_commonness)."""
+    import ray.data as rd
+
+    from raycrawl.ops.textstats import bigram_commonness
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return bigram_commonness(docs).to_pandas()
+
+
 def _q_link_backlinks(sf_dir: str):
     """Who-links-here: stage the reverse link graph bucket-partitioned
     (graph.py::build_backlink_index), then answer an in-link lookup for a
@@ -408,12 +421,14 @@ def _q_recrawl_schedule(sf_dir: str):
     k = 100
 
     def partial_topk(b: pd.DataFrame, ref=rank_ref) -> pd.DataFrame:
+        from raycrawl.ops.graph import _lookup
+
         st = ray.get(ref)
         doc_id = (b["url"].str.extract(r"/doc(\d+)\.html$")[0]
                   .astype("int64").to_numpy())
         age_sec = ((ref_us - b["warc_ts"].astype("int64").to_numpy())
                    // 1_000_000)
-        r = st["r"][np.searchsorted(st["ids"], doc_id)]
+        r = st["r"][_lookup(st["ids"], doc_id)]
         score = age_sec * r
         out = pd.DataFrame({"doc_id": doc_id, "score": score})
         return out.sort_values(["score", "doc_id"],
@@ -1601,6 +1616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_delta": _q_crawl_delta,
         "recrawl_schedule": _q_recrawl_schedule,
         "link_backlinks": _q_link_backlinks,
+        "text_bigram_commonness": _q_bigram_commonness,
         "crawl_bfs": _q_crawl_bfs,
         "crawl_priority": _q_crawl_priority,
         "crawl_seen": _q_crawl_seen,
@@ -1831,6 +1847,26 @@ def oracle_sql() -> dict[str, str]:
             final=(" SELECT doc_id % 16 AS h, "
                    "CAST(sum(r) AS BIGINT) AS rank_mass "
                    "FROM r5 GROUP BY doc_id % 16")),
+        # two-pass conditional LM-filter surrogate: corpus bigram counts →
+        # per-doc (n_bigrams, sum of corpus freqs, corpus-novel count)
+        "text_bigram_commonness": (
+            "WITH w AS (SELECT doc_id, "
+            "  CASE WHEN trim(COALESCE(text, '')) = '' THEN [''] "
+            "       ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks "
+            "  FROM documents), "
+            "tk AS (SELECT doc_id, unnest(toks) AS w, "
+            "  unnest(range(1, length(toks) + 1)) AS i FROM w), "
+            "bg AS (SELECT a.doc_id, a.w AS w1, c.w AS w2 FROM tk a "
+            "  JOIN tk c ON c.doc_id = a.doc_id AND c.i = a.i + 1), "
+            "cnt AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2), "
+            "per AS (SELECT bg.doc_id, count(*) AS nb, sum(cnt.c) AS sf, "
+            "  sum(CASE WHEN cnt.c = 1 THEN 1 ELSE 0 END) AS nn "
+            "  FROM bg JOIN cnt USING (w1, w2) GROUP BY bg.doc_id) "
+            "SELECT d.doc_id, CAST(COALESCE(per.nb, 0) AS BIGINT) AS n_bigrams, "
+            "CAST(COALESCE(per.sf, 0) AS BIGINT) AS sum_bg_freq, "
+            "CAST(COALESCE(per.nn, 0) AS BIGINT) AS n_novel "
+            "FROM documents d LEFT JOIN per USING (doc_id)"
+        ),
         # who-links-here over the lattice edges, target subset dst % 97 = 1
         "link_backlinks": (
             "WITH ranked AS (SELECT doc_id, doc_id % 16 AS h, "

@@ -39,7 +39,10 @@ def snapshot_delta(old_ds, new_ds, key: str, payload: str,
     """Dataset(key, payload) × 2 → Dataset(key, status) for status in
     ``added`` (key only in new), ``removed`` (key only in old),
     ``changed`` (both sides, different payload hash). Unchanged keys are
-    dropped inside the partition — they never cross the wire twice."""
+    dropped inside the partition — they never cross the wire twice.
+
+    Assumes ``key`` is unique within each snapshot (crawl snapshots key by
+    canonical URL); a duplicated key compares by its first occurrence."""
 
     def tag(side: str):
         def fn(b: pd.DataFrame) -> pd.DataFrame:

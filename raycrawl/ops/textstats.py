@@ -191,6 +191,55 @@ def unigram_commonness(ds, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(score, batch_format="pandas")
 
 
+def bigram_commonness(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Conditional (bigram) corpus-statistics scoring — the KenLM-style
+    LM-filter shape one order up from ``unigram_commonness``: pass 1
+    aggregates corpus-wide ADJACENT-BIGRAM counts (per-batch Counter
+    partials, tiny merge, ``ray.put`` broadcast); pass 2 scores each
+    document by its bigram count, the sum of its bigrams' corpus
+    frequencies, and how many of its bigrams are corpus-novel (count 1 —
+    the exact-integer analogue of high conditional surprisal, and a
+    boilerplate/template detector when near 0). Same scale note as
+    unigram_commonness: cap the broadcast table to top-K at web scale."""
+    from collections import Counter
+
+    import ray
+
+    def count_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in batch[text_col].fillna(""):
+            t = t.strip()
+            if t:
+                ws = _WS_SPLIT_RE.split(t)
+                c.update("\x01".join(p) for p in zip(ws, ws[1:]))
+        return pd.DataFrame({"b": list(c.keys()),
+                             "cnt": pd.Series(list(c.values()),
+                                              dtype="int64")})
+
+    partials = ds.map_batches(count_batch, batch_format="pandas",
+                              batch_size=65536).to_pandas()
+    counts = (partials.groupby("b")["cnt"].sum().to_dict()
+              if len(partials) else {})
+    cref = ray.put(counts)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        v = ray.get(cref)
+        n_bg, sums, novel = [], [], []
+        for t in batch[text_col].fillna(""):
+            t = t.strip()
+            ws = _WS_SPLIT_RE.split(t) if t else []
+            freqs = [v["\x01".join(p)] for p in zip(ws, ws[1:])]
+            n_bg.append(len(freqs))
+            sums.append(sum(freqs))
+            novel.append(sum(1 for f in freqs if f == 1))
+        return pd.DataFrame({id_col: batch[id_col],
+                             "n_bigrams": pd.Series(n_bg, dtype="int64"),
+                             "sum_bg_freq": pd.Series(sums, dtype="int64"),
+                             "n_novel": pd.Series(novel, dtype="int64")})
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 class LangIdStage:
     """Stopword-profile language ID (n-gram heuristic). Profiles compiled
     once per actor; deterministic tie-break by profile order then 'und'."""

@@ -1297,3 +1297,24 @@ def test_collocations_topk_exact():
     exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
     assert list(zip(got["w1"], got["w2"])) == [p for p, _ in exp]
     assert list(got["cnt"]) == [c for _, c in exp]
+
+
+def test_bigram_commonness_edge_docs():
+    """Empty and single-token docs score (0, 0, 0); a repeated bigram is
+    not corpus-novel; a one-off bigram is."""
+    import ray.data as rd
+
+    from raycrawl.ops.textstats import bigram_commonness
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["", "solo", "a b a b", "x y"],
+    })
+    out = (bigram_commonness(rd.from_pandas(df)).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert out.loc[1].tolist() == [0, 0, 0]
+    assert out.loc[2].tolist() == [0, 0, 0]
+    # doc 3 bigrams: (a,b)x2, (b,a)x1 → n=3, sum=2+2+1=5, novel=1
+    assert out.loc[3].tolist() == [3, 5, 1]
+    # doc 4: (x,y) occurs once in the corpus → novel
+    assert out.loc[4].tolist() == [1, 1, 1]
