@@ -361,6 +361,31 @@ def _q_crawl_delta(sf_dir: str):
                           payload="text").to_pandas()
 
 
+def _q_url_templates(sf_dir: str):
+    """URL pattern mining — the crawl-trap / infinite-calendar detector:
+    collapse digit runs in the PATH (host kept verbatim) and count pages
+    per template. Vectorized pandas regex per batch, map-side combine +
+    merge via ops/agg.aggregate_partials."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raycrawl.ops.agg import aggregate_partials
+
+    urls = rd.read_parquet(_docs_corpus(sf_dir), columns=["url"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        parts = b["url"].str.extract(r"^https://([^/]+)(/.*)$")
+        tmpl = parts[0] + parts[1].str.replace(r"[0-9]+", "N", regex=True)
+        g = tmpl.to_frame("template").groupby(
+            "template", as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    out = aggregate_partials(urls, partial, keys=["template"],
+                             agg_spec={"cnt": "sum"})
+    return out.sort_values(["cnt", "template"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
 def _q_bigram_commonness(sf_dir: str):
     """Two-pass conditional (bigram) LM-filter shape: corpus bigram counts
     → broadcast → per-doc bigram-frequency stats (exact integers —
@@ -1617,6 +1642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recrawl_schedule": _q_recrawl_schedule,
         "link_backlinks": _q_link_backlinks,
         "text_bigram_commonness": _q_bigram_commonness,
+        "url_templates": _q_url_templates,
         "crawl_bfs": _q_crawl_bfs,
         "crawl_priority": _q_crawl_priority,
         "crawl_seen": _q_crawl_seen,
@@ -1847,6 +1873,14 @@ def oracle_sql() -> dict[str, str]:
             final=(" SELECT doc_id % 16 AS h, "
                    "CAST(sum(r) AS BIGINT) AS rank_mass "
                    "FROM r5 GROUP BY doc_id % 16")),
+        # URL templates: the corpus URL is a closed form of the documents
+        # row, so the digit-collapsed template is per-host constant
+        "url_templates": (
+            "SELECT 'docs' || CAST(doc_id % 16 AS VARCHAR) "
+            " || '.example/dN/docN.html' AS template, "
+            "CAST(count(*) AS BIGINT) AS cnt "
+            "FROM documents GROUP BY doc_id % 16"
+        ),
         # two-pass conditional LM-filter surrogate: corpus bigram counts →
         # per-doc (n_bigrams, sum of corpus freqs, corpus-novel count)
         "text_bigram_commonness": (

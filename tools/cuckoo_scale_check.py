@@ -33,9 +33,12 @@ os.chdir(_REPO)  # Ray workers resolve `raycrawl` via cwd
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--hosts", type=int, default=128)
-    ap.add_argument("--per-host", type=int, default=8192)
-    ap.add_argument("--max-pages", type=int, default=900_000)
+    ap.add_argument("--hosts", type=int, default=1024)
+    ap.add_argument("--per-host", type=int, default=1024)
+    # 780k of 1,048,576 slots: hot shard ~0.89 under the measured
+    # binomial host skew — NEAR design load but below the ~0.96
+    # stash-overflow point (BASELINE.md: 860k+ overflows BY DESIGN)
+    ap.add_argument("--max-pages", type=int, default=780_000)
     ap.add_argument("--capacity", type=int, default=131_068)
     ap.add_argument("--shards", type=int, default=8)
     ap.add_argument("--wave-budget", type=int, default=16_384)
