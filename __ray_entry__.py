@@ -409,10 +409,18 @@ def _q_link_backlinks(sf_dir: str):
 
     from raycrawl.ops import graph as G
 
+    import raycrawl.extract
+    import raycrawl.links
+
     corpus = _docs_corpus(sf_dir)
-    with open(G.__file__, "rb") as f:
-        gver = hashlib.sha1(f.read()).hexdigest()[:8]
-    idx_dir = f"/tmp/raycrawl_blidx/{os.path.basename(corpus)}_{gver}"
+    h = hashlib.sha1()
+    # the staged edges depend on the corpus AND the link-extraction code
+    # (ADVICE r2 lesson: cache keys must cover every semantics source)
+    for mod in (G, raycrawl.extract, raycrawl.links):
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    idx_dir = (f"/tmp/raycrawl_blidx/{os.path.basename(corpus)}_"
+               f"{h.hexdigest()[:8]}")
     G.build_backlink_index(_edges_dataset(sf_dir), idx_dir)
     doc_ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                             columns=["doc_id"]).column("doc_id").to_pylist()
