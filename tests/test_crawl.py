@@ -306,3 +306,32 @@ def test_priority_crawl_matches_oracle():
     # and the crawled SET differs from the BFS run under the same budget
     bfs = crawl_oracle(corpus, seeds, wave_budget=16, **kw)
     assert {r["url"] for r in got} != {p.url for p in bfs.pages}
+
+
+def test_priority_crawl_resumes_from_checkpoint():
+    """Preempt a best-first crawl after 2 waves and resume: the combined
+    run must equal the uninterrupted serial-oracle priority crawl — the
+    snapshot round-trips the (priority, seq, depth, …) heap entries."""
+    from raycrawl.gen_golden import url_priority
+
+    corpus_dir = cached_corpus("feature", **T2)
+    corpus = feature_corpus(**T2)
+    out_dir = "/tmp/raycrawl_test_prio_resume"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    kw = dict(max_depth=3, max_pages=40,
+              exclude_patterns=[r"/skip/", r"\.(jpg|png)$"])
+    base = dict(seed_url="https://h0.example/d0/p0.html", num_shards=4,
+                wave_budget=8, out_dir=out_dir, priority_fn=url_priority,
+                respect_robots=False, **kw)
+    partial = crawl(corpus_dir, CrawlConfig(max_waves=2, **base))
+    assert partial.stats["pages_success"] < 40
+    resumed = crawl(corpus_dir, CrawlConfig(resume=True, **base))
+    oracle = crawl_oracle(corpus, ["https://h0.example/d0/p0.html"],
+                          wave_budget=8, priority_fn=url_priority,
+                          respect_robots=False, **kw)
+    got = (resumed.results().select(["seq", "depth", "url"])
+           .sort_by([("seq", "ascending")]).to_pylist())
+    exp = sorted(({"seq": p.seq, "depth": p.depth, "url": p.url}
+                  for p in oracle.pages), key=lambda r: r["seq"])
+    assert got == exp
+    assert len(got) == 40
