@@ -350,7 +350,10 @@ def _q_crawl_delta(sf_dir: str):
             keep.loc[edited, "text"].fillna("") + " v2")
         added = b[b["doc_id"] % 11 == 0]
         new_rows = pd.DataFrame({
-            "doc_id": added["doc_id"] + 1_000_000,
+            # offset far above any real doc_id (documents are dense small
+            # ints; 2^40 keeps int64 headroom) — review finding: +1M would
+            # collide once the table reaches 10^6 rows
+            "doc_id": added["doc_id"] + (1 << 40),
             "text": "new page " + added["doc_id"].astype(str),
         })
         return pd.concat([keep, new_rows], ignore_index=True)
@@ -1946,7 +1949,7 @@ def oracle_sql() -> dict[str, str]:
             "  THEN COALESCE(text, '') || ' v2' ELSE COALESCE(text, '') END AS text "
             " FROM documents WHERE doc_id % 13 <> 7 "
             " UNION ALL "
-            " SELECT doc_id + 1000000 AS doc_id, "
+            " SELECT doc_id + 1099511627776 AS doc_id, "
             "  'new page ' || CAST(doc_id AS VARCHAR) AS text "
             " FROM documents WHERE doc_id % 11 = 0) "
             "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, "

@@ -72,6 +72,58 @@ def _fold_partials(ids: np.ndarray, vec: np.ndarray, part: pd.DataFrame,
     np.add.at(vec, idx, part[val].to_numpy(np.int64))
 
 
+def _prepare_universe_ds(edges, node_ids, n_parts: int):
+    """Shuffle-path node universe prep, with the SAME contract the
+    broadcast `_lookup` guard enforces: every edge endpoint must be in
+    the universe (raises otherwise, instead of silently pruning the
+    graph through inner/left joins), and duplicate node rows in a
+    Dataset universe are rejected (they would inflate N and duplicate
+    output rows). One coarse-partition pass validates, dedups and
+    returns (distinct-nodes Dataset, N)."""
+    import ray.data as rd
+
+    from .agg import partitioned_map_partitions
+
+    if hasattr(node_ids, "map_batches"):
+        nodes_ds = node_ids
+    else:
+        nodes_ds = rd.from_pandas(pd.DataFrame(
+            {"node": np.unique(np.asarray(node_ids, dtype=np.int64))}))
+
+    def endpoints(b: pd.DataFrame) -> pd.DataFrame:
+        eps = (np.unique(np.concatenate(
+            [b["src"].to_numpy(np.int64), b["dst"].to_numpy(np.int64)]))
+            if len(b) else np.array([], dtype=np.int64))
+        return pd.DataFrame({"node": eps,
+                             "is_node": np.zeros(len(eps), dtype=np.int64)})
+
+    def tag_nodes(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": b["node"].to_numpy(np.int64),
+                             "is_node": np.ones(len(b), dtype=np.int64)})
+
+    both = edges.map_batches(endpoints, batch_format="pandas").union(
+        nodes_ds.map_batches(tag_nodes, batch_format="pandas"))
+
+    def check(g: pd.DataFrame) -> pd.DataFrame:
+        st = g.groupby("node")["is_node"].agg(["max", "sum"])
+        missing = st.index[st["max"] == 0]
+        if len(missing):
+            raise ValueError(
+                f"graph op: {len(missing)} edge endpoint(s) not in the "
+                f"node universe (e.g. {int(missing[0])}) — pass every "
+                f"node id")
+        dup = st.index[st["sum"] > 1]
+        if len(dup):
+            raise ValueError(
+                f"graph op: {len(dup)} duplicate node id(s) in the node "
+                f"universe (e.g. {int(dup[0])})")
+        return pd.DataFrame({"node": st.index.to_numpy(np.int64)})
+
+    nodes_out = partitioned_map_partitions(both, "node", check,
+                                           n_parts=n_parts).materialize()
+    return nodes_out, nodes_out.count()
+
+
 def _outdegree_vec(edges_ds, ids: np.ndarray) -> np.ndarray:
     """Distributed out-degree: per-batch counts by src, driver fold."""
     deg = np.zeros(len(ids), dtype=np.int64)
@@ -130,15 +182,21 @@ def _pagerank_broadcast(edges_ds, node_ids, num_iters: int,
     deg = _outdegree_vec(edges, ids)
     r = np.full(n, base, dtype=np.int64)
     dangling = deg == 0
+    # ids/deg are loop-invariant: put once; only the rank vector is
+    # re-shipped per iteration (review finding: re-putting all three
+    # re-serialized ~2/3 dead weight every round)
+    static_ref = ray.put({"ids": ids, "deg": deg})
 
     for _ in range(num_iters):
-        state_ref = ray.put({"ids": ids, "r": r, "deg": deg})
+        r_ref = ray.put(r)
 
-        def share_partial(b: pd.DataFrame, ref=state_ref) -> pd.DataFrame:
-            st = ray.get(ref)  # zero-copy numpy views from the object store
+        def share_partial(b: pd.DataFrame, sref=static_ref,
+                          rref=r_ref) -> pd.DataFrame:
+            st = ray.get(sref)  # zero-copy numpy views from the object store
+            rv = ray.get(rref)
             src = b["src"].to_numpy(np.int64)
             si = _lookup(st["ids"], src)
-            share = st["r"][si] // st["deg"][si]
+            share = rv[si] // st["deg"][si]
             # exact int64 segment-sum by dst (bincount would go float64
             # and lose exactness past 2^53): cumsum over dst-sorted shares
             dst = b["dst"].to_numpy(np.int64)
@@ -173,13 +231,8 @@ def _pagerank_shuffle(edges_ds, node_ids, num_iters: int, scale: int,
     from .agg import partitioned_map_partitions
     from .join import bucket_hash_join
 
-    if not hasattr(node_ids, "map_batches"):
-        nodes_ds = rd.from_pandas(pd.DataFrame(
-            {"node": np.unique(np.asarray(node_ids, dtype=np.int64))}))
-    else:
-        nodes_ds = node_ids
     edges = edges_ds.materialize()
-    n = nodes_ds.count()
+    nodes_ds, n = _prepare_universe_ds(edges, node_ids, n_parts)
     base = scale // n
 
     # out-degree as a dataset: coarse-partition sum by src
@@ -258,8 +311,8 @@ def _pagerank_shuffle(edges_ds, node_ids, num_iters: int, scale: int,
 # ---------------------------------------------------------------------------
 
 def connected_components(edges_ds, node_ids, *, max_iters: int = 50,
-                         method: str = "auto",
-                         n_parts: int = 64) -> pd.DataFrame:
+                         method: str = "auto", n_parts: int = 64,
+                         num_buckets: int = 16) -> pd.DataFrame:
     """Undirected connected components → DataFrame(node, component), where
     ``component`` is the minimum node id of the component (the same
     min-label convention as dedup.py's union-find survivors).
@@ -286,7 +339,8 @@ def connected_components(edges_ds, node_ids, *, max_iters: int = 50,
     if method == "broadcast":
         return _cc_broadcast(edges_ds, node_ids, max_iters)
     if method == "shuffle":
-        return _cc_shuffle(edges_ds, node_ids, max_iters, n_parts)
+        return _cc_shuffle(edges_ds, node_ids, max_iters, n_parts,
+                           num_buckets)
     raise ValueError(method)
 
 
@@ -298,16 +352,20 @@ def _cc_broadcast(edges_ds, node_ids, max_iters: int) -> pd.DataFrame:
     ids = np.unique(np.asarray(node_ids, dtype=np.int64))
     labels = ids.copy()
     edges = edges_ds.materialize()
+    ids_ref = ray.put(ids)  # loop-invariant; only labels re-ship per round
+    converged = False
 
     for _ in range(max_iters):
-        ref = ray.put({"ids": ids, "labels": labels})
+        lab_ref = ray.put(labels)
 
-        def min_partial(b: pd.DataFrame, ref=ref) -> pd.DataFrame:
-            st = ray.get(ref)
+        def min_partial(b: pd.DataFrame, iref=ids_ref,
+                        lref=lab_ref) -> pd.DataFrame:
+            uids = ray.get(iref)
+            lab = ray.get(lref)
             src = b["src"].to_numpy(np.int64)
             dst = b["dst"].to_numpy(np.int64)
-            ls = st["labels"][_lookup(st["ids"], src)]
-            ld = st["labels"][_lookup(st["ids"], dst)]
+            ls = lab[_lookup(uids, src)]
+            ld = lab[_lookup(uids, dst)]
             # undirected: each endpoint proposes its label to the other
             node = np.concatenate([dst, src])
             cand = np.concatenate([ls, ld])
@@ -321,24 +379,22 @@ def _cc_broadcast(edges_ds, node_ids, max_iters: int) -> pd.DataFrame:
             idx = _lookup(ids, batch["node"].to_numpy(np.int64))
             np.minimum.at(new_labels, idx, batch["cand"].to_numpy(np.int64))
         if np.array_equal(new_labels, labels):
+            converged = True
             break
         labels = new_labels
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iters="
+            f"{max_iters} rounds (a component's diameter exceeds it) — "
+            f"raise max_iters; returning partial labels would be silently "
+            f"wrong")
     return pd.DataFrame({"node": ids, "component": labels})
 
 
 def _cc_shuffle(edges_ds, node_ids, max_iters: int,
-                n_parts: int) -> pd.DataFrame:
-    import ray.data as rd
-
+                n_parts: int, num_buckets: int = 16) -> pd.DataFrame:
     from .agg import partitioned_map_partitions
     from .join import bucket_hash_join
-
-    if not hasattr(node_ids, "map_batches"):
-        nodes_df = pd.DataFrame(
-            {"node": np.unique(np.asarray(node_ids, dtype=np.int64))})
-        nodes_ds = rd.from_pandas(nodes_df)
-    else:
-        nodes_ds = node_ids
 
     # undirected once: double the edge list up front
     def undirect(b: pd.DataFrame) -> pd.DataFrame:
@@ -348,6 +404,7 @@ def _cc_shuffle(edges_ds, node_ids, max_iters: int,
 
     edges = edges_ds.map_batches(
         undirect, batch_format="pandas").materialize()
+    nodes_ds, _ = _prepare_universe_ds(edges, node_ids, n_parts)
 
     def seed(m: pd.DataFrame) -> pd.DataFrame:
         m["label"] = m["node"]
@@ -363,15 +420,13 @@ def _cc_shuffle(edges_ds, node_ids, max_iters: int,
                     .groupby("node", as_index=False)["cand"].min())
 
         cands = bucket_hash_join(edges, labels, "src", "node",
-                                 num_buckets=16, post=prop_post)
+                                 num_buckets=num_buckets, post=prop_post)
 
         def min_combine(g: pd.DataFrame) -> pd.DataFrame:
             return g.groupby("node", as_index=False)["cand"].min()
 
         cand_ds = partitioned_map_partitions(cands, "node", min_combine,
                                              n_parts=n_parts)
-
-        changed = [0]
 
         def apply_min(m: pd.DataFrame) -> pd.DataFrame:
             lab = m["label"].to_numpy(np.int64)
@@ -387,7 +442,7 @@ def _cc_shuffle(edges_ds, node_ids, max_iters: int,
             return m[["node", "label", "__changed"]]
 
         merged = bucket_hash_join(labels, cand_ds, "node", "node",
-                                  num_buckets=16, how="left",
+                                  num_buckets=num_buckets, how="left",
                                   post=apply_min).materialize()
         n_changed = sum(
             int(b["__changed"].sum()) for b in
@@ -396,6 +451,12 @@ def _cc_shuffle(edges_ds, node_ids, max_iters: int,
         labels = merged.drop_columns(["__changed"]).materialize()
         if n_changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iters="
+            f"{max_iters} rounds (a component's diameter exceeds it) — "
+            f"raise max_iters; returning partial labels would be silently "
+            f"wrong")
     out = labels.to_pandas().rename(columns={"label": "component"})
     return out.sort_values("node").reset_index(drop=True)
 

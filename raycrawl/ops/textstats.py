@@ -228,7 +228,9 @@ def bigram_commonness(ds, id_col: str = "doc_id", text_col: str = "text"):
         for t in batch[text_col].fillna(""):
             t = t.strip()
             ws = _WS_SPLIT_RE.split(t) if t else []
-            freqs = [v["\x01".join(p)] for p in zip(ws, ws[1:])]
+            # .get like unigram_commonness: a top-K-capped broadcast
+            # table must score unseen bigrams as frequency 0, not raise
+            freqs = [v.get("\x01".join(p), 0) for p in zip(ws, ws[1:])]
             n_bg.append(len(freqs))
             sums.append(sum(freqs))
             novel.append(sum(1 for f in freqs if f == 1))

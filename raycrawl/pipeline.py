@@ -602,14 +602,17 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
 
 def _write_result_wave_table(results_dir: str, wave: int,
                              table: pa.Table) -> None:
-    d = os.path.join(results_dir, f"wave={wave}")
+    # zero-padded so lexicographic file order == wave order — readers
+    # reconstructing POP order (e.g. priority-crawl conformance) depend
+    # on it past wave 9 (review finding)
+    d = os.path.join(results_dir, f"wave={wave:06d}")
     os.makedirs(d, exist_ok=True)
     pq.write_table(table, os.path.join(d, "part-0.parquet"))
 
 
 def _write_seen_wave(seen_dir: str, wave: int,
                      rows: list[tuple[bytes, str, str, int, int, Optional[str]]]) -> None:
-    d = os.path.join(seen_dir, f"wave={wave}")
+    d = os.path.join(seen_dir, f"wave={wave:06d}")
     os.makedirs(d, exist_ok=True)
     cols = list(zip(*rows))
     t = pa.Table.from_arrays(

@@ -147,7 +147,10 @@ def write_warc(corpus_dir: str, out_dir: str) -> str:
 
     One Ray task per bucket file (file-granular side-effect IO — the same
     reason build_ivf_index uses tasks for its staging writes); resumable:
-    buckets with an existing archive newer than the marker are skipped.
+    a bucket whose archive file already exists is skipped — the write is
+    crash-atomic (tmp + os.replace), so an existing file is complete.
+    Callers key ``out_dir`` by corpus identity, so a stale archive from a
+    different corpus can't be mistaken for a finished bucket.
     """
     import ray
 
@@ -158,11 +161,12 @@ def write_warc(corpus_dir: str, out_dir: str) -> str:
     buckets = sorted(d for d in os.listdir(corpus_dir)
                      if d.startswith("host_bucket="))
     task = ray.remote(num_cpus=1)(write_warc_bucket)
-    refs = [
-        task.remote(os.path.join(corpus_dir, b),
-                    os.path.join(out_dir, f"{b.replace('=', '-')}.warc.gz"))
-        for b in buckets
-    ]
+    refs = []
+    for b in buckets:
+        out_path = os.path.join(out_dir, f"{b.replace('=', '-')}.warc.gz")
+        if os.path.exists(out_path):  # finished bucket from a prior run
+            continue
+        refs.append(task.remote(os.path.join(corpus_dir, b), out_path))
     total = sum(ray.get(refs))
     with open(done, "w") as f:
         f.write(str(total))

@@ -78,7 +78,6 @@ def test_corpus_warc_roundtrip_byte_identical(tmp_path):
     out = W.write_warc(corpus, str(tmp_path / "archives"))
     got = W.read_warc(out).to_pandas().sort_values("url").reset_index(drop=True)
 
-    want = pq.read_dataset = None  # noqa: avoid accidental use
     import pyarrow.dataset as pads
 
     orig = (pads.dataset(corpus, format="parquet", partitioning="hive")
