@@ -1230,6 +1230,15 @@ def _q_events_asof_sliced(sf_dir: str):
     return events_asof_sliced(sf_dir)
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Size-biased deterministic sampling: p = l_quantity/50 per row,
+    keyed by md5 of (orderkey, linenumber) — integer cross-multiplied,
+    reproducible across partitionings (ops/relational.py::weighted_sample)."""
+    from raycrawl.ops.relational import lineitem_weighted_sample
+
+    return lineitem_weighted_sample(sf_dir)
+
+
 def _q_events_hash_sample(sf_dir: str):
     from raycrawl.ops.relational import events_hash_sample
 
@@ -1707,6 +1716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_prev_purchase": _q_events_asof,
         "events_asof_sliced": _q_events_asof_sliced,
         "events_hash_sample": _q_events_hash_sample,
+        "lineitem_weighted_sample": _q_weighted_sample,
         "lineitem_distinct_flags": _q_distinct_flags,
         "dedup_survivors": _q_dedup_survivors,
         "dedup_survivors_quality": _q_dedup_survivors_quality,
@@ -2658,6 +2668,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, event_type FROM events "
             "WHERE ('0x'||substr(md5('s0'||CAST(user_id AS VARCHAR)),1,16))::UBIGINT "
             "% 100 < 10"
+        ),
+        # size-biased deterministic sampler: p = qty/50, decided by a
+        # 60-bit key hash, HUGEINT cross-multiply (no float threshold)
+        "lineitem_weighted_sample": (
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+            "WHERE ('0x'||substr(md5('w0'||CAST(l_orderkey AS VARCHAR)"
+            "||'-'||CAST(l_linenumber AS VARCHAR)),1,15))::UBIGINT::HUGEINT"
+            " * 50 < CAST(l_quantity AS BIGINT) "
+            " * CAST(1152921504606846976 AS HUGEINT)"
         ),
         # closed-form expected markdown of the generated .docx per row
         # (COALESCE mirrors the query side's `text or ''`, ADVICE r2)

@@ -559,6 +559,49 @@ def hash_sample(ds, key_col: str, percent: int, salt: str = "s0",
     return ds.map_batches(f, batch_format="pandas", batch_size=batch_size)
 
 
+def weighted_sample(ds, key_col: str, weight_col: str, weight_scale: int,
+                    salt: str = "w0", batch_size: int = 65536):
+    """Deterministic WEIGHTED sampling: keep a row with probability
+    weight/weight_scale, decided by ``md5(salt||key)`` — reproducible
+    across runs, partitionings and cluster sizes like ``hash_sample``,
+    but size-biased (the inclusion-probability-proportional-to-size
+    sampler used for importance-weighted corpus subsets). Integer-exact:
+    keep iff hash60 * weight_scale < weight * 2^60, evaluated in
+    arbitrary-precision Python ints and HUGEINT in the SQL oracle —
+    no float thresholds to drift."""
+    import hashlib as _hl
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        keep = [
+            int(_hl.md5(f"{salt}{k}".encode()).hexdigest()[:15], 16)
+            * weight_scale < int(w) * (1 << 60)
+            for k, w in zip(b[key_col], b[weight_col])
+        ]
+        return b[pd.Series(keep, index=b.index)]
+
+    return ds.map_batches(f, batch_format="pandas", batch_size=batch_size)
+
+
+def lineitem_weighted_sample(sf_dir: str, weight_scale: int = 50) -> pd.DataFrame:
+    """Size-biased lineitem sample: p = l_quantity / 50 per row, keyed by
+    (orderkey, linenumber)."""
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def with_key(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__k"] = (b["l_orderkey"].astype("int64").astype(str) + "-"
+                    + b["l_linenumber"].astype("int64").astype(str))
+        return b
+
+    keyed = li.map_batches(with_key, batch_format="pandas")
+    out = weighted_sample(keyed, "__k", "l_quantity", weight_scale).to_pandas()
+    out = out.drop(columns="__k").astype(
+        {"l_orderkey": "int64", "l_linenumber": "int64"})
+    return (out.sort_values(["l_orderkey", "l_linenumber"])
+            .reset_index(drop=True))
+
+
 def events_hash_sample(sf_dir: str, percent: int = 10) -> pd.DataFrame:
     """10% deterministic sample of events by user_id (all-or-nothing per
     user, so sampled users keep their complete event history)."""
