@@ -1230,6 +1230,44 @@ def _q_events_asof_sliced(sf_dir: str):
     return events_asof_sliced(sf_dir)
 
 
+def _q_corpus_report(sf_dir: str):
+    """The corpus datasheet in ONE streaming pass: doc/token/char counts,
+    empty-doc count and distinct-language count from a single map_batches
+    of mergeable partials (no per-metric re-scan — what a 100 TB corpus
+    report must look like)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raycrawl.ops.textstats import _WS_SPLIT_RE
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "lang"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b["text"].fillna("").str.strip()
+        toks = texts.apply(lambda t: len(_WS_SPLIT_RE.split(t)) if t else 0)
+        return pd.DataFrame({
+            "n_docs": [len(b)],
+            "n_tokens": [int(toks.sum())],
+            "n_chars": [int(texts.str.len().sum())],
+            "n_empty": [int((texts == "").sum())],
+            "langs": [",".join(sorted(set(b["lang"].fillna(""))))],
+        })
+
+    parts = docs.map_batches(partial, batch_format="pandas",
+                             batch_size=65536).to_pandas()
+    langs = set()
+    for s in parts["langs"]:
+        langs.update(x for x in s.split(",") if x)
+    return pd.DataFrame({
+        "n_docs": [int(parts["n_docs"].sum())],
+        "n_tokens": [int(parts["n_tokens"].sum())],
+        "n_chars": [int(parts["n_chars"].sum())],
+        "n_empty": [int(parts["n_empty"].sum())],
+        "n_langs": [len(langs)],
+    })
+
+
 def _q_weighted_sample(sf_dir: str):
     """Size-biased deterministic sampling: p = l_quantity/50 per row,
     keyed by md5 of (orderkey, linenumber) — integer cross-multiplied,
@@ -1717,6 +1755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_sliced": _q_events_asof_sliced,
         "events_hash_sample": _q_events_hash_sample,
         "lineitem_weighted_sample": _q_weighted_sample,
+        "corpus_report": _q_corpus_report,
         "lineitem_distinct_flags": _q_distinct_flags,
         "dedup_survivors": _q_dedup_survivors,
         "dedup_survivors_quality": _q_dedup_survivors_quality,
@@ -2668,6 +2707,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, event_type FROM events "
             "WHERE ('0x'||substr(md5('s0'||CAST(user_id AS VARCHAR)),1,16))::UBIGINT "
             "% 100 < 10"
+        ),
+        # one-pass corpus datasheet (token convention: 0 for blank text)
+        "corpus_report": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(CASE WHEN trim(COALESCE(text, '')) = '' THEN 0 "
+            " ELSE length(regexp_split_to_array(trim(text), '\\s+')) END) "
+            " AS BIGINT) AS n_tokens, "
+            "CAST(sum(length(trim(COALESCE(text, '')))) AS BIGINT) AS n_chars, "
+            "CAST(sum(CASE WHEN trim(COALESCE(text, '')) = '' THEN 1 ELSE 0 END) "
+            " AS BIGINT) AS n_empty, "
+            "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM documents"
         ),
         # size-biased deterministic sampler: p = qty/50, decided by a
         # 60-bit key hash, HUGEINT cross-multiply (no float threshold)
