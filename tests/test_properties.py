@@ -144,3 +144,64 @@ def test_dup_spans_reference_bounds(texts, L):
         assert fast == n_cov
         assert n_cov <= len(toks)
         assert (n_cov == 0) == (not starts)
+
+
+@given(st.lists(st.tuples(_host, st.binary(max_size=200)),
+                min_size=1, max_size=8, unique_by=lambda t: t[0]),
+       st.integers(min_value=0, max_value=10**15))
+@settings(max_examples=60, deadline=None)
+def test_warc_record_roundtrip_arbitrary_payloads(pages, ts_us):
+    """Any binary payload survives the WARC record framing byte-exactly,
+    and parse order == write order."""
+    from raycrawl import warc as W
+
+    raw = b"".join(
+        W.build_response_record(f"https://{h}/p.html", ts_us, body)
+        for h, body in pages)
+    got = list(W.parse_warc_records(raw))
+    assert [(u, t) for u, t, _ in got] == [
+        (f"https://{h}/p.html", (ts_us // 1_000_000) * 1_000_000)
+        for h, _ in pages]
+    assert [bytes(b) for _, _, b in got] == [body for _, body in pages]
+
+
+def test_pagerank_reference_mass_conservation():
+    """Floor division only LEAKS mass: scale*(1-eps) < sum(r) <= scale,
+    and the recurrence is deterministic across runs (pure ints)."""
+    import numpy as np
+    import pandas as pd
+
+    from tests.test_graph import _random_graph, reference_pagerank
+
+    for seed in (1, 2, 3):
+        edges, nodes = _random_graph(n=100, m=300, seed=seed)
+        r1 = reference_pagerank(edges, nodes, num_iters=4)
+        r2 = reference_pagerank(edges, nodes, num_iters=4)
+        pd.testing.assert_frame_equal(r1, r2)
+        total = int(r1["rank_fp"].sum())
+        # each of the 4 iterations floors at most 1 unit per node per
+        # division site (share, dang//n, final //100 → ≤3n per iter)
+        assert 10**12 - 12 * 100 * 100 < total <= 10**12
+
+
+@given(st.integers(min_value=0, max_value=10**6), st.data())
+@settings(max_examples=100, deadline=None)
+def test_weighted_sample_threshold_monotone_in_weight(key, data):
+    """For a fixed key, inclusion is monotone in weight (the integer
+    cross-multiplied threshold has no float cliffs), and weight_scale
+    keeps everything; 0 keeps nothing."""
+    import hashlib
+
+    scale = 50
+    h = int(hashlib.md5(f"w0{key}".encode()).hexdigest()[:15], 16)
+
+    def keep(w):
+        return h * scale < w * (1 << 60)
+
+    assert keep(scale)  # p = 1
+    assert not keep(0)  # p = 0
+    w = data.draw(st.integers(min_value=1, max_value=scale - 1))
+    if keep(w):
+        assert keep(w + 1)
+    else:
+        assert not keep(w - 1)
