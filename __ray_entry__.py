@@ -1230,6 +1230,32 @@ def _q_events_asof_sliced(sf_dir: str):
     return events_asof_sliced(sf_dir)
 
 
+def _q_link_degree_hist(sf_dir: str):
+    """Web-graph degree distribution: out-degree per page (0 for leaves)
+    → histogram. Distributed per-batch counts by src (map-side combine),
+    leaf count closed-form as |nodes| − |nodes with out-links|."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from raycrawl.ops.agg import aggregate_partials
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("src", as_index=False).size()
+        return g.rename(columns={"size": "deg"})
+
+    deg = aggregate_partials(_edges_dataset(sf_dir), partial,
+                             keys=["src"], agg_spec={"deg": "sum"})
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    hist = (deg.groupby("deg", as_index=False).size()
+            .rename(columns={"deg": "out_degree", "size": "n_nodes"}))
+    zero = pd.DataFrame({"out_degree": [0],
+                         "n_nodes": [n_docs - len(deg)]})
+    out = pd.concat([zero, hist], ignore_index=True)
+    out = out[out["n_nodes"] > 0].astype("int64")
+    return out.sort_values("out_degree").reset_index(drop=True)
+
+
 def _q_corpus_report(sf_dir: str):
     """The corpus datasheet in ONE streaming pass: doc/token/char counts,
     empty-doc count and distinct-language count from a single map_batches
@@ -1756,6 +1782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hash_sample": _q_events_hash_sample,
         "lineitem_weighted_sample": _q_weighted_sample,
         "corpus_report": _q_corpus_report,
+        "link_degree_hist": _q_link_degree_hist,
         "lineitem_distinct_flags": _q_distinct_flags,
         "dedup_survivors": _q_dedup_survivors,
         "dedup_survivors_quality": _q_dedup_survivors_quality,
@@ -2707,6 +2734,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, event_type FROM events "
             "WHERE ('0x'||substr(md5('s0'||CAST(user_id AS VARCHAR)),1,16))::UBIGINT "
             "% 100 < 10"
+        ),
+        # degree distribution of the lattice: out-degree of rank r is
+        # clamp(n-1-4r, 0, 4) per host
+        "link_degree_hist": (
+            "WITH ranked AS (SELECT doc_id, doc_id % 16 AS h, "
+            "  row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) - 1 AS rnk, "
+            "  count(*) OVER (PARTITION BY doc_id % 16) AS n FROM documents) "
+            "SELECT CAST(GREATEST(0, LEAST(4, n - 1 - 4*rnk)) AS BIGINT) AS out_degree, "
+            "CAST(count(*) AS BIGINT) AS n_nodes FROM ranked "
+            "GROUP BY 1 HAVING count(*) > 0"
         ),
         # one-pass corpus datasheet (token convention: 0 for blank text)
         "corpus_report": (
