@@ -88,3 +88,31 @@ def test_corpus_warc_roundtrip_byte_identical(tmp_path):
     assert got["html"].tolist() == orig["html"].tolist()  # byte-identical
     # WARC-Date is second-resolution; corpus timestamps are whole seconds
     assert got["warc_ts"].tolist() == orig["warc_ts"].tolist()
+
+
+def test_write_warc_resumes_per_bucket(tmp_path):
+    """A crashed run (no _DONE, some archives present) only rewrites the
+    missing buckets — existing archives are complete (atomic rename)."""
+    import time
+
+    corpus = cached_corpus("documents", sf_dir="/root/testdata/sf0.001")
+    out = str(tmp_path / "arch")
+    W.write_warc(corpus, out)
+    archives = sorted(f for f in os.listdir(out) if f.endswith(".warc.gz"))
+    assert len(archives) > 2
+    # simulate a crash: marker gone, one bucket missing
+    os.remove(os.path.join(out, "_DONE"))
+    os.remove(os.path.join(out, archives[0]))
+    kept_mtime = os.path.getmtime(os.path.join(out, archives[1]))
+    time.sleep(0.05)
+    W.write_warc(corpus, out)
+    assert os.path.exists(os.path.join(out, "_DONE"))
+    assert os.path.exists(os.path.join(out, archives[0]))  # rebuilt
+    # untouched bucket was NOT rewritten
+    assert os.path.getmtime(os.path.join(out, archives[1])) == kept_mtime
+    # and the full read still returns every page
+    n = W.read_warc(out).count()
+    import pyarrow.dataset as pads
+
+    orig = pads.dataset(corpus, format="parquet", partitioning="hive")
+    assert n == orig.count_rows()
