@@ -1360,7 +1360,7 @@ def _q_dedup_incremental(sf_dir: str):
         uniq = b["doc_id"] % 3 == 0
         text = b["text"].where(
             ~uniq, b["text"] + " uniq" + b["doc_id"].astype(str))
-        return pd.DataFrame({"doc_id": b["doc_id"] + 1_000_000,
+        return pd.DataFrame({"doc_id": b["doc_id"] + (1 << 40),
                              "text": text})
 
     new = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
@@ -2041,7 +2041,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # incremental-ingestion hash semi-join: new shard vs staged corpus
         "dedup_incremental": (
-            "WITH n AS (SELECT doc_id + 1000000 AS doc_id, "
+            "WITH n AS (SELECT doc_id + 1099511627776 AS doc_id, "
             "  CASE WHEN doc_id % 3 = 0 "
             "  THEN text || ' uniq' || CAST(doc_id AS VARCHAR) "
             "  ELSE text END AS text FROM documents) "
