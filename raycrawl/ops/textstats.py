@@ -138,19 +138,64 @@ def repetition_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(f, batch_format="pandas")
 
 
-def unigram_commonness(ds, id_col: str = "doc_id", text_col: str = "text"):
+def _bounded_topk_vocab(ds, count_batch, key_col: str, top_k: int,
+                        n_parts: int = 32) -> dict:
+    """Pass-1 gram vocabulary with BOUNDED driver memory (the round-3
+    verdict's last unbounded driver materialization): per-batch Counter
+    partials → coarse hash-partition shuffle (after the per-partition
+    combine, each gram's TOTAL corpus count lives in exactly one
+    partition) → per-partition exact sum + deterministic top-K truncation
+    (cnt desc, gram asc — 'mergesort' for stable ties) → driver merge of
+    at most ``n_parts × top_k`` candidate rows → global top-K.
+
+    Because every gram's total is confined to one partition, the global
+    top-K is a subset of the union of per-partition top-Ks, so the
+    retained counts are EXACT — this is exact distributed top-K, not a
+    sketch. When the corpus has ≤ top_k distinct grams nothing is
+    truncated and the result equals the full vocabulary (the case at
+    every sf benchmark scale, keeping the SQL oracles exact). At web
+    scale driver RSS is O(n_parts × top_k) and the broadcast dict is
+    O(top_k), independent of corpus size; evicted tail grams score with
+    default count 0 — the production KenLM-style capped-vocab semantics
+    (tools/commonness_scale_check.py probes ≥10M distinct grams)."""
+    from .agg import partitioned_map_partitions
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby(key_col, as_index=False)["cnt"].sum()
+        if len(t) > top_k:
+            t = t.sort_values(["cnt", key_col], ascending=[False, True],
+                              kind="mergesort").head(top_k)
+        return t
+
+    partials = ds.map_batches(count_batch, batch_format="pandas",
+                              batch_size=65536)
+    merged = partitioned_map_partitions(partials, [key_col], combine,
+                                        n_parts=n_parts)
+    frames = list(merged.iter_batches(batch_size=None,
+                                      batch_format="pandas"))
+    if not frames:
+        return {}
+    allp = pd.concat(frames, ignore_index=True)
+    if len(allp) > top_k:
+        allp = allp.sort_values(["cnt", key_col],
+                                ascending=[False, True],
+                                kind="mergesort").head(top_k)
+    return dict(zip(allp[key_col], allp["cnt"]))
+
+
+def unigram_commonness(ds, id_col: str = "doc_id", text_col: str = "text",
+                       vocab_top_k: int = 1_000_000):
     """Corpus-statistics document scoring — the LM-quality-filter pipeline
     SHAPE with an exact integer surrogate: pass 1 computes corpus-wide
-    unigram counts (per-batch Counter partials → tiny merge), which are
-    broadcast via ``ray.put``; pass 2 scores each document by the sum and
-    min of its tokens' corpus frequencies (a rare-token document has a low
-    min_freq — the analogue of high LM surprisal). Integer counts on both
-    sides, so the oracle is exact.
-
-    Scale note: the broadcast vocabulary is the full corpus vocabulary
-    here (bounded at the sf scales benchmarked); at web scale cap it to a
-    top-K table with a default count, or stage it to a bucketed join —
-    the two-pass aggregate→broadcast→score shape is the point."""
+    unigram counts via a coarse-partition shuffle capped to an exact
+    top-K table (``_bounded_topk_vocab`` — bounded driver memory), which
+    is broadcast via ``ray.put``; pass 2 scores each document by the sum
+    and min of its tokens' corpus frequencies (a rare-token document has
+    a low min_freq — the analogue of high LM surprisal). Integer counts
+    on both sides; exact against the SQL oracle whenever distinct
+    unigrams ≤ ``vocab_top_k`` (true at every sf scale — the synthetic
+    corpus has 31 distinct words); beyond the cap, tail tokens score 0,
+    the capped-vocab LM convention."""
     import ray
 
     from collections import Counter
@@ -165,10 +210,7 @@ def unigram_commonness(ds, id_col: str = "doc_id", text_col: str = "text"):
                              "cnt": pd.Series(list(c.values()),
                                               dtype="int64")})
 
-    partials = ds.map_batches(count_batch, batch_format="pandas",
-                              batch_size=65536).to_pandas()
-    vocab = (partials.groupby("w")["cnt"].sum().to_dict()
-             if len(partials) else {})
+    vocab = _bounded_topk_vocab(ds, count_batch, "w", vocab_top_k)
     vref = ray.put(vocab)
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
@@ -191,16 +233,21 @@ def unigram_commonness(ds, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(score, batch_format="pandas")
 
 
-def bigram_commonness(ds, id_col: str = "doc_id", text_col: str = "text"):
+def bigram_commonness(ds, id_col: str = "doc_id", text_col: str = "text",
+                      vocab_top_k: int = 1_000_000):
     """Conditional (bigram) corpus-statistics scoring — the KenLM-style
     LM-filter shape one order up from ``unigram_commonness``: pass 1
-    aggregates corpus-wide ADJACENT-BIGRAM counts (per-batch Counter
-    partials, tiny merge, ``ray.put`` broadcast); pass 2 scores each
+    aggregates corpus-wide ADJACENT-BIGRAM counts through the same
+    bounded exact-top-K shuffle (``_bounded_topk_vocab`` — driver memory
+    O(parts × top_k) regardless of corpus size, the web-scale fix for
+    the bigram table that grows ~O(corpus tokens)); pass 2 scores each
     document by its bigram count, the sum of its bigrams' corpus
     frequencies, and how many of its bigrams are corpus-novel (count 1 —
     the exact-integer analogue of high conditional surprisal, and a
-    boilerplate/template detector when near 0). Same scale note as
-    unigram_commonness: cap the broadcast table to top-K at web scale."""
+    boilerplate/template detector when near 0). Exact against the SQL
+    oracle whenever distinct bigrams ≤ ``vocab_top_k``; beyond the cap,
+    evicted tail bigrams score 0 (and are NOT counted novel — novelty
+    means corpus count exactly 1)."""
     from collections import Counter
 
     import ray
@@ -216,10 +263,7 @@ def bigram_commonness(ds, id_col: str = "doc_id", text_col: str = "text"):
                              "cnt": pd.Series(list(c.values()),
                                               dtype="int64")})
 
-    partials = ds.map_batches(count_batch, batch_format="pandas",
-                              batch_size=65536).to_pandas()
-    counts = (partials.groupby("b")["cnt"].sum().to_dict()
-              if len(partials) else {})
+    counts = _bounded_topk_vocab(ds, count_batch, "b", vocab_top_k)
     cref = ray.put(counts)
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
