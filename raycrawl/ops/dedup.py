@@ -1067,8 +1067,15 @@ def dedup_survivors(all_ids: "pd.Series | list[int]",
     label propagation over a pair Dataset (ops/graph.py
     connected_components — per-round edge passes, nothing driver-side).
     ``'auto'``: driver below _SURVIVORS_DRIVER_MAX_PAIRS pandas rows;
-    a Dataset ``pairs`` always takes the distributed path. Both produce
-    the identical min-label convention (equivalence-tested)."""
+    a Dataset ``pairs`` takes the distributed path (``method='driver'``
+    with a Dataset raises — collect to pandas first if the pair set is
+    known-small; silently ignoring the explicit request was ADVICE r3).
+    Both produce the identical min-label convention (equivalence-tested)."""
+    if hasattr(pairs, "map_batches") and method == "driver":
+        raise ValueError(
+            "dedup_survivors(method='driver') requires a pandas pair "
+            "table; got a Dataset — .to_pandas() it first (only if the "
+            "pair set is small) or use method='distributed'/'auto'")
     if hasattr(pairs, "map_batches") or (
             method == "auto" and len(pairs) > _SURVIVORS_DRIVER_MAX_PAIRS
     ) or method == "distributed":

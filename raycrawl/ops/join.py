@@ -21,6 +21,7 @@ import os
 import tempfile
 from typing import Optional
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -126,6 +127,15 @@ def bucket_hash_join(left_ds, right_ds, left_on: str, right_on: str,
         else:
             right = pa.concat_tables(
                 [pq.read_table(f) for f in files]).to_pandas()
+            if how == "left":
+                # unmatched left rows put NaN in right columns, which
+                # upcasts int64 → float64 and silently loses exactness
+                # past 2^53 (ADVICE r3: PageRank mass / node ids) —
+                # nullable Int64 keeps missing as pd.NA, so callers'
+                # fillna(0).astype(int64) stays bit-exact
+                for c in right.columns:
+                    if right[c].dtype == np.int64:
+                        right[c] = right[c].astype("Int64")
         merged = g.drop(columns="__bucket").merge(
             right, how=how, left_on=left_on, right_on=right_on)
         return post(merged) if post is not None else merged

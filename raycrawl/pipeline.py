@@ -246,9 +246,16 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
 
     t0 = time.time()
     # sha1 (not PYTHONHASHSEED-salted hash()) so resume=True with the default
-    # out_dir finds the previous run's checkpoint across processes
+    # out_dir finds the previous run's checkpoint across processes. The
+    # priority mode is part of the identity (ADVICE r3): resuming a BFS
+    # checkpoint into a priority crawl would yield a hybrid pop order
+    # (heap entries keep priorities computed by the old fn) — a different
+    # priority_fn must land in a different default out_dir.
+    prio_tag = ("bfs" if cfg.priority_fn is None else
+                f"{cfg.priority_fn.__module__}.{cfg.priority_fn.__qualname__}")
     cfg_key = hashlib.sha1(
-        f"{corpus_path}|{cfg.seed_url}|{cfg.max_depth}|{cfg.max_pages}".encode()
+        f"{corpus_path}|{cfg.seed_url}|{cfg.max_depth}|{cfg.max_pages}"
+        f"|{prio_tag}".encode()
     ).hexdigest()[:16]
     out_dir = cfg.out_dir or f"/tmp/raycrawl_run/{cfg_key}"
     results_dir = os.path.join(out_dir, "results")

@@ -33,12 +33,14 @@ per SURVEY §2.1; this is the corpus-backed equivalent for its input side.
 from __future__ import annotations
 
 import base64
+import glob
 import hashlib
 import os
 import zlib
 from typing import Optional
 
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 from .schema import PAGES
 
@@ -167,7 +169,17 @@ def write_warc(corpus_dir: str, out_dir: str) -> str:
         if os.path.exists(out_path):  # finished bucket from a prior run
             continue
         refs.append(task.remote(os.path.join(corpus_dir, b), out_path))
-    total = sum(ray.get(refs))
+    ray.get(refs)
+    # _DONE records the page total across ALL archives, not just the
+    # buckets this invocation wrote — after a per-bucket resume the
+    # summed task returns undercount (ADVICE r3). Recount from the corpus
+    # parquet metadata: each bucket's archive holds exactly its
+    # partition's rows (write_warc_bucket is crash-atomic), and metadata
+    # num_rows costs no data read.
+    total = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for b in buckets
+        for f in glob.glob(os.path.join(corpus_dir, b, "*.parquet")))
     with open(done, "w") as f:
         f.write(str(total))
     return out_dir

@@ -335,3 +335,21 @@ def test_priority_crawl_resumes_from_checkpoint():
                   for p in oracle.pages), key=lambda r: r["seq"])
     assert got == exp
     assert len(got) == 40
+
+
+def test_default_out_dir_separates_priority_modes():
+    """ADVICE r3: the default out_dir (cfg_key) must differ between a BFS
+    and a priority config on the same corpus/seed/caps — otherwise
+    resume=True could resume a BFS checkpoint into a priority crawl and
+    produce a hybrid pop order (heap entries keep the old fn's
+    priorities)."""
+    from raycrawl.gen_golden import url_priority
+
+    corpus_dir = cached_corpus("feature", **T2)
+    kw = dict(seed_url="https://h0.example/d0/p0.html", max_depth=1,
+              max_pages=4, wave_budget=4, num_shards=2,
+              respect_robots=False)
+    bfs = crawl(corpus_dir, CrawlConfig(**kw))
+    prio = crawl(corpus_dir, CrawlConfig(priority_fn=url_priority, **kw))
+    assert os.path.dirname(bfs.results_dir) != \
+        os.path.dirname(prio.results_dir)

@@ -200,3 +200,62 @@ def test_backlink_index_lookup(tmp_path):
     assert len(all_buckets) > 2  # index actually has many buckets
     # empty-target lookup returns an empty, well-typed dataset
     assert backlinks(idx, [], num_buckets=16).count() == 0
+
+
+def test_shuffle_cc_exact_above_2_53():
+    """ADVICE r3: the shuffle path's left joins used to round-trip int64
+    through float64 (NaN upcast), silently corrupting node ids above 2^53.
+    bucket_hash_join now keeps right-side integers as nullable Int64, so
+    hash-min label propagation stays bit-exact on huge ids."""
+    from raycrawl.ops.graph import connected_components
+
+    big = 1 << 60  # far past float64's 2^53 integer ceiling
+    # two components: {big+1, big+3, big+5} chained, {big+2, big+4}
+    # chained, plus an ISOLATED node (big+7): its unmatched left-join row
+    # is what used to upcast the whole bucket's cand column to float64,
+    # corrupting the MATCHED rows' odd ids too (num_buckets=1 forces
+    # co-bucketing, the worst case)
+    nodes = [big + k for k in (1, 2, 3, 4, 5, 7)]
+    edges = [(big + 1, big + 3), (big + 3, big + 5), (big + 2, big + 4)]
+    eds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = connected_components(eds, nodes, method="shuffle",
+                               n_parts=4, num_buckets=1)
+    comp = dict(zip(got["node"], got["component"]))
+    assert comp == {big + 1: big + 1, big + 3: big + 1, big + 5: big + 1,
+                    big + 2: big + 2, big + 4: big + 2,
+                    big + 7: big + 7}
+    # exactness of the values themselves (not just grouping): every label
+    # must be the exact odd/even int, which float64 cannot represent
+    assert all(isinstance(v, (int, np.integer)) for v in comp.values())
+
+
+def test_shuffle_pagerank_exact_above_2_53():
+    """Same ADVICE r3 exactness bar for the PageRank shuffle path: with
+    scale past 2^53 the contrib/rank integers exceed float64 precision;
+    the run must match the serial reference bit-for-bit."""
+    edges, nodes = _random_graph(n=40, m=150, seed=11, isolated=3)
+    # a node with NO inbound edges gets an unmatched contrib row in the
+    # rank-update left join — with num_buckets=1 its NaN used to upcast
+    # every co-bucketed rank past 2^53 through float64
+    no_inbound = 41
+    edges = [e for e in edges if e[1] != no_inbound] + [(no_inbound, 0)]
+    nodes = nodes + [no_inbound]
+    eds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    scale = 10 ** 18  # contribs ~2e16: past 2^53 ≈ 9e15, float64 spacing 4
+    want = reference_pagerank(edges, nodes, num_iters=3, scale=scale)
+    got = pagerank(eds, nodes, num_iters=3, scale=scale,
+                   method="shuffle", num_buckets=1, n_parts=4)
+    pd.testing.assert_frame_equal(
+        got.sort_values("node").reset_index(drop=True),
+        want.sort_values("node").reset_index(drop=True),
+        check_dtype=False, check_exact=True)
+
+
+def test_survivors_driver_with_dataset_raises():
+    """ADVICE r3: an explicit method='driver' with a Dataset pair set used
+    to be silently rerouted to the distributed path."""
+    from raycrawl.ops.dedup import dedup_survivors
+
+    pairs = rd.from_pandas(pd.DataFrame({"id_a": [1], "id_b": [2]}))
+    with pytest.raises(ValueError, match="driver"):
+        dedup_survivors([1, 2, 3], pairs, method="driver")

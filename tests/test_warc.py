@@ -54,8 +54,12 @@ def test_gzip_member_per_record_framing():
     blob = b"".join(W._gzip_member(r) for r in recs)
     members = list(W.iter_gzip_members(blob))
     assert members == recs
-    # whole-blob zlib decompress must also equal the concatenation
-    d = zlib.decompressobj(wbits=31)
+    # independent whole-blob check (ADVICE r3: the old decompressobj here
+    # was dead code): stdlib gzip.decompress concatenates ALL members, so
+    # it must reproduce the record concatenation without our member loop
+    import gzip
+
+    assert gzip.decompress(blob) == b"".join(recs)
     assert len(members) == 3
 
 
@@ -116,3 +120,6 @@ def test_write_warc_resumes_per_bucket(tmp_path):
 
     orig = pads.dataset(corpus, format="parquet", partitioning="hive")
     assert n == orig.count_rows()
+    # _DONE records the FULL page total, not just the resumed buckets
+    # (ADVICE r3: the old sum over this invocation's tasks undercounted)
+    assert int(open(os.path.join(out, "_DONE")).read()) == orig.count_rows()
