@@ -136,7 +136,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "q1_pricing_summary", "top_orders_by_revenue", "events_hourly",
              "events_sessionize", "text_quality", "dedup_embedding_pairs",
              "convert_docx", "convert_pdf", "text_pii_scrub", "search_bm25",
-             "cluster_kmeans", "image_png_features", "warc_extract",
+             "cluster_kmeans", "image_png_features", "image_jpeg_features",
+             "warc_extract",
              "link_pagerank", "crawl_delta"]
     out = {}
     for name in picks:

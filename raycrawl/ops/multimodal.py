@@ -1,15 +1,20 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Real image/audio codecs (PIL/ffmpeg/torchaudio) are not in this container,
-so the decode kernels are deterministic fakes behind ``decoder=`` hooks —
-but the Ray-side plumbing is real and sized for 100 TB: binary columns stay
-in ``batch_format="pyarrow"`` (zero-copy; never round-trip binary through
+PIL/ffmpeg/torchaudio are not in this container, but the image and audio
+paths are REAL anyway: PNG (ops/png.py, stdlib zlib codec), baseline JPEG
+(ops/jpeg.py, stdlib DCT entropy codec), raw int16 PCM audio and raw-RGB
+video need no external library. The deterministic fakes below remain only
+as (a) the hook contract documentation and (b) the stand-in for formats
+whose codecs are genuinely impossible offline (WEBP, MP3, H.264). The
+Ray-side plumbing is sized for 100 TB either way: binary columns stay in
+``batch_format="pyarrow"`` (zero-copy; never round-trip binary through
 pandas object dtype), stages are actor pools with small ``batch_size``
 (large payloads × concurrency must fit worker heaps, SURVEY.md R5), and
 outputs are fixed-width feature columns.
 
-Swap ``FakeImageDecoder`` for a PIL/torchvision decoder in ``__init__`` of
-the same actor class and nothing else changes.
+Swap ``FakeImageDecoder`` for ``png.PngDecoder`` / ``jpeg.JpegDecoder``
+(or PIL in production) in ``__init__`` of the same actor class and
+nothing else changes.
 """
 
 from __future__ import annotations

@@ -197,8 +197,9 @@ def png_decode(data: bytes) -> np.ndarray:
 
 class PngCodec:
     """Real-codec drop-in for multimodal.FakeImageCodec: PNG encodes are
-    genuine; other formats delegate to the deterministic stand-in (JPEG's
-    DCT entropy coding is out of scope offline)."""
+    genuine; JPEG delegates to the real baseline codec (ops/jpeg.py —
+    the round-4 upgrade that closed the last codec stand-in); anything
+    else (WEBP etc.) falls back to the deterministic stand-in."""
 
     def __init__(self, filter_type: "int | str" = "adaptive") -> None:
         from .multimodal import FakeImageCodec
@@ -208,6 +209,9 @@ class PngCodec:
     def encode(self, img: np.ndarray, format: str = "PNG") -> bytes:
         if format.upper() == "PNG":
             return png_encode(img, filter_type=self.filter_type)
+        if format.upper() in ("JPEG", "JPG"):
+            from .jpeg import jpeg_encode
+            return jpeg_encode(img, quality=75)
         return self._fallback.encode(img, format)
 
 
