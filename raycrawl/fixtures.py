@@ -97,6 +97,25 @@ def _body_features(host_idx: int, j: int, size_factor: int = 1) -> tuple[str, st
     if j % 12 == 0:
         parts.append(f'<p onclick="evil()" style="color:red" data-x="keep" '
                      f'aria-label="keep too">attribute cases {j}</p>')
+    # fixture-matrix r4 (VERDICT r3 item 7): make the html2text
+    # configured-subset boundary explicit for the remaining constructs
+    if j % 14 == 0:
+        parts.append(f"<dl><dt>Term {j}</dt><dd>definition {j}</dd>"
+                     f"<dt>Other</dt><dd>first</dd><dd>second</dd></dl>")
+    if j % 15 == 0:
+        parts.append(f"<pre>raw preformatted {j}\n  indented line</pre>")
+    if j % 16 == 0:
+        parts.append("<blockquote><p>quoted intro</p>"
+                     f"<table><tr><th>qk</th></tr><tr><td>{j}</td></tr>"
+                     "</table></blockquote>")
+    if j % 19 == 0:
+        # href under /skip/ so the inline-markup table exercises link
+        # RENDERING without adding a crawlable URL (the conformance
+        # corpus's frontier/budget numbers must not shift)
+        parts.append("<table><tr><th>Name</th><th>Link</th></tr>"
+                     f"<tr><td><strong>bold {j}</strong> tail</td>"
+                     f'<td><a href="/skip/ref{j}.html">ref</a> '
+                     f"<code>c{j}</code></td></tr></table>")
     # zipf-ish body sizes: size_factor scales a per-page deterministic
     # multiplier so a bench corpus spans ~2-64 KB pages (FIXTURES.md §1);
     # size_factor=1 keeps the original (golden) bodies byte-identical

@@ -10,6 +10,18 @@ deterministic spec (documented divergences live in the golden fixtures); the
 post-process chain in ``post_process_markdown`` follows the reference's regex
 sequence operation-for-operation.
 
+Spec boundary (fixture-matrix r4 — every construct below is frozen in
+goldens; anything outside it is undefined behavior vs real html2text):
+headings h1-h6, paragraphs, ul/ol with arbitrary nesting, tables (incl.
+inline markup in cells), blockquotes (incl. nesting, nested lists and
+nested tables), pre with or without <code> ([code] fences), definition
+lists (<dt> line + 4-space-indented <dd>), hr, links/images (incl. the
+image-in-link block form), inline em/strong/code, entities, CJK/emoji,
+attribute stripping. Known divergence class: html2text's body_width
+re-wrapping is vacuous here (body_width=0 configured) and its
+Unicode-snob punctuation substitutions are applied by the post-processor
+only where the reference chain does.
+
 Image enhancement (default alt='Image', title = src filename with query
 stripped) mirrors scraper.py:517-528; ``mark_code`` emits [code]/[/code]
 markers that the post-processor rewrites to fenced blocks, matching the
@@ -139,6 +151,11 @@ class _Renderer:
                     "\n".join("> " + ln if ln else ">" for ln in quoted.split("\n"))
                 )
             return
+        if tag == "dl":
+            rendered = self._render_dl(node)
+            if rendered:
+                self.blocks.append(rendered)
+            return
         if tag == "hr":
             self.blocks.append("* * *")
             return
@@ -187,6 +204,22 @@ class _Renderer:
         raw = target.get_text()
         raw = raw.strip("\n")
         return "[code]\n" + raw + "\n[/code]"
+
+    def _render_dl(self, node: Node) -> str:
+        """Definition lists (html2text convention, fixture-matrix r4):
+        each <dt> renders as its own line, each <dd> as a 4-space-indented
+        line below it; consecutive terms/definitions stack in one block."""
+        lines: list[str] = []
+        for c in node.children:
+            if c.tag == "dt":
+                text = re.sub(r" {2,}", " ", self.inline(c)).strip()
+                if text:
+                    lines.append(text)
+            elif c.tag == "dd":
+                text = re.sub(r" {2,}", " ", self.inline(c)).strip()
+                if text:
+                    lines.append("    " + text)
+        return "\n".join(lines)
 
     def _render_list(self, node: Node, depth: int) -> str:
         ordered = node.tag == "ol"

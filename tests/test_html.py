@@ -266,3 +266,43 @@ def test_markdown_links_images_hr_golden():
         == "use `f(x)` here"
     assert html_to_markdown("<p><strong>bold <em>and italic</em></strong> tail</p>") \
         == "**bold *and italic*** tail"
+
+
+def test_markdown_definition_list_golden():
+    """Fixture-matrix r4 (VERDICT r3 item 7): <dl> renders html2text-style
+    — terms on their own line, definitions 4-space indented."""
+    assert html_to_markdown(
+        "<dl><dt>Term A</dt><dd>def a</dd>"
+        "<dt>Term B</dt><dd>def b1</dd><dd>def b2</dd></dl>"
+    ) == "Term A\n    def a\nTerm B\n    def b1\n    def b2"
+    # inline markup inside dt/dd
+    assert html_to_markdown(
+        "<dl><dt><strong>K</strong></dt><dd>uses <code>f()</code></dd></dl>"
+    ) == "**K**\n    uses `f()`"
+
+
+def test_markdown_pre_without_code_golden():
+    assert html_to_markdown("<pre>raw text\n  indented\n\nblank kept</pre>") \
+        == "```\nraw text\n  indented\n\nblank kept\n```"
+
+
+def test_markdown_blockquote_table_golden():
+    assert html_to_markdown(
+        "<blockquote><p>quoted intro</p>"
+        "<table><tr><th>qk</th></tr><tr><td>7</td></tr></table></blockquote>"
+    ) == "> quoted intro\n>\n> | qk |\n> | --- |\n> | 7 |"
+
+
+def test_markdown_table_inline_markup_golden():
+    assert html_to_markdown(
+        "<table><tr><th>Name</th><th>Link</th></tr>"
+        '<tr><td><strong>bold</strong> tail</td>'
+        '<td><a href="/r">ref</a> <code>c</code></td></tr></table>'
+    ) == ("| Name | Link |\n| --- | --- |\n"
+          "| **bold** tail | [ref](/r) `c` |")
+
+
+def test_markdown_blockquote_nested_list_golden():
+    assert html_to_markdown(
+        "<blockquote>q<ul><li>i1</li><li>i2</li></ul></blockquote>"
+    ) == "> q\n>\n> * i1\n> * i2"
