@@ -69,12 +69,38 @@ class PageExtractor:
 
     ``include_raw_html=True`` appends the original page source as a
     ``raw_html`` column (the reference's opt-in rawHtml field,
-    models/response.py:23 / scraper.py:1343)."""
+    models/response.py:23 / scraper.py:1343).
+
+    ``cache_size > 0`` enables a per-actor LRU keyed
+    SHA-256(url | options) — the actor-held analogue of the reference's
+    shared TTL result cache (cache_service.py:37-99): a second pass over
+    the same corpus slice (or a repeated-URL workload) skips extraction
+    entirely. Per-ACTOR, so the hit rate scales with how often the same
+    url lands on the same actor (Ray Data task routing is
+    block-affine — a re-pass over the same blocks hits well); keyed by
+    url+options like the reference, which is sound because a corpus
+    slice is one snapshot (url → html is functional within a run — a
+    DIFFERENT snapshot must use a fresh pool, exactly as the reference's
+    TTL bounds staleness). ``cache_hits``/``cache_misses`` counters
+    surface the dedup-hit-rate metric."""
 
     def __init__(self, only_main: bool = True,
-                 include_raw_html: bool = False) -> None:
+                 include_raw_html: bool = False,
+                 cache_size: int = 0) -> None:
+        from collections import OrderedDict
+
         self.only_main = only_main
         self.include_raw_html = include_raw_html
+        self.cache_size = cache_size
+        self._cache: "OrderedDict[bytes, dict]" = OrderedDict()
+        self.cache_hits = 0
+        self.cache_misses = 0
+
+    def _cache_key(self, url: str) -> bytes:
+        import hashlib
+
+        return hashlib.sha256(
+            f"{url}|main={self.only_main}".encode()).digest()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -84,6 +110,16 @@ class PageExtractor:
 
         cols: dict[str, list] = {name: [] for name in EXTRACTED.names if name not in ("url", "warc_ts")}
         for url, html in zip(urls, htmls):
+            if self.cache_size > 0:
+                key = self._cache_key(url)
+                hit = self._cache.get(key)
+                if hit is not None:
+                    self._cache.move_to_end(key)
+                    self.cache_hits += 1
+                    for name, v in hit.items():
+                        cols[name].append(v)
+                    continue
+                self.cache_misses += 1
             try:
                 text = html.decode("utf-8", errors="replace") if isinstance(html, (bytes, bytearray)) else (html or "")
                 res = extract_page(url, text, only_main=self.only_main)
@@ -116,6 +152,10 @@ class PageExtractor:
                 cols["twitter_card"].append("{}")
                 cols["meta_data"].append('{"language": ""}')
                 cols["metadata_json"].append("{}")
+            if self.cache_size > 0:
+                self._cache[key] = {name: cols[name][-1] for name in cols}
+                if len(self._cache) > self.cache_size:
+                    self._cache.popitem(last=False)  # evict LRU
 
         arrays = [batch.column("url").cast(pa.string()), ts]
         for name in EXTRACTED.names:
@@ -139,16 +179,21 @@ def scrape_dataset(
     concurrency: Optional[int] = None,
     batch_size: int = 64,
     include_raw_html: bool = False,
+    cache_size: int = 0,
 ):
     """pages Dataset → extracted Dataset (the /scrape pipeline, SURVEY.md
-    §3.1 Ray shape). Modest batch_size because html rows can be MBs (R5)."""
+    §3.1 Ray shape). Modest batch_size because html rows can be MBs (R5).
+    ``cache_size`` enables the per-actor repeated-URL LRU (see
+    PageExtractor) — useful when the same slice is scraped repeatedly in
+    one session, the reference cache_service workload."""
     import ray.data  # local import: module must not force ray at import time
 
     kwargs: dict[str, Any] = dict(
         batch_format="pyarrow",
         batch_size=batch_size,
         fn_constructor_kwargs={"only_main": only_main,
-                               "include_raw_html": include_raw_html},
+                               "include_raw_html": include_raw_html,
+                               "cache_size": cache_size},
     )
     if concurrency is not None:
         kwargs["concurrency"] = concurrency

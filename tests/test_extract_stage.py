@@ -2,6 +2,7 @@
 
 import os
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
@@ -71,3 +72,62 @@ def test_scrape_to_parquet_resumable(tmp_path):
     r3 = scrape_to_parquet(corpus_dir, out, concurrency=2)
     assert r3["buckets_done"] == 1
     assert r3["rows"] == r1["rows"]
+
+
+def test_repeated_url_lru_skips_extraction():
+    """VERDICT r3 item 8: the per-actor LRU (reference
+    cache_service.py:37-99 analogue) must serve a second pass over the
+    same corpus slice from cache — identical output rows, zero second
+    extractions — and evict in LRU order when capacity is exceeded."""
+    import pyarrow as pa
+
+    from raycrawl.extract import PageExtractor
+    from raycrawl.fixtures import feature_corpus
+
+    corpus = feature_corpus(n_hosts=1, pages_per_host=12)
+    batch = corpus.select(["url", "warc_ts", "html"]).slice(0, 12)
+
+    ext = PageExtractor(cache_size=64)
+    first = ext(batch)
+    assert ext.cache_hits == 0 and ext.cache_misses == 12
+    second = ext(batch)
+    assert ext.cache_hits == 12 and ext.cache_misses == 12
+    assert second.equals(first)  # byte-identical rows from cache
+
+    # capacity 4 over 12 urls: a same-order re-pass misses every time
+    # (each url was evicted before its second appearance) — LRU, not random
+    small = PageExtractor(cache_size=4)
+    small(batch)
+    small(batch)
+    assert small.cache_hits == 0 and small.cache_misses == 24
+    assert len(small._cache) == 4
+
+    # options are part of the key: a main-only and a full-page extractor
+    # never share entries (different sha256(url|options))
+    a = PageExtractor(only_main=True, cache_size=8)
+    b = PageExtractor(only_main=False, cache_size=8)
+    assert a._cache_key("https://x/p") != b._cache_key("https://x/p")
+
+    # cache off by default: no counters move
+    off = PageExtractor()
+    off(batch)
+    off(batch)
+    assert off.cache_hits == 0 and off.cache_misses == 0
+
+
+def test_scrape_dataset_cache_size_plumbed():
+    """The pool constructor kwarg reaches the actors: a duplicated slice
+    through one actor yields cache-served rows equal to fresh rows."""
+    import ray.data as rd
+
+    from raycrawl.fixtures import feature_corpus
+
+    corpus = feature_corpus(n_hosts=1, pages_per_host=8)
+    t = corpus.select(["url", "warc_ts", "html"])
+    doubled = rd.from_arrow(pa.concat_tables([t, t]))
+    out = scrape_dataset(doubled, concurrency=1, batch_size=4,
+                         cache_size=32).to_pandas()
+    assert len(out) == 2 * t.num_rows
+    one = out.sort_values("url").groupby("url").nth(0).reset_index(drop=True)
+    two = out.sort_values("url").groupby("url").nth(1).reset_index(drop=True)
+    assert one.drop(columns=["warc_ts"]).equals(two.drop(columns=["warc_ts"]))
