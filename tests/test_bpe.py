@@ -1,0 +1,96 @@
+"""BPE tokenizer (raycrawl/ops/bpe.py): the distributed train+tokenize
+pipeline must agree with an INDEPENDENT serial implementation (different
+algorithm: full-text character training with in-order merge replay vs the
+engine's bounded word-table training with rank-argmax application), plus
+the Sennrich et al. worked example and structural properties."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from raycrawl.ops.bpe import (bpe_token_count, bpe_train,
+                              bpe_train_from_word_counts,
+                              bpe_tokenize_reference_serial,
+                              distributed_word_counts, _apply_merges, _EOW)
+
+
+def test_sennrich_worked_example():
+    """ACL'16 §3.2 shape: 'low'-family corpus. With counts low:5,
+    lower:2, newest:6, widest:3 the first merges join the frequent
+    suffix 'est</w>' family."""
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = bpe_train_from_word_counts(wc, 4)
+    assert merges[0] == ("e", "s")        # 9 occurrences, lexic. smallest
+    assert merges[1] == ("es", "t")       # 9
+    assert merges[2] == ("est", _EOW)     # 9
+    assert merges[3] == ("l", "o")        # 7
+    # tokenization under those merges
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert _apply_merges("newest", ranks) == ["n", "e", "w", "est</w>"]
+    assert _apply_merges("low", ranks) == ["lo", "w", _EOW]
+
+
+def test_engine_matches_independent_serial_reference():
+    rng = np.random.RandomState(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "alphabet", "better",
+             "gambit", "declaim", "alpine", "betray"]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(3, 30)))
+             for _ in range(200)]
+    texts += ["", "   "]  # empty/blank docs
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype="int64"),
+                       "text": texts})
+    ds = rd.from_pandas(df)
+
+    ref_merges, ref_counts = bpe_tokenize_reference_serial(texts, 40)
+    merges = bpe_train(ds, num_merges=40)
+    assert merges == ref_merges
+
+    got = (bpe_token_count(rd.from_pandas(df), merges).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["n_bpe_tokens"].tolist() == ref_counts
+
+
+def test_more_merges_never_increase_token_count():
+    texts = ["the cat sat on the mat", "the bat and the rat",
+             "concatenate the patterns"] * 10
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype="int64"),
+                       "text": texts})
+    prev = None
+    for k in (0, 5, 20, 60):
+        merges = bpe_train(rd.from_pandas(df), num_merges=k)
+        tot = int(bpe_token_count(rd.from_pandas(df), merges)
+                  .to_pandas()["n_bpe_tokens"].sum())
+        if prev is not None:
+            assert tot <= prev
+        prev = tot
+    # k=0: every word is chars + </w>
+    merges0 = bpe_train(rd.from_pandas(df), num_merges=0)
+    assert merges0 == []
+
+
+def test_zero_merges_token_count_closed_form():
+    texts = ["ab cde", "x"]
+    df = pd.DataFrame({"doc_id": [0, 1], "text": texts})
+    got = (bpe_token_count(rd.from_pandas(df), []).to_pandas()
+           .sort_values("doc_id"))
+    # chars + 1 (</w>) per word
+    assert got["n_bpe_tokens"].tolist() == [(2 + 1) + (3 + 1), 1 + 1]
+    assert got["n_words"].tolist() == [2, 1]
+
+
+def test_word_counts_bounded_and_exact():
+    texts = ["a a a b b c"] * 5
+    df = pd.DataFrame({"doc_id": np.arange(5, dtype="int64"),
+                       "text": texts})
+    wc = distributed_word_counts(rd.from_pandas(df))
+    assert wc == {"a": 15, "b": 10, "c": 5}
+    # top_k cap keeps the most frequent types, deterministically
+    capped = distributed_word_counts(rd.from_pandas(df), top_k=2)
+    assert capped == {"a": 15, "b": 10}
+
+
+def test_training_stops_on_singleton_pairs():
+    # every pair unique → nothing worth merging
+    wc = {"abc": 1, "def": 1}
+    assert bpe_train_from_word_counts(wc, 10) == []
