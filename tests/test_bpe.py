@@ -94,3 +94,23 @@ def test_training_stops_on_singleton_pairs():
     # every pair unique → nothing worth merging
     wc = {"abc": 1, "def": 1}
     assert bpe_train_from_word_counts(wc, 10) == []
+
+
+def test_incremental_trainer_equals_reference():
+    """The production incremental trainer (pair-delta + lazy heap) must
+    learn the identical merge sequence as the full-recount reference on
+    random word tables, including deep merge counts."""
+    from raycrawl.ops.bpe import bpe_train_incremental
+
+    rng = np.random.RandomState(11)
+    alpha = "abcdef"  # small alphabet → heavy pair collisions and ties
+    for trial in range(5):
+        wc = {}
+        while len(wc) < 300:
+            L = rng.randint(2, 12)
+            w = "".join(alpha[k] for k in rng.randint(0, len(alpha), L))
+            wc.setdefault(w, int(rng.randint(1, 50)))
+        for k in (5, 37, 120):
+            ref = bpe_train_from_word_counts(dict(wc), k)
+            fast = bpe_train_incremental(dict(wc), k)
+            assert fast == ref, (trial, k)
