@@ -48,6 +48,14 @@ _BLOCK_TAGS = frozenset(
 _SKIP_TAGS = frozenset({"script", "style", "iframe", "noscript", "head",
                         "title", "meta", "link", "base", "template"})
 _WS_RE = re.compile(r"[ \t\r\n\f]+")
+_MULTISPACE_RE = re.compile(r" {2,}")
+
+
+def _collapse_spaces(s: str) -> str:
+    # guard: the sub is a no-op unless a double space exists — most
+    # rendered lines have none, and the guard is a C-speed substring scan
+    # (re.sub calls were the top cost of extract_page, profiled round 4)
+    return _MULTISPACE_RE.sub(" ", s) if "  " in s else s
 
 
 def enhance_images(root: Node) -> None:
@@ -105,7 +113,7 @@ class _Renderer:
         """Inline content of a block element, whitespace-normalized."""
         text = "".join(self.inline(c) for c in node.children)
         # collapse spaces but keep explicit <br> newlines
-        lines = [re.sub(r" {2,}", " ", ln).strip() for ln in text.split("\n")]
+        lines = [_collapse_spaces(ln).strip() for ln in text.split("\n")]
         return "\n".join(lines).strip()
 
     # -- block rendering ---------------------------------------------------
@@ -164,7 +172,7 @@ class _Renderer:
             return
         # inline element floating at block level (span, a, img, text runs…):
         text = self.inline(node)
-        text = "\n".join(re.sub(r" {2,}", " ", ln).strip() for ln in text.split("\n")).strip()
+        text = "\n".join(_collapse_spaces(ln).strip() for ln in text.split("\n")).strip()
         if text:
             self.blocks.append(text)
 
@@ -176,7 +184,7 @@ class _Renderer:
             if run:
                 text = "".join(run)
                 text = "\n".join(
-                    re.sub(r" {2,}", " ", ln).strip() for ln in text.split("\n")
+                    _collapse_spaces(ln).strip() for ln in text.split("\n")
                 ).strip()
                 if text:
                     self.blocks.append(text)
@@ -212,11 +220,11 @@ class _Renderer:
         lines: list[str] = []
         for c in node.children:
             if c.tag == "dt":
-                text = re.sub(r" {2,}", " ", self.inline(c)).strip()
+                text = _collapse_spaces(self.inline(c)).strip()
                 if text:
                     lines.append(text)
             elif c.tag == "dd":
-                text = re.sub(r" {2,}", " ", self.inline(c)).strip()
+                text = _collapse_spaces(self.inline(c)).strip()
                 if text:
                     lines.append("    " + text)
         return "\n".join(lines)
@@ -242,7 +250,7 @@ class _Renderer:
                     inline_parts.append(self.inline_block(c))
                 else:
                     inline_parts.append(self.inline(c))
-            text = re.sub(r" {2,}", " ", "".join(inline_parts)).strip()
+            text = _collapse_spaces("".join(inline_parts)).strip()
             indent = "  " * depth
             if text:
                 lines.append(indent + marker + text)
@@ -258,7 +266,7 @@ class _Renderer:
             if not cells:
                 continue
             rendered = [
-                re.sub(r"\s+", " ", "".join(self.inline(cc) for cc in c.children)).strip()
+                _WS_RE.sub(" ", "".join(self.inline(cc) for cc in c.children)).strip()
                 for c in cells
             ]
             if not header and all(c.tag == "th" for c in cells):
@@ -365,10 +373,11 @@ def post_process_markdown(markdown: str) -> str:
     markdown = _LONELY_PUNCT_RE.sub("", markdown)
     markdown = _EXCESSIVE_NEWLINES_RE.sub("\n\n", markdown)
 
-    markdown = re.sub(r"\*\*Copy\n\[code\]", "Copy\n\n```", markdown)
-    markdown = re.sub(r"\[/code\]", "```", markdown)
-    markdown = re.sub(r"\[code\]", "```", markdown)
-    markdown = re.sub(r"\[/code\]", "```", markdown)
+    # literal patterns — plain str.replace, same semantics as the re.sub
+    markdown = markdown.replace("**Copy\n[code]", "Copy\n\n```")
+    markdown = markdown.replace("[/code]", "```")
+    markdown = markdown.replace("[code]", "```")
+    markdown = markdown.replace("[/code]", "```")
 
     markdown = _LONELY_PUNCT_RE.sub("", markdown)
     markdown = _EXCESSIVE_NEWLINES_RE.sub("\n\n", markdown)
@@ -378,7 +387,7 @@ def post_process_markdown(markdown: str) -> str:
     markdown = _EXCESSIVE_NEWLINES_RE.sub("\n\n", markdown)
 
     markdown = _LONELY_STAR_RE.sub("", markdown)
-    markdown = re.sub(r"\n{3,}", "\n\n", markdown)
+    markdown = _EXCESSIVE_NEWLINES_RE.sub("\n\n", markdown)
 
     return markdown.strip()
 
