@@ -829,6 +829,22 @@ def _q_image_png_features(sf_dir: str):
         .sort_values("image_id").reset_index(drop=True)
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Training-sequence packing (the last step of every LLM data
+    pipeline): greedy first-fit of docs into ≤256-token sequences within
+    128-doc shards — shard-local, deterministic, resumable. The SQL
+    oracle replays the greedy fold as a recursive CTE partitioned by
+    shard, so the packing decisions are value-checked exactly."""
+    import ray.data as rd
+
+    from raycrawl.ops.textstats import pack_sequences
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return pack_sequences(docs, max_tokens=256, shard_size=128) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 _BPE_MERGES = 40
 
 
@@ -1828,6 +1844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_backlinks": _q_link_backlinks,
         "text_bigram_commonness": _q_bigram_commonness,
         "text_bpe_tokens": _q_bpe_tokens,
+        "text_pack_sequences": _q_pack_sequences,
         "url_templates": _q_url_templates,
         "crawl_bfs": _q_crawl_bfs,
         "crawl_priority": _q_crawl_priority,
@@ -2014,6 +2031,31 @@ def oracle_sql() -> dict[str, str]:
     oracle_dir = _crawl_oracle_dir()
     bpe_dir = _bpe_oracle_dir()
     return {
+        # greedy first-fit sequence packing replayed as a per-shard
+        # recursive CTE — the same (seq, offset, fill) fold the engine's
+        # shard-local loop runs
+        "text_pack_sequences": (
+            "WITH RECURSIVE tok AS (SELECT doc_id, doc_id // 128 AS shard, "
+            "  CASE WHEN trim(COALESCE(text, '')) = '' THEN 1 "
+            "  ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n "
+            "  FROM documents), "
+            "ord AS (SELECT doc_id, shard, n, row_number() OVER "
+            "  (PARTITION BY shard ORDER BY doc_id) AS rn FROM tok), "
+            "acc AS ("
+            "  SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT) AS seq_local, "
+            "    CAST(0 AS BIGINT) AS off, n AS fill FROM ord WHERE rn = 1 "
+            "  UNION ALL "
+            "  SELECT o.shard, o.rn, o.doc_id, o.n, "
+            "    CASE WHEN a.fill + o.n <= 256 THEN a.seq_local "
+            "         ELSE a.seq_local + 1 END, "
+            "    CASE WHEN a.fill + o.n <= 256 THEN a.fill "
+            "         ELSE CAST(0 AS BIGINT) END, "
+            "    CASE WHEN a.fill + o.n <= 256 THEN a.fill + o.n ELSE o.n END "
+            "  FROM acc a JOIN ord o ON o.shard = a.shard "
+            "    AND o.rn = a.rn + 1) "
+            "SELECT doc_id, CAST(shard AS BIGINT) AS shard, seq_local, "
+            "off AS \"offset\", CAST(n AS BIGINT) AS n_tokens FROM acc"
+        ),
         # BPE tokenizer vs the independent serial reference, matched to
         # the registered documents view by (row count, total chars) —
         # both 500-row sf dirs exist, so count alone is ambiguous

@@ -609,3 +609,67 @@ def collocations(ds, k: int = 50, text_col: str = "text",
     return (cand.sort_values(["cnt", "w1", "w2"],
                              ascending=[False, True, True])
             .head(k).reset_index(drop=True))
+
+
+def pack_sequences(ds, id_col: str = "doc_id", text_col: str = "text",
+                   max_tokens: int = 256, shard_size: int = 512,
+                   n_parts: int = 32):
+    """Training-sequence packing — the step between a cleaned corpus and
+    a token-budgeted training shard (every LLM data pipeline ends here):
+    greedy first-fit of documents into sequences of ≤ ``max_tokens``
+    whitespace tokens, packed WITHIN doc-id shards of ``shard_size``
+    docs (the standard practice: packing is order-sequential, so it runs
+    shard-local — deterministic, embarrassingly parallel, and a resumed
+    run repacks identically).
+
+    Output: (doc_id, shard, seq_local, offset, n_tokens) — seq_local is
+    the sequence ordinal within the shard, offset the token position of
+    the doc inside its sequence. A doc longer than the budget opens its
+    own (overlong) sequence rather than being silently truncated —
+    callers decide whether to split or drop. Empty docs count 1 token
+    (the token_count convention, shared with the SQL oracle).
+
+    Scale shape: shards hash-route through coarse partitions
+    (``partitioned_map_partitions``); the per-shard greedy fold is a
+    trivial O(shard_size) loop over integers — no shuffle beyond the one
+    partition exchange, no driver state."""
+    from .agg import partitioned_map_partitions
+
+    def tok(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[text_col].fillna("").str.strip()
+        n = t.apply(lambda s: len(_WS_SPLIT_RE.split(s)) if s else 1)
+        return pd.DataFrame({
+            id_col: batch[id_col].astype("int64"),
+            "shard": (batch[id_col].astype("int64") // shard_size),
+            "n_tokens": n.astype("int64")})
+
+    def pack(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for shard, g in part.groupby("shard", sort=False):
+            g = g.sort_values(id_col)
+            ids = g[id_col].to_numpy()
+            ns = g["n_tokens"].to_numpy()
+            seq = np.empty(len(g), dtype=np.int64)
+            off = np.empty(len(g), dtype=np.int64)
+            cur_seq, fill = 0, 0
+            first = True
+            for i, n in enumerate(ns):
+                if first:
+                    cur_seq, fill = 0, int(n)
+                    seq[i], off[i] = 0, 0
+                    first = False
+                elif fill + n <= max_tokens:
+                    seq[i], off[i] = cur_seq, fill
+                    fill += int(n)
+                else:
+                    cur_seq += 1
+                    seq[i], off[i] = cur_seq, 0
+                    fill = int(n)
+            outs.append(pd.DataFrame({
+                id_col: ids, "shard": np.full(len(g), shard, dtype=np.int64),
+                "seq_local": seq, "offset": off, "n_tokens": ns}))
+        return pd.concat(outs, ignore_index=True)
+
+    tokens = ds.map_batches(tok, batch_format="pandas")
+    return partitioned_map_partitions(tokens, ["shard"], pack,
+                                      n_parts=n_parts)

@@ -1318,3 +1318,44 @@ def test_bigram_commonness_edge_docs():
     assert out.loc[3].tolist() == [3, 5, 1]
     # doc 4: (x,y) occurs once in the corpus → novel
     assert out.loc[4].tolist() == [1, 1, 1]
+
+
+def test_pack_sequences_properties():
+    """Greedy first-fit packing invariants: within every (shard, seq) the
+    docs are contiguous doc_id-ascending with offsets equal to the
+    running token sum; a sequence exceeds the budget only when it holds
+    exactly one (overlong) doc; a new sequence is opened only when the
+    previous one could not fit the next doc."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raycrawl.ops.textstats import pack_sequences
+
+    rng = np.random.RandomState(5)
+    texts = [" ".join("w" for _ in range(rng.randint(1, 120)))
+             for _ in range(400)]
+    texts[17] = " ".join("w" for _ in range(900))  # overlong doc
+    texts[33] = ""  # empty doc counts 1 token
+    df = pd.DataFrame({"doc_id": np.arange(400, dtype="int64"),
+                       "text": texts})
+    L = 200
+    out = (pack_sequences(rd.from_pandas(df), max_tokens=L, shard_size=64)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == 400
+    assert (out["shard"] == out["doc_id"] // 64).all()
+    for (shard, seq), g in out.groupby(["shard", "seq_local"]):
+        g = g.sort_values("doc_id")
+        # offsets are the running sum of token counts
+        assert g["offset"].tolist() == \
+            [0] + g["n_tokens"].cumsum().tolist()[:-1]
+        total = int(g["n_tokens"].sum())
+        if total > L:
+            assert len(g) == 1  # only an overlong singleton may exceed
+    # greedy: consecutive sequences in a shard couldn't be merged
+    for shard, g in out.groupby("shard"):
+        g = g.sort_values("doc_id")
+        seq_tot = g.groupby("seq_local")["n_tokens"].sum()
+        first_of_seq = g.drop_duplicates("seq_local").set_index("seq_local")
+        for s in range(1, int(g["seq_local"].max()) + 1):
+            assert seq_tot[s - 1] + first_of_seq.loc[s, "n_tokens"] > L
