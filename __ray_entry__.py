@@ -829,6 +829,23 @@ def _q_image_png_features(sf_dir: str):
         .sort_values("image_id").reset_index(drop=True)
 
 
+def _q_commonness_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail corpus partitioning (Wenzek et al.
+    2020): exact integer unigram-commonness score → exact corpus
+    terciles (two-pass distributed selection) → value-deterministic
+    bucket labels. The SQL oracle recomputes the score, reads the same
+    order statistics by row_number, and applies the identical ≤
+    comparisons."""
+    import ray.data as rd
+
+    from raycrawl.ops.textstats import commonness_buckets
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return commonness_buckets(docs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_pack_sequences(sf_dir: str):
     """Training-sequence packing (the last step of every LLM data
     pipeline): greedy first-fit of docs into ≤256-token sequences within
@@ -1845,6 +1862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bigram_commonness": _q_bigram_commonness,
         "text_bpe_tokens": _q_bpe_tokens,
         "text_pack_sequences": _q_pack_sequences,
+        "text_commonness_buckets": _q_commonness_buckets,
         "url_templates": _q_url_templates,
         "crawl_bfs": _q_crawl_bfs,
         "crawl_priority": _q_crawl_priority,
@@ -2031,6 +2049,33 @@ def oracle_sql() -> dict[str, str]:
     oracle_dir = _crawl_oracle_dir()
     bpe_dir = _bpe_oracle_dir()
     return {
+        # CCNet tercile partitioning: same score CTE as
+        # text_unigram_commonness, thresholds = exact order statistics at
+        # idx = q*(n-1)//3 (row_number convention matches the engine's
+        # exact_quantile_selection), value-deterministic <= comparisons
+        "text_commonness_buckets": (
+            "WITH w AS (SELECT doc_id, "
+            "  CASE WHEN trim(COALESCE(text, '')) = '' THEN [] "
+            "       ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks "
+            "  FROM documents), "
+            "t AS (SELECT doc_id, unnest(toks) AS w FROM w), "
+            "c AS (SELECT w, count(*) AS cnt FROM t GROUP BY w), "
+            "s AS (SELECT t.doc_id, sum(c.cnt) AS sum_freq FROM t "
+            "  JOIN c ON t.w = c.w GROUP BY t.doc_id), "
+            "sc AS (SELECT w.doc_id, CAST(COALESCE(s.sum_freq, 0) AS BIGINT) "
+            "  AS sum_freq FROM w LEFT JOIN s ON w.doc_id = s.doc_id), "
+            "rk AS (SELECT sum_freq, row_number() OVER (ORDER BY sum_freq) "
+            "  AS rn FROM sc), "
+            "n AS (SELECT count(*) AS n FROM sc), "
+            "t33 AS (SELECT sum_freq AS v FROM rk "
+            "  WHERE rn = (SELECT ((n - 1) * 1) // 3 + 1 FROM n)), "
+            "t66 AS (SELECT sum_freq AS v FROM rk "
+            "  WHERE rn = (SELECT ((n - 1) * 2) // 3 + 1 FROM n)) "
+            "SELECT doc_id, sum_freq, "
+            "CASE WHEN sum_freq <= (SELECT v FROM t33) THEN 'tail' "
+            "WHEN sum_freq <= (SELECT v FROM t66) THEN 'middle' "
+            "ELSE 'head' END AS bucket FROM sc"
+        ),
         # greedy first-fit sequence packing replayed as a per-shard
         # recursive CTE — the same (seq, offset, fill) fold the engine's
         # shard-local loop runs

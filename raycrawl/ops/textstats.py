@@ -673,3 +673,40 @@ def pack_sequences(ds, id_col: str = "doc_id", text_col: str = "text",
     tokens = ds.map_batches(tok, batch_format="pandas")
     return partitioned_map_partitions(tokens, ["shard"], pack,
                                       n_parts=n_parts)
+
+
+def commonness_buckets(ds, id_col: str = "doc_id", text_col: str = "text",
+                       vocab_top_k: int = 1_000_000):
+    """CCNet-style corpus partitioning (Wenzek et al. 2020 §4.3 — public
+    paper): score every document by LM-commonness (here the exact
+    integer unigram surrogate, ``unigram_commonness``), take exact
+    corpus terciles of the score, and label each doc head / middle /
+    tail (head = most corpus-common — CCNet's lowest-perplexity bucket).
+    The tercile thresholds are exact order statistics at
+    idx = q·(n−1) // 3 via the two-pass distributed selection
+    (``sketch.exact_quantile_selection`` — O(n_bins) driver memory);
+    ties classify by VALUE against the thresholds (≤ t33 → tail,
+    ≤ t66 → middle), so bucketing is deterministic and SQL-replayable.
+
+    The score table (3 int64 columns per doc) is materialized once so
+    the threshold pass and the labeling pass don't recompute scoring —
+    at web scale it is O(docs) fixed-width rows in the object store,
+    spillable."""
+    from .sketch import exact_quantile_selection
+
+    scored = unigram_commonness(ds, id_col=id_col, text_col=text_col,
+                                vocab_top_k=vocab_top_k).materialize()
+    qs = exact_quantile_selection(scored, "sum_freq", [(1, 3), (2, 3)])
+    t = {(int(r.q_num), int(r.q_den)): int(r.quantile_value)
+         for r in qs.itertuples()}
+    t33, t66 = t[(1, 3)], t[(2, 3)]
+
+    def label(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["sum_freq"].to_numpy()
+        bucket = np.where(v <= t33, "tail",
+                          np.where(v <= t66, "middle", "head"))
+        return pd.DataFrame({id_col: b[id_col],
+                             "sum_freq": b["sum_freq"],
+                             "bucket": bucket})
+
+    return scored.map_batches(label, batch_format="pandas")
