@@ -829,6 +829,27 @@ def _q_image_png_features(sf_dir: str):
         .sort_values("image_id").reset_index(drop=True)
 
 
+def _q_bpe_encode(sf_dir: str):
+    """The training-token product: corpus-trained BPE merges + the
+    deterministic vocab-id table → every document's subword-id sequence
+    (comma-joined for the exact string compare). Value-compared against
+    the independent serial reference's id sequences."""
+    import ray.data as rd
+
+    from raycrawl.ops.bpe import (bpe_encode, bpe_train_incremental,
+                                  build_vocab_ids, distributed_word_counts)
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    wc = distributed_word_counts(docs)
+    merges = bpe_train_incremental(wc, _BPE_MERGES)
+    vids = build_vocab_ids(wc, merges)
+    docs2 = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text"])
+    return bpe_encode(docs2, merges, vids).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_commonness_buckets(sf_dir: str):
     """CCNet-style head/middle/tail corpus partitioning (Wenzek et al.
     2020): exact integer unigram-commonness score → exact corpus
@@ -904,6 +925,9 @@ def _bpe_oracle_dir() -> str:
         texts = [x if x is not None else "" for x in
                  t.column("text").to_pylist()]
         _, counts = bpemod.bpe_tokenize_reference_serial(texts, _BPE_MERGES)
+        _, counts2, ids_csv = bpemod.bpe_encode_reference_serial(
+            texts, _BPE_MERGES)
+        assert counts == counts2
         nw = [len(ws.split(x.strip())) if x.strip() else 0 for x in texts]
         total_chars = sum(len(x) for x in texts)
         pq.write_table(
@@ -911,6 +935,7 @@ def _bpe_oracle_dir() -> str:
                 "doc_id": t.column("doc_id").cast(pa.int64()),
                 "n_bpe_tokens": pa.array(counts, pa.int64()),
                 "n_words": pa.array(nw, pa.int64()),
+                "ids_csv": pa.array(ids_csv, pa.string()),
                 "n_docs": pa.array([len(texts)] * len(texts), pa.int64()),
                 "total_chars": pa.array([total_chars] * len(texts),
                                         pa.int64())}),
@@ -1861,6 +1886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_backlinks": _q_link_backlinks,
         "text_bigram_commonness": _q_bigram_commonness,
         "text_bpe_tokens": _q_bpe_tokens,
+        "text_bpe_encode": _q_bpe_encode,
         "text_pack_sequences": _q_pack_sequences,
         "text_commonness_buckets": _q_commonness_buckets,
         "url_templates": _q_url_templates,
@@ -2106,6 +2132,14 @@ def oracle_sql() -> dict[str, str]:
         # both 500-row sf dirs exist, so count alone is ambiguous
         "text_bpe_tokens": (
             f"SELECT doc_id, n_bpe_tokens, n_words "
+            f"FROM read_parquet('{bpe_dir}/*.parquet') "
+            "WHERE n_docs = (SELECT count(*) FROM documents) "
+            "AND total_chars = (SELECT sum(length(COALESCE(text, ''))) "
+            "FROM documents)"
+        ),
+        # the id-emission path against the same serial reference
+        "text_bpe_encode": (
+            f"SELECT doc_id, n_bpe_tokens, ids_csv "
             f"FROM read_parquet('{bpe_dir}/*.parquet') "
             "WHERE n_docs = (SELECT count(*) FROM documents) "
             "AND total_chars = (SELECT sum(length(COALESCE(text, ''))) "

@@ -315,3 +315,111 @@ def bpe_tokenize_reference_serial(texts: "list[str]",
         ws = _WS_SPLIT_RE.split(t) if t else []
         counts.append(sum(len(type_seqs[w]) for w in ws))
     return merges, counts
+
+
+def bpe_encode_reference_serial(texts: "list[str]",
+                                num_merges: int) -> "tuple[list, list, list]":
+    """Serial reference for the id-emission path: same independent
+    training as ``bpe_tokenize_reference_serial`` (reimplemented here so
+    its type sequences are available), ids via the shared
+    ``build_vocab_ids`` convention. Returns (merges, counts, ids_csv)."""
+    from collections import Counter
+
+    words: Counter = Counter()
+    for t in texts:
+        t = (t or "").strip()
+        if t:
+            words.update(_WS_SPLIT_RE.split(t))
+    type_seqs = {w: list(w) + [_EOW] for w in words}
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pc: Counter = Counter()
+        for w, syms in type_seqs.items():
+            c = words[w]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        (a, b) = best[0]
+        merges.append((a, b))
+        for w, syms in type_seqs.items():
+            i = 0
+            out: list[str] = []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            type_seqs[w] = out
+    vids = build_vocab_ids(dict(words), merges)
+    counts, csv = [], []
+    for t in texts:
+        t = (t or "").strip()
+        ws = _WS_SPLIT_RE.split(t) if t else []
+        ids: list[int] = []
+        for w in ws:
+            ids.extend(vids.get(s, -1) for s in type_seqs[w])
+        counts.append(len(ids))
+        csv.append(",".join(map(str, ids)))
+    return merges, counts, csv
+
+
+# ---------------------------------------------------------------------------
+# token-id emission (the training-data product: text → id sequences)
+# ---------------------------------------------------------------------------
+
+def build_vocab_ids(word_counts: "dict[str, int]",
+                    merges: "list[tuple[str, str]]") -> "dict[str, int]":
+    """Deterministic token-string → id table: the base alphabet (sorted
+    distinct characters of the word table, then the end-of-word marker)
+    takes ids 0..A-1, each merge PRODUCT takes A+merge_index. Two merges
+    that produce the same string (e.g. ('a','bc') and ('ab','c')) map
+    the string to the LATER id — a pure convention, applied identically
+    by the engine and the serial oracle."""
+    alphabet = sorted({c for w in word_counts for c in w}) + [_EOW]
+    ids = {s: i for i, s in enumerate(alphabet)}
+    for j, (a, b) in enumerate(merges):
+        ids[a + b] = len(alphabet) + j
+    return ids
+
+
+def bpe_encode(ds, merges: "list[tuple[str, str]]",
+               vocab_ids: "dict[str, int]",
+               id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, n_bpe_tokens, ids_csv): the actual training-token
+    product — every document's subword-id sequence (comma-joined for an
+    exact string compare; a production sink would emit list<int32> and
+    feed ``pack_sequences``). Merge ranks + id table broadcast once;
+    per-batch word memo as in bpe_token_count. Symbols outside the
+    training alphabet encode as -1 (the documented UNK convention)."""
+    import ray
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    ref = ray.put((ranks, vocab_ids))
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        r, vids = ray.get(ref)
+        memo: dict[str, list[int]] = {}
+        n_tok, csv = [], []
+        for t in batch[text_col].fillna(""):
+            t = t.strip()
+            ws = _WS_SPLIT_RE.split(t) if t else []
+            ids: list[int] = []
+            for w in ws:
+                got = memo.get(w)
+                if got is None:
+                    got = [vids.get(s, -1) for s in _apply_merges(w, r)]
+                    memo[w] = got
+                ids.extend(got)
+            n_tok.append(len(ids))
+            csv.append(",".join(map(str, ids)))
+        return pd.DataFrame({id_col: batch[id_col],
+                             "n_bpe_tokens": pd.Series(n_tok, dtype="int64"),
+                             "ids_csv": csv})
+
+    return ds.map_batches(f, batch_format="pandas")

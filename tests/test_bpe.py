@@ -114,3 +114,28 @@ def test_incremental_trainer_equals_reference():
             ref = bpe_train_from_word_counts(dict(wc), k)
             fast = bpe_train_incremental(dict(wc), k)
             assert fast == ref, (trial, k)
+
+
+def test_encode_ids_match_serial_reference():
+    from raycrawl.ops.bpe import (bpe_encode, bpe_encode_reference_serial,
+                                  build_vocab_ids, distributed_word_counts)
+
+    rng = np.random.RandomState(3)
+    vocab = ["pack", "packet", "packing", "racket", "rocket", "socket"]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(1, 12)))
+             for _ in range(80)] + [""]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype="int64"),
+                       "text": texts})
+    ref_merges, ref_counts, ref_csv = bpe_encode_reference_serial(texts, 25)
+    wc = distributed_word_counts(rd.from_pandas(df))
+    merges = bpe_train(rd.from_pandas(df), num_merges=25)
+    assert merges == ref_merges
+    vids = build_vocab_ids(wc, merges)
+    got = (bpe_encode(rd.from_pandas(df), merges, vids).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["ids_csv"].tolist() == ref_csv
+    assert got["n_bpe_tokens"].tolist() == ref_counts
+    # ids are dense over the observed vocabulary: base chars then merges
+    all_ids = {int(x) for s in ref_csv if s for x in s.split(",")}
+    assert min(all_ids) >= 0  # training corpus == encode corpus: no UNK
+    assert max(all_ids) < len(vids)
