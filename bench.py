@@ -138,7 +138,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "convert_docx", "convert_pdf", "text_pii_scrub", "search_bm25",
              "cluster_kmeans", "image_png_features", "image_jpeg_features",
              "warc_extract",
-             "link_pagerank", "crawl_delta"]
+             "link_pagerank", "crawl_delta", "text_bpe_tokens",
+             "text_pack_sequences"]
     out = {}
     for name in picks:
         t0 = time.time()
