@@ -139,3 +139,47 @@ def test_encode_ids_match_serial_reference():
     all_ids = {int(x) for s in ref_csv if s for x in s.split(",")}
     assert min(all_ids) >= 0  # training corpus == encode corpus: no UNK
     assert max(all_ids) < len(vids)
+
+
+def test_build_training_shards_composition(tmp_path):
+    """End-to-end shard builder: token totals conserved vs
+    bpe_token_count, budget invariant per sequence, deterministic across
+    runs, shard-partitioned layout on disk."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from raycrawl.ops.bpe import bpe_token_count
+    from raycrawl.ops.training import build_training_shards
+
+    rng = np.random.RandomState(9)
+    vocab = ["alpha", "beta", "gamma", "delta", "omega"]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(2, 40)))
+             for _ in range(300)]
+    df = pd.DataFrame({"doc_id": np.arange(300, dtype="int64"),
+                       "text": texts})
+    out1 = str(tmp_path / "shards1")
+    man = build_training_shards(rd.from_pandas(df), out1, num_merges=30,
+                                max_tokens=128, shard_size=64)
+    assert man["shards"] == 5 and man["sequences"] > 5
+
+    merges = bpe_train(rd.from_pandas(df), num_merges=30)
+    per_doc = bpe_token_count(rd.from_pandas(df), merges).to_pandas()
+    assert man["tokens"] == int(per_doc["n_bpe_tokens"].sum())
+
+    files = glob.glob(os.path.join(out1, "shard=*", "*.parquet"))
+    t = pq_.read_table(files[0])
+    assert set(t.column_names) >= {"seq_local", "n_docs", "n_tokens",
+                                   "token_ids"}
+    allt = pq_.read_table(files)  # budget invariant across every shard
+    for n_tok, n_docs, ids in zip(allt.column("n_tokens").to_pylist(),
+                                  allt.column("n_docs").to_pylist(),
+                                  allt.column("token_ids").to_pylist()):
+        assert len(ids) == n_tok
+        assert n_tok <= 128 or n_docs == 1
+
+    out2 = str(tmp_path / "shards2")
+    man2 = build_training_shards(rd.from_pandas(df), out2, num_merges=30,
+                                 max_tokens=128, shard_size=64)
+    assert man2 == man  # deterministic end to end
