@@ -402,13 +402,22 @@ def convert_pdf(content: bytes) -> tuple[str, dict]:
                     (width * height, width * height * 3,
                      width * height * 4)):
                 # inflated FlateDecode payload IS raw 8-bit pixels →
-                # REAL re-encode through the stdlib PNG codec
-                # (ops/png.py); only DCT/JPX streams still go through
-                # the deterministic stand-in (no JPEG codec offline)
+                # REAL re-encode through the stdlib PNG codec (ops/png.py)
                 from .ops.png import PngCodec, RawPixelDecoder
                 encoded = encode_image(data, width, height, format=fmt,
                                        decoder=RawPixelDecoder(),
                                        codec=PngCodec())
+            elif fmt == "JPEG":
+                # DCTDecode stream IS a baseline JPEG → REAL decode +
+                # re-encode through the stdlib codec (ops/jpeg.py, r4);
+                # a width/height mismatch vs the image dict raises inside
+                # the hook and yields None — the reference's
+                # exception→None path (pdf_converter.py:176-210). Only
+                # JPX/CCITTFax remain on the deterministic stand-in.
+                from .ops.jpeg import JpegCodec, JpegDecoder
+                encoded = encode_image(data, width, height, format=fmt,
+                                       decoder=JpegDecoder(),
+                                       codec=JpegCodec())
             else:
                 encoded = encode_image(data, width or 16, height or 16,
                                        format=fmt)

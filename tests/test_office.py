@@ -236,20 +236,28 @@ def test_pdf_registry_and_convert_stage(tmp_path):
 
 def test_pdf_images_embedded_with_kb_budget():
     """M23 image path (VERDICT r2 item 3): XObject /Image streams →
-    filter dispatch → M26 encode_image (KB-budget resize + base64
-    data-URI), reference metadata keys; images_count counts EMBEDDED
-    images (pdf_converter.py:145-168)."""
+    filter dispatch → M26 encode_image (KB-budget + base64 data-URI),
+    reference metadata keys; images_count counts EMBEDDED images
+    (pdf_converter.py:145-168). Since r4 the DCTDecode leg is the REAL
+    codec: the embedded stream must BE a JPEG, and the emitted data-URI
+    round-trips through jpeg_decode."""
     import base64
+
+    import numpy as np
 
     from raycrawl.convert_pdf import convert_pdf
     from raycrawl.office_fixtures import build_pdf
+    from raycrawl.ops.jpeg import jpeg_decode, jpeg_encode
 
-    small = b"smallpix " * 100          # <500 KB → no resize
-    big = b"bigpixels " * 80_000        # ~781 KB raw → resize path
+    small = b"smallpix " * 100          # non-pixel FlateDecode → stand-in
+    y, x = np.mgrid[0:48, 0:64]
+    img = np.stack([((x + y) * 2) % 256, (x * 3) % 256, (y * 5) % 256],
+                   -1).astype(np.uint8)
+    jpg = jpeg_encode(img, quality=90)  # a REAL JPEG stream, under budget
     pdf = build_pdf(
         [["Page one body text."], ["Page two body text."]],
         images={0: [(40, 30, small, "FlateDecode")],
-                1: [(1000, 800, big, "DCTDecode")]})
+                1: [(64, 48, jpg, "DCTDecode")]})
     md, meta = convert_pdf(pdf)
     assert meta["pages"] == 2
     assert meta["images_count"] == 2
@@ -258,15 +266,29 @@ def test_pdf_images_embedded_with_kb_budget():
     # images precede the page's text (reference order: images→tables→text)
     assert md.index("image/png") < md.index("Page one body text.")
 
-    # exact KB-budget arithmetic on the resize path: 781.25 KB > 500 KB →
-    # scale=(500/cs)**0.5, dims int(w*s)/int(h*s), fake-JPEG size
-    # max(16, int(h'*w'*0.35))
+    # the jpeg URI is a genuine re-encode of the decoded stream
     uri = next(ln for ln in md.split("\n") if "image/jpeg" in ln)
     payload = base64.b64decode(uri.split("base64,")[1].rstrip(")"))
-    cs = len(big) / 1024
-    s = (500 / cs) ** 0.5
-    nw, nh = int(1000 * s), int(800 * s)
-    assert len(payload) == max(16, int(nh * nw * 0.35))
+    decoded = jpeg_decode(payload)
+    assert decoded.shape == (48, 64, 3)
+    assert np.abs(decoded.astype(int) - img.astype(int)).mean() < 6.0
+
+
+def test_pdf_dct_garbage_stream_skipped():
+    """A DCTDecode stream that is not a valid JPEG raises in the real
+    decoder → encode_image returns None → image skipped, the reference's
+    exception→None path. (The old fake codec happily 'decoded' garbage —
+    the real codec is stricter AND more reference-faithful.)"""
+    from raycrawl.convert_pdf import convert_pdf
+    from raycrawl.office_fixtures import build_pdf
+
+    pdf = build_pdf([["text survives."]],
+                    images={0: [(1000, 800, b"bigpixels " * 1000,
+                                 "DCTDecode")]})
+    md, meta = convert_pdf(pdf)
+    assert meta["images_count"] == 0
+    assert "image/jpeg" not in md
+    assert "text survives." in md
 
 
 def test_pdf_image_unknown_filter_skipped():
