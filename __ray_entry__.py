@@ -850,6 +850,58 @@ def _q_bpe_encode(sf_dir: str):
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def _minhash_index_dir(sf_dir: str) -> str:
+    """Staged corpus LSH index for the incremental near-dup probe, cached
+    by (documents parquet identity, dedup.py source) — the production
+    shape: the historical corpus is indexed once, every new crawl shard
+    probes it."""
+    import hashlib
+
+    import raycrawl.ops.dedup as dmod
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(path)
+    h = hashlib.sha1()
+    with open(dmod.__file__, "rb") as f:
+        h.update(f.read())
+    h.update(f"{path}|{st.st_size}|{st.st_mtime_ns}".encode())
+    return f"/tmp/raycrawl_minhash_idx/{h.hexdigest()[:12]}"
+
+
+def _q_dedup_incremental_near(sf_dir: str):
+    """Incremental NEAR-dup (the LSH sibling of dedup_incremental's exact
+    hash semi-join): a synthesized 'new' shard (every doc_id % 5 == 0
+    row, re-keyed +2^40, one novel token appended → Jaccard ≈ 0.97 to
+    its source) probes the staged corpus band index — reads only its
+    band keys' bucket partitions, never re-shuffling the corpus — then
+    exact-verifies candidates. Oracle = brute-force new × corpus 3-gram
+    Jaccard at the same threshold."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raycrawl.ops.dedup import build_minhash_index, minhash_probe_index
+
+    corpus = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+    idx = _minhash_index_dir(sf_dir)
+    build_minhash_index(corpus, idx)
+
+    def synth(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["doc_id"] % 5 == 0]
+        return pd.DataFrame({
+            "doc_id": b["doc_id"] + (1 << 40),
+            "text": b["text"].fillna("") + " znovel"
+            + b["doc_id"].astype(str)})
+
+    new = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"]).map_batches(
+        synth, batch_format="pandas")
+    corpus2 = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return minhash_probe_index(new, idx, corpus2, threshold=0.5) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def _q_commonness_buckets(sf_dir: str):
     """CCNet-style head/middle/tail corpus partitioning (Wenzek et al.
     2020): exact integer unigram-commonness score → exact corpus
@@ -1889,6 +1941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bpe_encode": _q_bpe_encode,
         "text_pack_sequences": _q_pack_sequences,
         "text_commonness_buckets": _q_commonness_buckets,
+        "dedup_incremental_near": _q_dedup_incremental_near,
         "url_templates": _q_url_templates,
         "crawl_bfs": _q_crawl_bfs,
         "crawl_priority": _q_crawl_priority,
@@ -2075,6 +2128,34 @@ def oracle_sql() -> dict[str, str]:
     oracle_dir = _crawl_oracle_dir()
     bpe_dir = _bpe_oracle_dir()
     return {
+        # incremental near-dup vs the staged index: brute-force
+        # new-shard × corpus 3-gram Jaccard at the probe's threshold
+        # (same shingle CTE + rational-Jaccard form as dedup_jaccard_pairs)
+        "dedup_incremental_near": (
+            "WITH nd AS (SELECT doc_id + 1099511627776 AS doc_id, "
+            "  COALESCE(text, '') || ' znovel' || CAST(doc_id AS VARCHAR) "
+            "  AS text FROM documents WHERE doc_id % 5 = 0), "
+            "wn AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] "
+            "  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks "
+            "  FROM nd), "
+            "wc AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] "
+            "  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks "
+            "  FROM documents), "
+            "sn AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN [] "
+            "  WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
+            "  ELSE list_distinct(list_transform(generate_series(1, len(toks)-2), "
+            "    i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) END AS s FROM wn), "
+            "sc2 AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN [] "
+            "  WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
+            "  ELSE list_distinct(list_transform(generate_series(1, len(toks)-2), "
+            "    i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) END AS s FROM wc), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "  len(list_intersect(a.s, b.s)) AS inter, len(a.s) + len(b.s) AS tot "
+            "  FROM sn a JOIN sc2 b ON TRUE), "
+            "j AS (SELECT id_a, id_b, CASE WHEN tot - inter = 0 THEN 1.0 "
+            "  ELSE CAST(inter AS DOUBLE) / (tot - inter) END AS jaccard_sim FROM p) "
+            "SELECT id_a, id_b, jaccard_sim FROM j WHERE jaccard_sim >= 0.5"
+        ),
         # CCNet tercile partitioning: same score CTE as
         # text_unigram_commonness, thresholds = exact order statistics at
         # idx = q*(n-1)//3 (row_number convention matches the engine's

@@ -1323,3 +1323,136 @@ def _dup_spans_shuffle(ds, L: int, id_col: str, text_col: str,
     unioned = dup_rows.union(markers)
     return partitioned_map_partitions(unioned, id_col, coverage,
                                       n_parts=n_parts)
+
+
+# ---------------------------------------------------------------------------
+# staged MinHash index: incremental near-dup of new shards vs the corpus
+# ---------------------------------------------------------------------------
+
+_BAND_KEY_MIX = 0x9E3779B97F4A7C15
+
+
+def _band_join_key(band: np.ndarray, band_hash: np.ndarray) -> np.ndarray:
+    """One int64 join key per (band, band_hash) row — the band id is
+    splitmix-mixed in so identical hashes in different bands never
+    co-bucket (a residual 64-bit collision is killed by exact verify)."""
+    with np.errstate(over="ignore"):
+        k = (band.astype(np.uint64) + np.uint64(1)) \
+            * np.uint64(_BAND_KEY_MIX)
+        k ^= k >> np.uint64(31)
+        k ^= band_hash.view(np.uint64) if band_hash.dtype == np.int64 \
+            else band_hash.astype(np.uint64)
+    return k.view(np.int64)
+
+
+def build_minhash_index(corpus_ds, index_dir: str, *,
+                        num_hashes: int = 128, bands: int = 32,
+                        ngram: int = 3, num_buckets: int = 64,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> None:
+    """Stage the corpus's LSH band table as bucket-partitioned Parquet —
+    the INCREMENTAL near-dup shape: at recrawl scale a new shard must not
+    re-shuffle the whole historical corpus per ingestion batch (the
+    self-join ops do exactly that, correctly, for one-shot dedup). Built
+    once behind a _DONE marker (partial builds are wiped and redone, the
+    build_text_index crash-safety convention); probes then read ONLY the
+    buckets their band keys hash into — IO proportional to the shard, not
+    the corpus. Same staging pattern as search.build_text_index /
+    knn.build_ivf_index / graph.build_backlink_index."""
+    import os
+    import shutil
+
+    done = os.path.join(index_dir, "_DONE")
+    if os.path.exists(done):
+        return
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir, ignore_errors=True)
+    B = num_buckets
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        key = _band_join_key(b["band"].to_numpy(),
+                             b["band_hash"].to_numpy())
+        b = b.rename(columns={id_col: "corpus_id"})
+        b["key"] = key
+        b["bucket"] = (key.view(np.uint64) % np.uint64(B)).astype("int32")
+        return b[["bucket", "key", "corpus_id"]]
+
+    rows = corpus_ds.map_batches(
+        MinHashStage, batch_format="pyarrow",
+        fn_constructor_kwargs=dict(num_hashes=num_hashes, bands=bands,
+                                   ngram=ngram, id_col=id_col,
+                                   text_col=text_col),
+        concurrency=4)
+    rows.map_batches(bucketize, batch_format="pandas").write_parquet(
+        index_dir, partition_cols=["bucket"])
+    with open(done, "w") as f:
+        f.write("ok")
+
+
+def minhash_probe_index(new_ds, index_dir: str, corpus_ds, *,
+                        threshold: float = 0.5, num_hashes: int = 128,
+                        bands: int = 32, ngram: int = 3,
+                        num_buckets: int = 64, id_col: str = "doc_id",
+                        text_col: str = "text"):
+    """New-shard near-dup probe against a staged corpus index: band keys
+    for the new docs → read ONLY the index buckets those keys occupy
+    (hive-partition pruning) → key join → distinct (id_a=new, id_b=corpus)
+    candidates → exact n-gram-Jaccard verify over the union (ids must be
+    disjoint across the two sides). MinHash parameters MUST match the
+    build's. Returns (id_a, id_b, jaccard_sim ≥ threshold)."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from .agg import partitioned_map_partitions
+    from .join import bucket_hash_join
+
+    B = num_buckets
+
+    def keyize(b: pd.DataFrame) -> pd.DataFrame:
+        key = _band_join_key(b["band"].to_numpy(),
+                             b["band_hash"].to_numpy())
+        b = b.rename(columns={id_col: "new_id"})
+        b["key"] = key
+        b["bucket"] = (key.view(np.uint64) % np.uint64(B)).astype("int32")
+        return b[["bucket", "key", "new_id"]]
+
+    probe = new_ds.map_batches(
+        MinHashStage, batch_format="pyarrow",
+        fn_constructor_kwargs=dict(num_hashes=num_hashes, bands=bands,
+                                   ngram=ngram, id_col=id_col,
+                                   text_col=text_col),
+        concurrency=2).map_batches(keyize, batch_format="pandas") \
+        .materialize()
+
+    needed: set[int] = set()
+    for b in probe.select_columns(["bucket"]).iter_batches(
+            batch_size=None, batch_format="pandas"):
+        needed.update(int(x) for x in b["bucket"].unique())
+    files = [f for k in sorted(needed) for f in sorted(
+        glob.glob(os.path.join(index_dir, f"bucket={k}", "*.parquet")))]
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64"),
+                          "jaccard_sim": pd.Series([], dtype="float64")})
+    if not files:
+        return rd.from_pandas(empty)
+    idx = rd.read_parquet(files, columns=["key", "corpus_id"])
+
+    def pair_post(m: pd.DataFrame) -> pd.DataFrame:
+        return (m[["new_id", "corpus_id"]].drop_duplicates()
+                .rename(columns={"new_id": "id_a", "corpus_id": "id_b"}))
+
+    cand = bucket_hash_join(probe.select_columns(["key", "new_id"]), idx,
+                            left_on="key", right_on="key",
+                            num_buckets=16, post=pair_post)
+
+    def drop_dup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates()
+
+    cand = partitioned_map_partitions(cand, ["id_a", "id_b"], drop_dup,
+                                      n_parts=16).materialize()
+    union = corpus_ds.select_columns([id_col, text_col]).union(
+        new_ds.select_columns([id_col, text_col]))
+    return verify_jaccard_pairs(union, cand, threshold, ngram=ngram,
+                                id_col=id_col, text_col=text_col)

@@ -1359,3 +1359,52 @@ def test_pack_sequences_properties():
         first_of_seq = g.drop_duplicates("seq_local").set_index("seq_local")
         for s in range(1, int(g["seq_local"].max()) + 1):
             assert seq_tot[s - 1] + first_of_seq.loc[s, "n_tokens"] > L
+
+
+def test_minhash_index_probe_incremental(tmp_path):
+    """Staged LSH index + new-shard probe: planted near-dups are all
+    found with exact Jaccard, disjoint shards produce no pairs, and the
+    probe reads ONLY the band buckets its keys occupy."""
+    import glob
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raycrawl.ops.dedup import build_minhash_index, minhash_probe_index
+
+    rng = np.random.RandomState(13)
+    vocab = [f"w{k}" for k in range(500)]
+    corpus_texts = [" ".join(rng.choice(vocab, size=40)) for _ in range(300)]
+    corpus = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(300, dtype="int64"), "text": corpus_texts}))
+    idx = str(tmp_path / "mhidx")
+    build_minhash_index(corpus, idx)
+    assert os.path.exists(os.path.join(idx, "_DONE"))
+
+    # new shard: 20 near-dups of corpus docs (one token changed) + 20
+    # unrelated docs from a disjoint vocabulary
+    new_rows = []
+    for i in range(20):
+        toks = corpus_texts[i * 7].split()
+        toks[3] = "zchanged"
+        new_rows.append((1000 + i, " ".join(toks), i * 7))
+    for i in range(20):
+        new_rows.append((2000 + i, " ".join(
+            f"q{k}" for k in rng.randint(0, 400, size=40)), -1))
+    new = rd.from_pandas(pd.DataFrame({
+        "doc_id": [r[0] for r in new_rows],
+        "text": [r[1] for r in new_rows]}))
+    out = minhash_probe_index(
+        new, idx, corpus, threshold=0.5).to_pandas()
+    got = {(a, b) for a, b in zip(out["id_a"], out["id_b"])}
+    for nid, _, src in new_rows[:20]:
+        assert (nid, src) in got  # every planted pair recovered
+    assert all(a < 2000 for a, _ in got)  # disjoint-vocab docs: no pairs
+    assert (out["jaccard_sim"] >= 0.5).all()
+
+    # pruning: the probe's needed buckets are a strict subset when the
+    # shard is small — count partition dirs vs buckets actually read
+    all_buckets = {d for d in os.listdir(idx) if d.startswith("bucket=")}
+    assert len(all_buckets) > 8  # the index is genuinely partitioned
