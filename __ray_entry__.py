@@ -850,6 +850,29 @@ def _q_bpe_encode(sf_dir: str):
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_corpus_mix(sf_dir: str):
+    """Source-weighted corpus mixing (the training-data recipe step):
+    synthetic sources web/books/code by doc_id % 3, kept at 90% / 50% /
+    20% via the deterministic md5-threshold sampler — integer-exact, so
+    the oracle replays the HUGEINT comparison bit-for-bit."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raycrawl.ops.relational import mix_sources
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        src = b["doc_id"].mod(3).map({0: "web", 1: "books", 2: "code"})
+        return pd.DataFrame({"doc_id": b["doc_id"], "source": src})
+
+    tagged = docs.map_batches(tag, batch_format="pandas")
+    out = mix_sources(tagged, {"web": 90, "books": 50, "code": 20},
+                      weight_scale=100)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _minhash_index_dir(sf_dir: str) -> str:
     """Staged corpus LSH index for the incremental near-dup probe, cached
     by (documents parquet identity, dedup.py source) — the production
@@ -1942,6 +1965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_pack_sequences": _q_pack_sequences,
         "text_commonness_buckets": _q_commonness_buckets,
         "dedup_incremental_near": _q_dedup_incremental_near,
+        "corpus_mix": _q_corpus_mix,
         "url_templates": _q_url_templates,
         "crawl_bfs": _q_crawl_bfs,
         "crawl_priority": _q_crawl_priority,
@@ -2128,6 +2152,19 @@ def oracle_sql() -> dict[str, str]:
     oracle_dir = _crawl_oracle_dir()
     bpe_dir = _bpe_oracle_dir()
     return {
+        # source-weighted mixing: same 60-bit md5 HUGEINT cross-multiply
+        # as lineitem_weighted_sample, per-source weights
+        "corpus_mix": (
+            "WITH t AS (SELECT doc_id, "
+            "  CASE doc_id % 3 WHEN 0 THEN 'web' WHEN 1 THEN 'books' "
+            "  ELSE 'code' END AS source, "
+            "  CASE doc_id % 3 WHEN 0 THEN 90 WHEN 1 THEN 50 "
+            "  ELSE 20 END AS w FROM documents) "
+            "SELECT doc_id, source FROM t "
+            "WHERE ('0x'||substr(md5('mix0'||CAST(doc_id AS VARCHAR)),1,15))"
+            "::UBIGINT::HUGEINT * 100 "
+            "< CAST(w AS BIGINT) * CAST(1152921504606846976 AS HUGEINT)"
+        ),
         # incremental near-dup vs the staged index: brute-force
         # new-shard × corpus 3-gram Jaccard at the probe's threshold
         # (same shingle CTE + rational-Jaccard form as dedup_jaccard_pairs)

@@ -839,3 +839,29 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
         ascending=[False, True, True]).head(k).reset_index(drop=True)
     return top[["l_orderkey", "revenue_cents", "o_orderdate",
                 "o_orderpriority"]]
+
+
+def mix_sources(ds, weights: "dict[str, int]", weight_scale: int,
+                source_col: str = "source", key_col: str = "doc_id",
+                salt: str = "mix0", batch_size: int = 65536):
+    """Deterministic source-weighted corpus MIXING — the RedPajama/Pile
+    'data recipe' step: every source keeps its rows with probability
+    weights[source]/weight_scale, decided by ``md5(salt||key)`` exactly
+    as ``weighted_sample`` (reproducible across runs, partitionings and
+    cluster sizes; consistent between tables sharing the key). Rows of a
+    source absent from ``weights`` are dropped — an explicit recipe is
+    the contract. Integer-exact (hash60·scale < w·2^60), so the SQL
+    oracle replays it bit-for-bit."""
+    import hashlib as _hl
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        keep = []
+        for k, s in zip(b[key_col], b[source_col]):
+            w = weights.get(s)
+            keep.append(
+                w is not None and
+                int(_hl.md5(f"{salt}{k}".encode()).hexdigest()[:15], 16)
+                * weight_scale < int(w) * (1 << 60))
+        return b[pd.Series(keep, index=b.index)]
+
+    return ds.map_batches(f, batch_format="pandas", batch_size=batch_size)

@@ -1408,3 +1408,29 @@ def test_minhash_index_probe_incremental(tmp_path):
     # shard is small — count partition dirs vs buckets actually read
     all_buckets = {d for d in os.listdir(idx) if d.startswith("bucket=")}
     assert len(all_buckets) > 8  # the index is genuinely partitioned
+
+
+def test_mix_sources_deterministic_and_explicit_recipe():
+    """Source mixing: rates land near the recipe per source, the result
+    is identical across runs and partitionings, and a source absent from
+    the recipe is dropped (explicit contract)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raycrawl.ops.relational import mix_sources
+
+    n = 3000
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype="int64"),
+        "source": np.where(np.arange(n) % 2 == 0, "web", "books")})
+    w = {"web": 75, "books": 25}
+    a = mix_sources(rd.from_pandas(df), w, 100).to_pandas()
+    b = mix_sources(rd.from_pandas(df).repartition(7), w, 100).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    rates = a.groupby("source").size() / (n / 2)
+    assert abs(rates["web"] - 0.75) < 0.05
+    assert abs(rates["books"] - 0.25) < 0.05
+    # unknown source → dropped
+    df2 = df.assign(source="unlisted")
+    assert len(mix_sources(rd.from_pandas(df2), w, 100).to_pandas()) == 0
