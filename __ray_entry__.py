@@ -850,6 +850,22 @@ def _q_bpe_encode(sf_dir: str):
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_corpus_shuffle(sf_dir: str):
+    """Deterministic global shuffle rank (reproducible epoch ordering):
+    rank = position in ascending md5(salt||doc_id), computed with
+    range-bucketed distributed ranking + a 256-entry driver offset table
+    — never a single-node global sort. Oracle = row_number over the same
+    md5 hex ordering."""
+    import ray.data as rd
+
+    from raycrawl.ops.relational import deterministic_shuffle_rank
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+    return deterministic_shuffle_rank(docs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_corpus_mix(sf_dir: str):
     """Source-weighted corpus mixing (the training-data recipe step):
     synthetic sources web/books/code by doc_id % 3, kept at 90% / 50% /
@@ -1966,6 +1982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_commonness_buckets": _q_commonness_buckets,
         "dedup_incremental_near": _q_dedup_incremental_near,
         "corpus_mix": _q_corpus_mix,
+        "corpus_shuffle": _q_corpus_shuffle,
         "url_templates": _q_url_templates,
         "crawl_bfs": _q_crawl_bfs,
         "crawl_priority": _q_crawl_priority,
@@ -2152,6 +2169,14 @@ def oracle_sql() -> dict[str, str]:
     oracle_dir = _crawl_oracle_dir()
     bpe_dir = _bpe_oracle_dir()
     return {
+        # deterministic shuffle: rank = row_number over the 64-bit md5
+        # hex prefix (same order as the engine's bucketed ranking)
+        "corpus_shuffle": (
+            "SELECT doc_id, CAST(row_number() OVER (ORDER BY "
+            "('0x'||substr(md5('sh0'||CAST(doc_id AS VARCHAR)),1,16))"
+            "::UBIGINT, doc_id) - 1 AS BIGINT) AS shuffle_rank "
+            "FROM documents"
+        ),
         # source-weighted mixing: same 60-bit md5 HUGEINT cross-multiply
         # as lineitem_weighted_sample, per-source weights
         "corpus_mix": (

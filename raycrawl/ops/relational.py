@@ -865,3 +865,69 @@ def mix_sources(ds, weights: "dict[str, int]", weight_scale: int,
         return b[pd.Series(keep, index=b.index)]
 
     return ds.map_batches(f, batch_format="pandas", batch_size=batch_size)
+
+
+def deterministic_shuffle_rank(ds, key_col: str = "doc_id",
+                               salt: str = "sh0", n_buckets: int = 256,
+                               batch_size: int = 65536):
+    """Deterministic GLOBAL shuffle order — reproducible training-epoch
+    shuffling: every row's ``shuffle_rank`` is its position in ascending
+    ``md5(salt||key)`` order (ties — practically impossible at 64 bits —
+    break by key). Unlike ``Dataset.random_shuffle`` the permutation is
+    identical across runs, partitionings and cluster sizes, and a new
+    epoch is just a new salt.
+
+    Scale shape (no global sort materialization on any single node):
+    the hash's top byte range-partitions rows into ``n_buckets`` ordered
+    buckets; pass 1 is a tiny per-bucket count aggregate whose prefix
+    sums (a 256-entry driver table) give each bucket its global rank
+    offset; pass 2 sorts WITHIN each bucket (coarse-partition shuffle,
+    one pandas argsort per bucket) and adds the offset. Exact:
+    ordering by (bucket, hash) equals ordering by hash."""
+    import hashlib as _hl
+
+    import ray
+
+    from .agg import aggregate_partials, partitioned_map_partitions
+
+    shift = 64 - (n_buckets - 1).bit_length()
+    if (1 << (64 - shift)) != n_buckets:
+        raise ValueError("n_buckets must be a power of two")
+
+    def hashed(b: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter(
+            (int(_hl.md5(f"{salt}{k}".encode()).hexdigest()[:16], 16)
+             for k in b[key_col]), dtype=np.uint64, count=len(b))
+        return pd.DataFrame({
+            key_col: b[key_col].astype("int64"),
+            "__h": h.view(np.int64),
+            "__bucket": (h >> np.uint64(shift)).astype("int64")})
+
+    hds = ds.map_batches(hashed, batch_format="pandas",
+                         batch_size=batch_size).materialize()
+
+    counts = aggregate_partials(
+        hds.select_columns(["__bucket"]).map_batches(
+            lambda b: b.assign(n=1), batch_format="pandas"),
+        lambda b: b.groupby("__bucket", as_index=False).agg(n=("n", "sum")),
+        keys=["__bucket"], agg_spec={"n": "sum"}, reduce="driver")
+    counts = counts.sort_values("__bucket")
+    offsets = dict(zip(counts["__bucket"],
+                       counts["n"].cumsum().shift(fill_value=0)))
+    oref = ray.put(offsets)
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(oref)
+        outs = []
+        for bk, sub in g.groupby("__bucket", sort=False):
+            order = np.lexsort((sub[key_col].to_numpy(),
+                                sub["__h"].to_numpy().view(np.uint64)))
+            rank = np.empty(len(sub), dtype=np.int64)
+            rank[order] = np.arange(len(sub), dtype=np.int64) \
+                + int(offs[bk])
+            outs.append(pd.DataFrame({key_col: sub[key_col].to_numpy(),
+                                      "shuffle_rank": rank}))
+        return pd.concat(outs, ignore_index=True)
+
+    return partitioned_map_partitions(hds, ["__bucket"], rank_part,
+                                      n_parts=min(64, n_buckets))

@@ -1434,3 +1434,28 @@ def test_mix_sources_deterministic_and_explicit_recipe():
     # unknown source → dropped
     df2 = df.assign(source="unlisted")
     assert len(mix_sources(rd.from_pandas(df2), w, 100).to_pandas()) == 0
+
+
+def test_deterministic_shuffle_rank_is_permutation():
+    """Global shuffle rank: a true permutation 0..n-1, identical across
+    partitionings and cluster layouts, different under a new salt (the
+    next epoch), and genuinely shuffled (not identity order)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from raycrawl.ops.relational import deterministic_shuffle_rank
+
+    n = 5000
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype="int64")})
+    a = deterministic_shuffle_rank(rd.from_pandas(df)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert sorted(a["shuffle_rank"]) == list(range(n))  # permutation
+    b = deterministic_shuffle_rank(rd.from_pandas(df).repartition(11)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)  # partition-invariant
+    c = deterministic_shuffle_rank(rd.from_pandas(df), salt="epoch1") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert not a["shuffle_rank"].equals(c["shuffle_rank"])  # new epoch
+    # not the identity and not sorted-by-id: genuinely permuted
+    assert (a["shuffle_rank"].to_numpy() != np.arange(n)).sum() > n // 2
