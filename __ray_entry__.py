@@ -850,6 +850,20 @@ def _q_bpe_encode(sf_dir: str):
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_split_overlong(sf_dir: str):
+    """Overlong-document windowing before packing: docs split into
+    consecutive 32-token pieces (token-boundary, last piece short) —
+    one row per piece, exact vs the SQL list_slice replay."""
+    import ray.data as rd
+
+    from raycrawl.ops.textstats import split_overlong
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return split_overlong(docs, max_tokens=32).to_pandas() \
+        .sort_values(["doc_id", "piece_idx"]).reset_index(drop=True)
+
+
 def _q_corpus_shuffle(sf_dir: str):
     """Deterministic global shuffle rank (reproducible epoch ordering):
     rank = position in ascending md5(salt||doc_id), computed with
@@ -1983,6 +1997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental_near": _q_dedup_incremental_near,
         "corpus_mix": _q_corpus_mix,
         "corpus_shuffle": _q_corpus_shuffle,
+        "text_split_overlong": _q_split_overlong,
         "url_templates": _q_url_templates,
         "crawl_bfs": _q_crawl_bfs,
         "crawl_priority": _q_crawl_priority,
@@ -2169,6 +2184,23 @@ def oracle_sql() -> dict[str, str]:
     oracle_dir = _crawl_oracle_dir()
     bpe_dir = _bpe_oracle_dir()
     return {
+        # overlong-doc windowing: list_slice token windows of 32
+        "text_split_overlong": (
+            "WITH w AS (SELECT doc_id, "
+            "  CASE WHEN trim(COALESCE(text, '')) = '' THEN [] "
+            "  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks "
+            "  FROM documents), "
+            "pieces AS (SELECT doc_id, unnest(list_transform("
+            "  generate_series(0, CAST(ceil(len(toks)/32.0) AS BIGINT) - 1), "
+            "  i -> struct_pack(i := i, p := array_to_string("
+            "    list_slice(toks, i*32+1, LEAST((i+1)*32, len(toks))), ' ')"
+            "))) AS u FROM w WHERE len(toks) > 0) "
+            "SELECT doc_id, CAST(u.i AS BIGINT) AS piece_idx, "
+            "CAST(len(regexp_split_to_array(u.p, '\\s+')) AS BIGINT) "
+            "AS n_tokens, u.p AS piece FROM pieces "
+            "UNION ALL "
+            "SELECT doc_id, 0, 0, '' FROM w WHERE len(toks) = 0"
+        ),
         # deterministic shuffle: rank = row_number over the 64-bit md5
         # hex prefix (same order as the engine's bucketed ranking)
         "corpus_shuffle": (

@@ -710,3 +710,37 @@ def commonness_buckets(ds, id_col: str = "doc_id", text_col: str = "text",
                              "bucket": bucket})
 
     return scored.map_batches(label, batch_format="pandas")
+
+
+def split_overlong(ds, id_col: str = "doc_id", text_col: str = "text",
+                   max_tokens: int = 256):
+    """Window overlong documents BEFORE packing: docs of more than
+    ``max_tokens`` whitespace tokens split into consecutive
+    ``max_tokens``-sized pieces (last piece short) — the companion to
+    ``pack_sequences``'s own-sequence-for-overlong policy when the
+    recipe prefers splitting to oversized sequences. Output one row per
+    piece: (doc_id, piece_idx, n_tokens, piece) with token-boundary
+    splits, exactly replayable in SQL via list_slice windows."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, pidx, ntok, piece = [], [], [], []
+        for i, t in zip(batch[id_col], batch[text_col].fillna("")):
+            t = t.strip()
+            ws = _WS_SPLIT_RE.split(t) if t else []
+            if not ws:
+                ids.append(i); pidx.append(0); ntok.append(0)
+                piece.append("")
+                continue
+            for k in range(0, len(ws), max_tokens):
+                chunk = ws[k:k + max_tokens]
+                ids.append(i)
+                pidx.append(k // max_tokens)
+                ntok.append(len(chunk))
+                piece.append(" ".join(chunk))
+        return pd.DataFrame({
+            id_col: pd.Series(ids, dtype="int64"),
+            "piece_idx": pd.Series(pidx, dtype="int64"),
+            "n_tokens": pd.Series(ntok, dtype="int64"),
+            "piece": piece})
+
+    return ds.map_batches(f, batch_format="pandas")

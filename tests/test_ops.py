@@ -1459,3 +1459,26 @@ def test_deterministic_shuffle_rank_is_permutation():
     assert not a["shuffle_rank"].equals(c["shuffle_rank"])  # new epoch
     # not the identity and not sorted-by-id: genuinely permuted
     assert (a["shuffle_rank"].to_numpy() != np.arange(n)).sum() > n // 2
+
+
+def test_split_overlong_windows():
+    """Overlong docs window into max_tokens pieces (last short), short
+    docs stay whole, empty docs yield one empty piece, and concatenating
+    pieces reproduces the original token stream."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raycrawl.ops.textstats import split_overlong
+
+    texts = [" ".join(f"t{k}" for k in range(75)),  # 3 pieces of 32/32/11
+             "a b c", "", None]
+    df = pd.DataFrame({"doc_id": [0, 1, 2, 3], "text": texts})
+    out = (split_overlong(rd.from_pandas(df), max_tokens=32).to_pandas()
+           .sort_values(["doc_id", "piece_idx"]).reset_index(drop=True))
+    g0 = out[out.doc_id == 0]
+    assert g0["n_tokens"].tolist() == [32, 32, 11]
+    assert " ".join(g0["piece"]) == texts[0]  # stream reproduced
+    assert out[out.doc_id == 1]["n_tokens"].tolist() == [3]
+    for d in (2, 3):
+        g = out[out.doc_id == d]
+        assert g["n_tokens"].tolist() == [0] and g["piece"].tolist() == [""]
