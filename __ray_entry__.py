@@ -31,17 +31,51 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
+# --- build-time ledger (VERDICT r4 item 2) ---------------------------------
+# One-off fixture/index cache builds are accounted here so bench.py can
+# report build_sec separately from steady-state query time — a source-keyed
+# cache miss (e.g. convert_pdf's 5,000-file fixture rebuild after a
+# converter edit) otherwise lands inside the timed query run.
+
+_BUILD_SEC = {"current": 0.0}
+
+
+def _timed_build():
+    import time as _time
+    from contextlib import contextmanager
+
+    @contextmanager
+    def cm():
+        t0 = _time.perf_counter()
+        try:
+            yield
+        finally:
+            _BUILD_SEC["current"] += _time.perf_counter() - t0
+
+    return cm()
+
+
+def pop_build_sec() -> float:
+    """Return and reset the build seconds accumulated since the last call
+    (bench.py calls this after each query to split build vs query time)."""
+    v = _BUILD_SEC["current"]
+    _BUILD_SEC["current"] = 0.0
+    return round(v, 3)
+
+
 def _docs_corpus(sf_dir: str) -> str:
     from raycrawl.fixtures import cached_corpus
 
-    return cached_corpus("documents", sf_dir=sf_dir)
+    with _timed_build():
+        return cached_corpus("documents", sf_dir=sf_dir)
 
 
 def _feature_corpus_dir() -> str:
     from raycrawl.fixtures import cached_corpus
     from raycrawl.gen_golden import T2
 
-    return cached_corpus("feature", **T2)
+    with _timed_build():
+        return cached_corpus("feature", **T2)
 
 
 def _crawl_oracle_dir() -> str:
@@ -70,9 +104,14 @@ def _crawl_oracle_dir() -> str:
     h.update(repr((_POLITE_SEEDS, sorted(_POLITE_KW.items()),
                    sorted(_PRIORITY_KW.items()))).encode())
     out_dir = f"/tmp/raycrawl_oracle/{h.hexdigest()[:12]}"
-    done = os.path.join(out_dir, "_DONE")
-    if os.path.exists(done):
+    from raycrawl.staging import atomic_build_dir, is_complete
+
+    if is_complete(out_dir):
         return out_dir
+    return atomic_build_dir(out_dir, _build_crawl_oracle)
+
+
+def _build_crawl_oracle(out_dir: str) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -80,7 +119,6 @@ def _crawl_oracle_dir() -> str:
     from raycrawl.gen_golden import CRAWL_KW, SEED, T2
     from raycrawl.oracle import crawl_oracle
 
-    os.makedirs(out_dir, exist_ok=True)
     res = crawl_oracle(feature_corpus(**T2), SEED, **CRAWL_KW)
     pq.write_table(
         pa.table({"seq": pa.array([p.seq for p in res.pages], pa.int64()),
@@ -118,9 +156,6 @@ def _crawl_oracle_dir() -> str:
                   "depth": pa.array([p.depth for p in prio_res.pages], pa.int32()),
                   "url": pa.array([p.url for p in prio_res.pages], pa.string())}),
         os.path.join(out_dir, "crawl_priority.parquet"))
-    with open(done, "w") as f:
-        f.write("ok")
-    return out_dir
 
 
 _POLITE_SEEDS = ["https://h0.example/d0/p0.html", "https://h1.example/d0/p0.html"]
@@ -424,7 +459,8 @@ def _q_link_backlinks(sf_dir: str):
             h.update(f.read())
     idx_dir = (f"/tmp/raycrawl_blidx/{os.path.basename(corpus)}_"
                f"{h.hexdigest()[:8]}")
-    G.build_backlink_index(_edges_dataset(sf_dir), idx_dir)
+    with _timed_build():
+        G.build_backlink_index(_edges_dataset(sf_dir), idx_dir)
     doc_ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                             columns=["doc_id"]).column("doc_id").to_pylist()
     targets = [d for d in doc_ids if d % 97 == 1]
@@ -928,7 +964,11 @@ def _q_dedup_incremental_near(sf_dir: str):
     its source) probes the staged corpus band index — reads only its
     band keys' bucket partitions, never re-shuffling the corpus — then
     exact-verifies candidates. Oracle = brute-force new × corpus 3-gram
-    Jaccard at the same threshold."""
+    Jaccard at the same threshold. Threshold 0.8 keeps every qualifying
+    pair deep in the 32-band × 4-row LSH s-curve's certain-recall region
+    (P[miss] = (1 - s^4)^32 ≤ 5e-8 at s = 0.8, vs ~13% at s = 0.5), so
+    the exact oracle cannot be failed by a recall miss under fixture
+    drift (ADVICE r4); minhash_probe_index documents the contract."""
     import pandas as pd
     import ray.data as rd
 
@@ -937,7 +977,8 @@ def _q_dedup_incremental_near(sf_dir: str):
     corpus = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                              columns=["doc_id", "text"])
     idx = _minhash_index_dir(sf_dir)
-    build_minhash_index(corpus, idx)
+    with _timed_build():
+        build_minhash_index(corpus, idx)
 
     def synth(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b["doc_id"] % 5 == 0]
@@ -951,7 +992,7 @@ def _q_dedup_incremental_near(sf_dir: str):
         synth, batch_format="pandas")
     corpus2 = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                               columns=["doc_id", "text"])
-    return minhash_probe_index(new, idx, corpus2, threshold=0.5) \
+    return minhash_probe_index(new, idx, corpus2, threshold=0.8) \
         .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -1015,39 +1056,41 @@ def _bpe_oracle_dir() -> str:
         h.update(f.read())
     h.update(str(_BPE_MERGES).encode())
     out_dir = f"/tmp/raycrawl_bpe_oracle/{h.hexdigest()[:12]}"
-    done = os.path.join(out_dir, "_DONE")
-    if os.path.exists(done):
+    from raycrawl.staging import atomic_build_dir, is_complete
+
+    if is_complete(out_dir):
         return out_dir
-    os.makedirs(out_dir, exist_ok=True)
     import re as _re
 
     ws = _re.compile(r"\s+")
-    for sf in ("0.001", "0.01", "0.1"):
-        path = f"/root/testdata/sf{sf}/documents.parquet"
-        if not os.path.exists(path):
-            continue
-        t = pq.read_table(path, columns=["doc_id", "text"])
-        texts = [x if x is not None else "" for x in
-                 t.column("text").to_pylist()]
-        _, counts = bpemod.bpe_tokenize_reference_serial(texts, _BPE_MERGES)
-        _, counts2, ids_csv = bpemod.bpe_encode_reference_serial(
-            texts, _BPE_MERGES)
-        assert counts == counts2
-        nw = [len(ws.split(x.strip())) if x.strip() else 0 for x in texts]
-        total_chars = sum(len(x) for x in texts)
-        pq.write_table(
-            pa.table({
-                "doc_id": t.column("doc_id").cast(pa.int64()),
-                "n_bpe_tokens": pa.array(counts, pa.int64()),
-                "n_words": pa.array(nw, pa.int64()),
-                "ids_csv": pa.array(ids_csv, pa.string()),
-                "n_docs": pa.array([len(texts)] * len(texts), pa.int64()),
-                "total_chars": pa.array([total_chars] * len(texts),
-                                        pa.int64())}),
-            os.path.join(out_dir, f"sf{sf}.parquet"))
-    with open(done, "w") as f:
-        f.write("ok")
-    return out_dir
+
+    def _build(tmp: str) -> None:
+        for sf in ("0.001", "0.01", "0.1"):
+            path = f"/root/testdata/sf{sf}/documents.parquet"
+            if not os.path.exists(path):
+                continue
+            t = pq.read_table(path, columns=["doc_id", "text"])
+            texts = [x if x is not None else "" for x in
+                     t.column("text").to_pylist()]
+            _, counts = bpemod.bpe_tokenize_reference_serial(texts,
+                                                             _BPE_MERGES)
+            _, counts2, ids_csv = bpemod.bpe_encode_reference_serial(
+                texts, _BPE_MERGES)
+            assert counts == counts2
+            nw = [len(ws.split(x.strip())) if x.strip() else 0 for x in texts]
+            total_chars = sum(len(x) for x in texts)
+            pq.write_table(
+                pa.table({
+                    "doc_id": t.column("doc_id").cast(pa.int64()),
+                    "n_bpe_tokens": pa.array(counts, pa.int64()),
+                    "n_words": pa.array(nw, pa.int64()),
+                    "ids_csv": pa.array(ids_csv, pa.string()),
+                    "n_docs": pa.array([len(texts)] * len(texts), pa.int64()),
+                    "total_chars": pa.array([total_chars] * len(texts),
+                                            pa.int64())}),
+                os.path.join(tmp, f"sf{sf}.parquet"))
+
+    return atomic_build_dir(out_dir, _build)
 
 
 def _q_bpe_tokens(sf_dir: str):
@@ -1351,8 +1394,17 @@ def _q_knn_ivf(sf_dir: str):
         f"{path}|{st.st_mtime_ns}|{st.st_size}|16".encode()).hexdigest()[:12]
     import pyarrow.parquet as pq
 
+    from raycrawl.ops.knn import build_ivf_index
+    from raycrawl.staging import is_complete
+
+    index_dir = f"/tmp/raycrawl_ivf/q_{key}"
+    if not is_complete(index_dir):
+        with _timed_build():
+            build_ivf_index(
+                emb, index_dir, nlist=16,
+                cardinality_hint=pq.ParquetFile(path).metadata.num_rows)
     return knn_ivf(emb, query_ids=list(range(10)), k=10, nlist=16, nprobe=16,
-                   index_dir=f"/tmp/raycrawl_ivf/q_{key}",
+                   index_dir=index_dir,
                    cardinality_hint=pq.ParquetFile(path).metadata.num_rows)
 
 
@@ -1672,22 +1724,23 @@ def _office_fixture_query(sf_dir: str, kind: str, build_row,
     h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
     tag = os.path.basename(os.path.normpath(sf_dir))
     files_dir = f"/tmp/raycrawl_{kind}/{tag}_{h.hexdigest()[:12]}"
-    done = os.path.join(files_dir, "_DONE")
-    if not os.path.exists(done):
-        os.makedirs(files_dir, exist_ok=True)
+    from raycrawl.staging import atomic_build_dir, is_complete
 
-        def write_files(b: "pd.DataFrame") -> "pd.DataFrame":
-            for doc_id, text in zip(b["doc_id"], b["text"]):
-                with open(os.path.join(files_dir, f"doc{doc_id}.{kind}"),
-                          "wb") as f:
-                    f.write(build_row(int(doc_id), text))
-            return pd.DataFrame({"n": [len(b)]})
+    if not is_complete(files_dir):
+        def _build(tmp: str) -> None:
+            def write_files(b: "pd.DataFrame") -> "pd.DataFrame":
+                for doc_id, text in zip(b["doc_id"], b["text"]):
+                    with open(os.path.join(tmp, f"doc{doc_id}.{kind}"),
+                              "wb") as f:
+                        f.write(build_row(int(doc_id), text))
+                return pd.DataFrame({"n": [len(b)]})
 
-        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                        columns=["doc_id", "text"]).map_batches(
-            write_files, batch_format="pandas", batch_size=512).count()
-        with open(done, "w") as f:
-            f.write("ok")
+            rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text"]).map_batches(
+                write_files, batch_format="pandas", batch_size=512).count()
+
+        with _timed_build():
+            atomic_build_dir(files_dir, _build)
 
     ds = rd.read_binary_files(files_dir, include_paths=True,
                               file_extensions=[kind])
@@ -1820,9 +1873,10 @@ def _q_index_lookup(sf_dir: str):
         f"{path}|{st.st_mtime_ns}|{st.st_size}|64".encode()).hexdigest()[:12]
     index_dir = f"/tmp/raycrawl_txtidx/q_{key}"
     docs = rd.read_parquet(path, columns=["doc_id", "text"])
-    build_text_index(
-        docs, index_dir, num_buckets=64,
-        cardinality_hint=pq.ParquetFile(path).metadata.num_rows)
+    with _timed_build():
+        build_text_index(
+            docs, index_dir, num_buckets=64,
+            cardinality_hint=pq.ParquetFile(path).metadata.num_rows)
     return index_postings(index_dir, _BM25_TERMS).to_pandas() \
         .sort_values(["term", "doc_id"]).reset_index(drop=True)
 
@@ -2248,7 +2302,7 @@ def oracle_sql() -> dict[str, str]:
             "  FROM sn a JOIN sc2 b ON TRUE), "
             "j AS (SELECT id_a, id_b, CASE WHEN tot - inter = 0 THEN 1.0 "
             "  ELSE CAST(inter AS DOUBLE) / (tot - inter) END AS jaccard_sim FROM p) "
-            "SELECT id_a, id_b, jaccard_sim FROM j WHERE jaccard_sim >= 0.5"
+            "SELECT id_a, id_b, jaccard_sim FROM j WHERE jaccard_sim >= 0.8"
         ),
         # CCNet tercile partitioning: same score CTE as
         # text_unigram_commonness, thresholds = exact order statistics at

@@ -141,14 +141,24 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "link_pagerank", "crawl_delta", "text_bpe_tokens",
              "text_pack_sequences"]
     out = {}
+    builds = {}
+    entrymod.pop_build_sec()  # reset any ledger left by earlier phases
     for name in picks:
         t0 = time.time()
         res = q[name](sf_dir)
         # force lazy results
         if hasattr(res, "count") and not hasattr(res, "shape"):
             res.count()
-        out[name] = round(time.time() - t0, 3)
-    return out
+        wall = time.time() - t0
+        # one-off fixture/index cache builds (source-keyed; rebuilt only
+        # when converter/index sources change) are ledgered inside
+        # __ray_entry__ and reported separately — the steady-state query
+        # time is what recurs run-to-run (VERDICT r4 item 2)
+        b = entrymod.pop_build_sec()
+        if b > 0.05:
+            builds[name] = b
+        out[name] = round(max(0.0, wall - b), 3)
+    return {"queries": out, "build_sec": builds}
 
 
 def main() -> None:
@@ -163,12 +173,13 @@ def main() -> None:
 
     cb = crawl_bench(NUM_CPUS)   # first: avoids actor-teardown contention
     h = headline(NUM_CPUS)       # from the 3-pass headline run
-    queries = run_queries(SF_DIR)
+    qres = run_queries(SF_DIR)
     result = {
         "metric": "fetch+extract pages/sec (headline) + per-query sec",
         "value": round(h["sec"], 3),
         "unit": "sec",
-        "queries": queries,
+        "queries": qres["queries"],
+        "build_sec": qres["build_sec"],
         "sf": _sf_label(SF_DIR),
         "num_cpus": NUM_CPUS,
         "pages": h["pages"],

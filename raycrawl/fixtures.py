@@ -337,8 +337,9 @@ def cached_corpus(kind: str, sf_dir: Optional[str] = None, **kwargs) -> str:
     key_src = f"{kind}|{sf_dir}|{sorted(kwargs.items())}|{code_ver}"
     key = hashlib.sha1(key_src.encode()).hexdigest()[:12]
     out_dir = f"/tmp/raycrawl_corpus/{kind}_{key}"
-    done = os.path.join(out_dir, "_DONE")
-    if os.path.exists(done):
+    from .staging import atomic_build_dir, is_complete
+
+    if is_complete(out_dir):
         return out_dir
     if kind == "feature":
         table = feature_corpus(**kwargs)
@@ -347,7 +348,4 @@ def cached_corpus(kind: str, sf_dir: Optional[str] = None, **kwargs) -> str:
         table = pages_from_documents(sf_dir)
     else:
         raise ValueError(kind)
-    write_corpus(table, out_dir)
-    with open(done, "w") as f:
-        f.write("ok")
-    return out_dir
+    return atomic_build_dir(out_dir, lambda tmp: write_corpus(table, tmp))

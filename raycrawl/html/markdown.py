@@ -49,6 +49,16 @@ _SKIP_TAGS = frozenset({"script", "style", "iframe", "noscript", "head",
                         "title", "meta", "link", "base", "template"})
 _WS_RE = re.compile(r"[ \t\r\n\f]+")
 _MULTISPACE_RE = re.compile(r" {2,}")
+# Full \s semantics for table cells: html2text maps &nbsp; to a plain
+# space, so NBSP/　/\v inside a cell must collapse like any other
+# whitespace. _CELL_ASCII_WS_RE is exactly \s ∩ ASCII (a fast path for
+# the common all-ASCII cell); non-ASCII cells take the unicode \s+ path.
+_CELL_ASCII_WS_RE = re.compile(r"[ \t\n\r\f\v\x1c-\x1f]+")
+_UWS_RE = re.compile(r"\s+")
+
+
+def _cell_collapse(s: str) -> str:
+    return (_CELL_ASCII_WS_RE if s.isascii() else _UWS_RE).sub(" ", s)
 
 
 def _collapse_spaces(s: str) -> str:
@@ -266,7 +276,7 @@ class _Renderer:
             if not cells:
                 continue
             rendered = [
-                _WS_RE.sub(" ", "".join(self.inline(cc) for cc in c.children)).strip()
+                _cell_collapse("".join(self.inline(cc) for cc in c.children)).strip()
                 for c in cells
             ]
             if not header and all(c.tag == "th" for c in cells):

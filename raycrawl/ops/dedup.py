@@ -1354,19 +1354,16 @@ def build_minhash_index(corpus_ds, index_dir: str, *,
     the INCREMENTAL near-dup shape: at recrawl scale a new shard must not
     re-shuffle the whole historical corpus per ingestion batch (the
     self-join ops do exactly that, correctly, for one-shot dedup). Built
-    once behind a _DONE marker (partial builds are wiped and redone, the
-    build_text_index crash-safety convention); probes then read ONLY the
-    buckets their band keys hash into — IO proportional to the shard, not
-    the corpus. Same staging pattern as search.build_text_index /
-    knn.build_ivf_index / graph.build_backlink_index."""
-    import os
-    import shutil
+    once behind a _DONE marker (built atomically via a staged temp dir +
+    rename — raycrawl.staging — so concurrent builders never expose a
+    partial index); probes then read ONLY the buckets their band keys
+    hash into — IO proportional to the shard, not the corpus. Same
+    staging pattern as search.build_text_index / knn.build_ivf_index /
+    graph.build_backlink_index."""
+    from ..staging import atomic_build_dir, is_complete
 
-    done = os.path.join(index_dir, "_DONE")
-    if os.path.exists(done):
+    if is_complete(index_dir):
         return
-    if os.path.isdir(index_dir):
-        shutil.rmtree(index_dir, ignore_errors=True)
     B = num_buckets
 
     def bucketize(b: pd.DataFrame) -> pd.DataFrame:
@@ -1383,10 +1380,10 @@ def build_minhash_index(corpus_ds, index_dir: str, *,
                                    ngram=ngram, id_col=id_col,
                                    text_col=text_col),
         concurrency=4)
-    rows.map_batches(bucketize, batch_format="pandas").write_parquet(
-        index_dir, partition_cols=["bucket"])
-    with open(done, "w") as f:
-        f.write("ok")
+    atomic_build_dir(
+        index_dir,
+        lambda tmp: rows.map_batches(bucketize, batch_format="pandas")
+        .write_parquet(tmp, partition_cols=["bucket"]))
 
 
 def minhash_probe_index(new_ds, index_dir: str, corpus_ds, *,
@@ -1399,7 +1396,16 @@ def minhash_probe_index(new_ds, index_dir: str, corpus_ds, *,
     (hive-partition pruning) → key join → distinct (id_a=new, id_b=corpus)
     candidates → exact n-gram-Jaccard verify over the union (ids must be
     disjoint across the two sides). MinHash parameters MUST match the
-    build's. Returns (id_a, id_b, jaccard_sim ≥ threshold)."""
+    build's. Returns (id_a, id_b, jaccard_sim ≥ threshold).
+
+    Recall contract (probabilistic, like every LSH probe): a pair at true
+    Jaccard s is surfaced with P = 1 - (1 - s^(rows))^bands, rows =
+    num_hashes // bands. At the defaults (32 bands × 4 rows): ~0.873 at
+    s = 0.5, ~0.9999 at s = 0.7, ≥ 1 - 5e-8 at s ≥ 0.8. Verification is
+    exact, so precision is always 1.0; choose `threshold` (and band/row
+    counts) so the pairs you must not miss sit above the s-curve knee —
+    exact-oracle comparisons should test at threshold ≥ 0.8 with the
+    default shape (ADVICE r4)."""
     import glob
     import os
 

@@ -476,17 +476,13 @@ def build_backlink_index(edges_ds, index_dir: str,
     propagation) are per-target at serving time; scanning the full edge
     list per query is the anti-pattern this staging removes.
 
-    Cached behind a _DONE marker; a dir without the marker is a partial
-    build and is rebuilt from scratch (crash safety)."""
-    import os
-    import shutil
+    Cached behind a _DONE marker; built atomically via a staged temp dir
+    + rename (raycrawl.staging) so concurrent builders never expose a
+    partial index."""
+    from ..staging import atomic_build_dir, is_complete
 
-    done = os.path.join(index_dir, "_DONE")
-    if os.path.exists(done):
+    if is_complete(index_dir):
         return
-    if os.path.isdir(index_dir):
-        shutil.rmtree(index_dir, ignore_errors=True)
-    os.makedirs(index_dir, exist_ok=True)
     B = num_buckets
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
@@ -496,10 +492,10 @@ def build_backlink_index(edges_ds, index_dir: str,
             "dst_bucket": (b["dst"].to_numpy(np.int64) % B).astype("int32"),
         })
 
-    edges_ds.map_batches(add_bucket, batch_format="pandas").write_parquet(
-        index_dir, partition_cols=["dst_bucket"])
-    with open(done, "w") as f:
-        f.write("ok")
+    atomic_build_dir(
+        index_dir,
+        lambda tmp: edges_ds.map_batches(add_bucket, batch_format="pandas")
+        .write_parquet(tmp, partition_cols=["dst_bucket"]))
 
 
 def backlinks(index_dir: str, targets, num_buckets: int = 64):

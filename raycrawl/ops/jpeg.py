@@ -661,7 +661,9 @@ class JpegCodec:
     the reference's encode_image hook emits (file_utils.py:38-75) is a
     genuine encode."""
 
-    def __init__(self, quality: int = 75) -> None:
+    def __init__(self, quality: int = 85) -> None:
+        # default 85 matches the reference hook's re-encode quality
+        # (FileUtils.encode_image, file_utils.py:64)
         from .png import PngCodec
         self.quality = quality
         self._png = PngCodec()

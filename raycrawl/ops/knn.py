@@ -110,17 +110,11 @@ def build_ivf_index(ds, index_dir: str, nlist: int = 16,
 
     import ray.data as rd  # noqa: F401  (documents the dependency)
 
-    import shutil
+    from ..staging import atomic_build_dir, is_complete
 
-    done = os.path.join(index_dir, "_DONE")
-    if os.path.exists(done):
+    if is_complete(index_dir):
         with open(os.path.join(index_dir, "_centroids.json")) as f:
             return np.asarray(json.load(f), dtype=np.float64)
-    # crash-safety: a dir without _DONE is a partial build — Ray's
-    # write_parquet would APPEND new files beside the stale ones and the
-    # index would then hold duplicate vectors (cf. pipeline.py gen-dirs)
-    if os.path.isdir(index_dir):
-        shutil.rmtree(index_dir, ignore_errors=True)
 
     sample = ds.limit(sample_size).select_columns([vec_col]).to_pandas()
     centroids = _kmeans(_matrix(sample[vec_col]), nlist)
@@ -140,7 +134,6 @@ def build_ivf_index(ds, index_dir: str, nlist: int = 16,
         # partition PATH and use this column for the per-row mask)
         return batch
 
-    os.makedirs(index_dir, exist_ok=True)
     # coalesce write tasks so each bucket partition gets a handful of
     # files, not one per upstream block (files = write-tasks × buckets).
     # cardinality_hint (e.g. parquet metadata row count) avoids the
@@ -148,13 +141,18 @@ def build_ivf_index(ds, index_dir: str, nlist: int = 16,
     # whole upstream pipeline an extra time (ADVICE r2)
     n_rows = cardinality_hint if cardinality_hint is not None else ds.count()
     n_blocks = max(1, n_rows // 100_000 + 1)
-    ds.map_batches(assign, batch_format="pandas").repartition(
-        n_blocks).write_parquet(index_dir, partition_cols=["ivf_bucket"])
-    with open(os.path.join(index_dir, "_centroids.json"), "w") as f:
-        json.dump(centroids.tolist(), f)
-    with open(done, "w") as f:
-        f.write("ok")
-    return centroids
+
+    def _build(tmp: str) -> None:
+        ds.map_batches(assign, batch_format="pandas").repartition(
+            n_blocks).write_parquet(tmp, partition_cols=["ivf_bucket"])
+        with open(os.path.join(tmp, "_centroids.json"), "w") as f:
+            json.dump(centroids.tolist(), f)
+
+    atomic_build_dir(index_dir, _build)
+    # a concurrent builder may have won the rename with its own sample's
+    # centroids — return the installed index's, not this process's
+    with open(os.path.join(index_dir, "_centroids.json")) as f:
+        return np.asarray(json.load(f), dtype=np.float64)
 
 
 def knn_ivf(ds, query_ids: list[int], k: int = 10, nlist: int = 16,

@@ -210,8 +210,9 @@ class PngCodec:
         if format.upper() == "PNG":
             return png_encode(img, filter_type=self.filter_type)
         if format.upper() in ("JPEG", "JPG"):
+            # quality=85 matches the reference hook (file_utils.py:64)
             from .jpeg import jpeg_encode
-            return jpeg_encode(img, quality=75)
+            return jpeg_encode(img, quality=85)
         return self._fallback.encode(img, format)
 
 

@@ -147,15 +147,12 @@ def build_text_index(ds, index_dir: str, num_buckets: int = 64,
     per-term stats (right for a handful of query terms), while the staged
     index serves arbitrary vocabularies with reads proportional to the
     queried buckets, not the corpus. Cached on disk behind a _DONE marker;
-    a dir without the marker is a partial build and is rebuilt from
-    scratch (crash safety — Parquet appends would duplicate postings)."""
-    import shutil
+    built atomically via a staged temp dir + rename (raycrawl.staging) so
+    concurrent builders never expose partial parquet."""
+    from ..staging import atomic_build_dir, is_complete
 
-    done = os.path.join(index_dir, "_DONE")
-    if os.path.exists(done):
+    if is_complete(index_dir):
         return
-    if os.path.isdir(index_dir):
-        shutil.rmtree(index_dir, ignore_errors=True)
 
     B = num_buckets
 
@@ -181,13 +178,13 @@ def build_text_index(ds, index_dir: str, num_buckets: int = 64,
         out["bucket"] = bucket       # duplicated as a data column
         return out
 
-    os.makedirs(index_dir, exist_ok=True)
     n_rows = cardinality_hint if cardinality_hint is not None else ds.count()
     n_blocks = max(1, n_rows // 100_000 + 1)
-    ds.map_batches(postings, batch_format="pandas").repartition(
-        n_blocks).write_parquet(index_dir, partition_cols=["term_bucket"])
-    with open(done, "w") as f:
-        f.write("ok")
+    atomic_build_dir(
+        index_dir,
+        lambda tmp: ds.map_batches(postings, batch_format="pandas")
+        .repartition(n_blocks)
+        .write_parquet(tmp, partition_cols=["term_bucket"]))
 
 
 def index_postings(index_dir: str, terms: list[str],

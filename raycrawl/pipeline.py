@@ -240,6 +240,28 @@ class CrawlOutcome:
         )
 
 
+def _code_fingerprint(fn) -> str:
+    """Identity hash of a priority function's BEHAVIOR, not just its name:
+    two lambdas defined at the same site share a __qualname__, and a
+    closure's behavior depends on its captured values — qualname alone
+    would let a changed priority_fn silently resume the old fn's heap
+    (ADVICE r4). Hashes co_code + co_consts + captured cell values
+    (repr'd; unhashable/unreprable cells degrade to their type name)."""
+    import hashlib
+
+    code = getattr(fn, "__code__", None)
+    if code is None:  # e.g. a callable object — fall back to repr of type
+        return hashlib.sha1(repr(type(fn)).encode()).hexdigest()[:8]
+    h = hashlib.sha1(code.co_code)
+    h.update(repr(code.co_consts).encode())
+    for cell in (fn.__closure__ or ()):
+        try:
+            h.update(repr(cell.cell_contents).encode())
+        except Exception:
+            h.update(type(cell.cell_contents).__name__.encode())
+    return h.hexdigest()[:8]
+
+
 def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
     import hashlib
     import shutil
@@ -252,7 +274,8 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
     # (heap entries keep priorities computed by the old fn) — a different
     # priority_fn must land in a different default out_dir.
     prio_tag = ("bfs" if cfg.priority_fn is None else
-                f"{cfg.priority_fn.__module__}.{cfg.priority_fn.__qualname__}")
+                f"{cfg.priority_fn.__module__}.{cfg.priority_fn.__qualname__}"
+                f".{_code_fingerprint(cfg.priority_fn)}")
     cfg_key = hashlib.sha1(
         f"{corpus_path}|{cfg.seed_url}|{cfg.max_depth}|{cfg.max_pages}"
         f"|{prio_tag}".encode()

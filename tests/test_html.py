@@ -85,6 +85,19 @@ def test_markdown_table():
     assert "| A | B |" in md and "| --- | --- |" in md and "| 1 | 2 |" in md
 
 
+def test_markdown_table_cell_unicode_whitespace():
+    # html2text maps &nbsp; to a plain space (UNIFIABLE), and \s-class
+    # unicode whitespace (ideographic space, vertical tab) collapses
+    # inside a cell like any other run of whitespace (ADVICE r4: the
+    # ASCII-only fast path must not change cell semantics)
+    md = html_to_markdown(
+        "<table><tr><th>A&nbsp;　B</th><th>C\x0bD</th></tr>"
+        "<tr><td>1&nbsp;&nbsp;2</td><td>x</td></tr></table>"
+    )
+    assert "| A B | C D |" in md
+    assert "| 1 2 | x |" in md
+
+
 def test_post_process_reference_chain():
     # header fix (scraper.py:554-555), list fix (557-558), nbsp, comments,
     # excessive newlines, lonely-punct lines
