@@ -79,6 +79,22 @@ class FrontierShardLocal:
         self.n_robots_blocked = 0
         self.n_popped = 0
         self.n_insert_dup = 0
+        # keys admitted since the last snapshot/snapshot_delta — the
+        # incremental-checkpoint payload (VERDICT r4 item 5: full
+        # filter-byte snapshots made checkpoint the dominant added cost
+        # at high shard counts; a delta is ∝ the wave's admissions)
+        self._delta_keys: list[bytes] = []
+
+    def reset(self, *args, **kwargs) -> bool:
+        """Reinitialize in place — lets a pooled shard actor be reused
+        across crawl() calls (skipping actor spawn + import) with exactly
+        fresh-constructed state. One crawl at a time per pool, the same
+        contract as the reference's global browser pool."""
+        self.__init__(*args, **kwargs)
+        return True
+
+    def ping(self) -> bool:
+        return True
 
     # -- robots -----------------------------------------------------------
     def load_robots(self, bodies: dict[str, Optional[str]]) -> None:
@@ -137,6 +153,7 @@ class FrontierShardLocal:
                     f"per-wave admission contract")
             prio = self.priority_fn(url) if self.priority_fn else depth
             heapq.heappush(self.heap, (prio, seq, depth, url, host, parent))
+            self._delta_keys.append(key)
             n += 1
         self.n_admitted += n
         return n
@@ -230,7 +247,48 @@ class FrontierShardLocal:
             "counters": (self.n_offered, self.n_admitted, self.n_dup,
                          self.n_robots_blocked, self.n_popped),
         }
+        # a full snapshot is a new delta base — keys admitted before it
+        # are inside the serialized filter and must not be replayed
+        self._delta_keys = []
         return pickle.dumps(state)
+
+    def snapshot_delta(self) -> bytes:
+        """Incremental checkpoint: the keys admitted since the previous
+        snapshot/snapshot_delta plus the (small) live mutable state —
+        queue, politeness buckets, counters. The seen-filter bytes
+        (∝ capacity, the full snapshot's dominant cost) are NOT included;
+        restore = restore(full base) + apply_delta(chain in order).
+        Each admitted key appears in exactly one delta (cleared at
+        capture), and the driver submits snapshot tasks at the wave
+        boundary — before the next wave's pops/inserts — so a delta
+        covers exactly one wave's admissions."""
+        state = {
+            "new_keys": self._delta_keys,
+            "heap": self.heap,
+            "tokens": self.tokens,
+            "last_wave": self.last_wave,
+            "host_rate": self.host_rate,
+            "counters": (self.n_offered, self.n_admitted, self.n_dup,
+                         self.n_robots_blocked, self.n_popped),
+        }
+        self._delta_keys = []
+        return pickle.dumps(state)
+
+    def apply_delta(self, blob: bytes) -> None:
+        """Replay one snapshot_delta on top of a restored full snapshot
+        (or a previous delta): re-add the wave's admitted keys to the
+        seen filter and adopt the delta's live state wholesale."""
+        state = pickle.loads(blob)
+        for key in state["new_keys"]:
+            self.seen.add(key)
+        self.heap = [tuple(x) for x in state["heap"]]
+        heapq.heapify(self.heap)
+        self.tokens = state["tokens"]
+        self.last_wave = state["last_wave"]
+        self.host_rate = state["host_rate"]
+        (self.n_offered, self.n_admitted, self.n_dup,
+         self.n_robots_blocked, self.n_popped) = state["counters"]
+        self._delta_keys = []
 
     def restore(self, blob: bytes) -> None:
         state = pickle.loads(blob)
@@ -249,6 +307,7 @@ class FrontierShardLocal:
         self.wave_seconds = state.get("wave_seconds", 1.0)
         (self.n_offered, self.n_admitted, self.n_dup,
          self.n_robots_blocked, self.n_popped) = state["counters"]
+        self._delta_keys = []
 
 
 # The Ray actor: one per shard, long-lived across waves (SURVEY.md §7.4).
