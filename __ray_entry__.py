@@ -103,6 +103,9 @@ def _crawl_oracle_dir() -> str:
             h.update(f.read())
     h.update(repr((_POLITE_SEEDS, sorted(_POLITE_KW.items()),
                    sorted(_PRIORITY_KW.items()))).encode())
+    # version tag for the builder itself (this module is not in the mod
+    # hash above); bump when _build_crawl_oracle's outputs change
+    h.update(b"oracle-v5:corpus_digest")
     out_dir = f"/tmp/raycrawl_oracle/{h.hexdigest()[:12]}"
     from raycrawl.staging import atomic_build_dir, is_complete
 
@@ -156,6 +159,18 @@ def _build_crawl_oracle(out_dir: str) -> None:
                   "depth": pa.array([p.depth for p in prio_res.pages], pa.int32()),
                   "url": pa.array([p.url for p in prio_res.pages], pa.string())}),
         os.path.join(out_dir, "crawl_priority.parquet"))
+    # corpus payload digests for the WARC-sink conformance query: what a
+    # correct archive of any crawl over this corpus must contain per url
+    corpus_tbl = feature_corpus(**T2)
+    htmls = corpus_tbl.column("html").to_pylist()
+    htmls = [h.encode() if isinstance(h, str) else h for h in htmls]
+    pq.write_table(
+        pa.table({
+            "url": corpus_tbl.column("url").cast(pa.string()),
+            "n_bytes": pa.array([len(h) for h in htmls], pa.int64()),
+            "sha1hex": pa.array([__import__("hashlib").sha1(h).hexdigest()
+                                 for h in htmls], pa.string())}),
+        os.path.join(out_dir, "corpus_digest.parquet"))
 
 
 _POLITE_SEEDS = ["https://h0.example/d0/p0.html", "https://h1.example/d0/p0.html"]
@@ -234,6 +249,40 @@ def _q_crawl_bfs(sf_dir: str):
     df = outcome.results().select(["seq", "depth", "url", "parent_url"]).to_pandas()
     df["parent_url"] = df["parent_url"].fillna("")  # seed row; '' in the oracle
     return df
+
+
+def _q_crawl_warc(sf_dir: str):
+    """End-to-end crawl→WARC sink (VERDICT r4 item 7): the BFS crawl with
+    sink='warc' archives every fetched page as Common-Crawl-layout
+    .warc.gz per wave; reading the archives back (sha1 payload digests
+    VERIFIED during parse) must yield exactly the crawled url set with
+    byte-identical payloads. Oracle = the serial model's crawl order
+    joined to independently computed corpus payload digests."""
+    import hashlib
+    import shutil
+
+    import pandas as pd
+
+    from raycrawl.gen_golden import CRAWL_KW, SEED
+    from raycrawl.pipeline import CrawlConfig, crawl
+    from raycrawl.warc import read_warc
+
+    out_dir = ("/tmp/raycrawl_q/crawl_warc_"
+               f"{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = CrawlConfig(seed_url=SEED, num_shards=4, out_dir=out_dir,
+                      sink="warc", **CRAWL_KW)
+    outcome = crawl(_feature_corpus_dir(), cfg)
+
+    def digest(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "url": b["url"],
+            "n_bytes": [len(h) for h in b["html"]],
+            "sha1hex": [hashlib.sha1(h).hexdigest() for h in b["html"]]})
+
+    return (read_warc(outcome.stats["warc_dir"], verify_digest=True)
+            .map_batches(digest, batch_format="pandas").to_pandas()
+            .sort_values("url").reset_index(drop=True))
 
 
 def _q_crawl_seen(sf_dir: str):
@@ -2054,6 +2103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_split_overlong": _q_split_overlong,
         "url_templates": _q_url_templates,
         "crawl_bfs": _q_crawl_bfs,
+        "crawl_warc": _q_crawl_warc,
         "crawl_priority": _q_crawl_priority,
         "crawl_seen": _q_crawl_seen,
         "crawl_bfs_docs": _q_crawl_bfs_docs,
@@ -2384,6 +2434,15 @@ def oracle_sql() -> dict[str, str]:
         "crawl_seen": (
             f"SELECT url, depth, seq "
             f"FROM read_parquet('{oracle_dir}/crawl_seen.parquet')"
+        ),
+        # WARC-sink conformance: the archives must contain exactly the
+        # crawled pages with byte-identical payloads (digests computed
+        # independently from the corpus at oracle-materialization time)
+        "crawl_warc": (
+            f"SELECT o.url, d.n_bytes, d.sha1hex "
+            f"FROM read_parquet('{oracle_dir}/crawl_bfs.parquet') o "
+            f"JOIN read_parquet('{oracle_dir}/corpus_digest.parquet') d "
+            "USING (url)"
         ),
         "crawl_politeness": (
             f"SELECT seq, depth, url "

@@ -68,6 +68,13 @@ class CrawlConfig:
     # browser_manager.py) — workers hold no per-crawl state, so reuse
     # only skips actor spawn + import cost on repeat jobs
     reuse_workers: bool = True
+    # sink='warc': each fetch task ALSO archives its fetched pages
+    # (url, warc_ts, raw html) as a Common-Crawl-layout .warc.gz under
+    # <out_dir>/warc/wave=NNNNNN/part-NNNN.warc.gz — one gzip member per
+    # record, sha1 payload digests, byte-deterministic (wave task packing
+    # is deterministic). Archive semantics follow real crawlers: every
+    # FETCHED page is archived, whether or not extraction succeeds.
+    sink: Optional[str] = None
     # best-first frontier: pop order (priority_fn(url), seq) instead of the
     # BFS (depth, seq). None = BFS, exactly the reference semantics.
     priority_fn: "Optional[callable]" = None
@@ -172,24 +179,34 @@ class WaveWorker:
     def ping(self) -> bool:
         return True
 
-    def process(self, groups: list[tuple[list[str], list[str]]]
-                ) -> Optional[pa.Table]:
+    def process(self, groups: list[tuple[list[str], list[str]]],
+                warc_out: Optional[str] = None) -> Optional[pa.Table]:
         """groups: [(bucket_paths, urls), ...] — one task may span several
         corpus buckets so the driver can pack a wave into exactly
         pool-size equal tasks (per-bucket chunking quantized waves into
         uneven worker rounds — the round-4 crawl-vs-bulk utilization gap).
         Each bucket's files are still read with only ITS urls as the
-        predicate, preserving the pruned-read shape."""
+        predicate, preserving the pruned-read shape.
+
+        ``warc_out``: archive this task's fetched rows as one
+        Common-Crawl-layout .warc.gz (crawl sink='warc') — written here in
+        the worker so the sink parallelizes with extraction."""
+        cols = ["url", "warc_ts", "html"] if warc_out else ["url", "html"]
         tables = []
         for paths, urls in groups:
             for f in paths:
-                t = pq.read_table(f, columns=["url", "html"],
+                t = pq.read_table(f, columns=cols,
                                   filters=[("url", "in", urls)])
                 if t.num_rows:
                     tables.append(t)
         if not tables:
             return None
-        return self.extractor(pa.concat_tables(tables))
+        fetched = pa.concat_tables(tables)
+        if warc_out is not None:
+            from .warc import write_warc_pages
+
+            write_warc_pages(fetched, warc_out)
+        return self.extractor(fetched.select(["url", "html"]))
 
 
 def _corpus_files(corpus_path: str) -> tuple[dict[Optional[int], list[str]], Optional[int]]:
@@ -346,10 +363,11 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
     results_dir = os.path.join(out_dir, "results")
     seen_dir = os.path.join(out_dir, "seen")
     ckpt_dir = os.path.join(out_dir, "checkpoint")
+    warc_dir = os.path.join(out_dir, "warc")
     if not cfg.resume:
         # a fresh run must not concatenate stale wave dirs from a longer
         # previous run into its results/seen output
-        for d in (results_dir, seen_dir, ckpt_dir):
+        for d in (results_dir, seen_dir, ckpt_dir, warc_dir):
             shutil.rmtree(d, ignore_errors=True)
     for d in (results_dir, seen_dir, ckpt_dir):
         os.makedirs(d, exist_ok=True)
@@ -490,7 +508,7 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
                      for sid, items in back.items()])
         return wave_items
 
-    def _submit_fetch(wave_urls: list[str]) -> list:
+    def _submit_fetch(wave_urls: list[str], wv: int) -> list:
         """Fetch (J4) + extract on the persistent worker pool: URLs
         grouped by corpus bucket (each bucket read with only ITS urls as
         the predicate — partition pruning + parquet predicate pushdown),
@@ -530,7 +548,15 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
                 tasks[ti].append((paths, chunk))
                 sizes[ti] += len(chunk)
                 pos += len(chunk)
-        return [workers[i % len(workers)].process.remote(groups)
+        wave_warc_dir = None
+        if cfg.sink == "warc":
+            wave_warc_dir = os.path.join(out_dir, "warc", f"wave={wv:06d}")
+            os.makedirs(wave_warc_dir, exist_ok=True)
+        return [workers[i % len(workers)].process.remote(
+                    groups,
+                    warc_out=(os.path.join(wave_warc_dir,
+                                           f"part-{i:04d}.warc.gz")
+                              if wave_warc_dir else None))
                 for i, groups in enumerate(tasks) if groups]
 
     def _do_wave_io(w: int, nseq: int, succ: int, fail: int, popped: int,
@@ -611,7 +637,8 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
             _tp = time.monotonic()
             wave_items = _pop_wave(wave, budget)
             phase_sec["pop"] += time.monotonic() - _tp
-            futures = (_submit_fetch([u for (_, _, _, u, _) in wave_items])
+            futures = (_submit_fetch([u for (_, _, _, u, _) in wave_items],
+                                     wave)
                        if wave_items else None)
             pending = (wave, wave_items, futures)
 
@@ -754,7 +781,7 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
             _tp = time.monotonic()
             nitems = _pop_wave(wave, budget)
             phase_sec["pop"] += time.monotonic() - _tp
-            nfut = (_submit_fetch([u for (_, _, _, u, _) in nitems])
+            nfut = (_submit_fetch([u for (_, _, _, u, _) in nitems], wave)
                     if nitems else None)
             pending = (wave, nitems, nfut)
         if insert_refs:
@@ -800,6 +827,8 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
         "phase_sec": {k: round(v, 3) for k, v in phase_sec.items()},
         "shards": shard_stats,
     }
+    if cfg.sink == "warc":
+        stats["warc_dir"] = warc_dir
     if not cfg.reuse_workers:
         for a in shards + workers:
             ray.kill(a)

@@ -144,6 +144,25 @@ def write_warc_bucket(bucket_dir: str, out_path: str) -> int:
     return len(urls)
 
 
+def write_warc_pages(tbl: pa.Table, out_path: str) -> int:
+    """Serialize a PAGES-shaped table (url, warc_ts, html) to one
+    ``.warc.gz`` in row order — the crawl sink's per-task unit (a wave's
+    task composition is deterministic, so archives are byte-stable).
+    Crash-atomic via tmp + os.replace; returns #pages."""
+    urls = tbl.column("url").to_pylist()
+    tss = tbl.column("warc_ts").cast(pa.int64()).to_pylist()
+    htmls = tbl.column("html").to_pylist()
+    tmp = out_path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(_gzip_member(build_warcinfo(os.path.basename(out_path))))
+        for url, ts, html in zip(urls, tss, htmls):
+            if isinstance(html, str):
+                html = html.encode()
+            f.write(_gzip_member(build_response_record(url, ts, html)))
+    os.replace(tmp, out_path)
+    return len(urls)
+
+
 def write_warc(corpus_dir: str, out_dir: str) -> str:
     """Corpus parquet (host_bucket-partitioned) → .warc.gz per bucket.
 

@@ -353,3 +353,47 @@ def test_default_out_dir_separates_priority_modes():
     prio = crawl(corpus_dir, CrawlConfig(priority_fn=url_priority, **kw))
     assert os.path.dirname(bfs.results_dir) != \
         os.path.dirname(prio.results_dir)
+
+
+def test_crawl_warc_sink_digest_verified_roundtrip(tmp_path):
+    """sink='warc' (VERDICT r4 item 7): every successfully fetched page of
+    the crawl lands in a Common-Crawl-layout wave archive; reading the
+    archives back with digest verification ON yields byte-identical html
+    for exactly the crawled url set."""
+    import glob
+
+    from raycrawl.warc import read_warc
+
+    corpus_dir = cached_corpus("feature", **T2)
+    out_dir = str(tmp_path / "warc_crawl")
+    cfg = CrawlConfig(seed_url=SEED, num_shards=4, wave_budget=16,
+                      extract_concurrency=2, out_dir=out_dir, sink="warc",
+                      **CRAWL_KW)
+    outcome = crawl(corpus_dir, cfg)
+    warc_dir = outcome.stats["warc_dir"]
+    files = sorted(glob.glob(os.path.join(warc_dir, "wave=*", "*.warc.gz")))
+    assert files, "sink produced no archives"
+
+    # read back with digest verification (parse raises on sha1 mismatch)
+    got = read_warc(warc_dir, verify_digest=True).to_pandas()
+    crawled = outcome.results()
+    assert sorted(got["url"]) == sorted(crawled.column("url").to_pylist())
+
+    # payload bytes must equal the corpus html for every archived url
+    corpus_files = glob.glob(os.path.join(corpus_dir, "**", "*.parquet"),
+                             recursive=True)
+    corpus_html = {}
+    for f in corpus_files:
+        t = pq.read_table(f, columns=["url", "html"])
+        corpus_html.update(zip(t.column("url").to_pylist(),
+                               t.column("html").to_pylist()))
+    for url, html in zip(got["url"], got["html"]):
+        exp = corpus_html[url]
+        exp = exp.encode() if isinstance(exp, str) else exp
+        assert html == exp, url
+
+    # byte-determinism: a re-run writes identical archives
+    bytes_a = {f: open(f, "rb").read() for f in files}
+    crawl(corpus_dir, cfg)
+    for f, blob in bytes_a.items():
+        assert open(f, "rb").read() == blob, f
