@@ -2284,6 +2284,41 @@ _DE = "('der','die','das','und','ist','ein','eine','zu','den','von','mit','für'
 _ES = "('el','la','los','las','de','y','un','una','es','que','por','con')"
 
 
+# --- blocked-candidate SQL fragments (VERDICT r4 item 4) -------------------
+# The n²/2 cross-join Jaccard oracles were quadratic-in-DuckDB (>25 min at
+# sf0.1); these compute the SAME exact answer via shared-shingle blocking:
+# a pair with jaccard >= t > 0 must share >= 1 distinct 3-gram (the only
+# j >= t pairs with zero shared grams are empty-vs-empty, where the
+# convention is j = 1.0 — handled by the explicit empty×empty branch), and
+# |A∩B| for distinct-gram sets IS the gram-join group count, so no
+# list_intersect re-verification is needed. Value-equality with the brute
+# force form is pinned by tests/test_oracle_blocking.py.
+
+_SH_CTE = (
+    "w AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] "
+    "  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks FROM documents), "
+    "sh AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN [] "
+    "  WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
+    "  ELSE list_distinct(list_transform(generate_series(1, len(toks)-2), "
+    "    i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) END AS s FROM w), "
+)
+
+_BLOCKED_J_CTE = (
+    _SH_CTE +
+    "g AS (SELECT doc_id, unnest(s) AS g FROM sh), "
+    "cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter "
+    "  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "sz AS (SELECT doc_id, len(s) AS n FROM sh), "
+    "p AS (SELECT c.id_a, c.id_b, c.inter, sa.n + sb.n AS tot "
+    "  FROM cand c JOIN sz sa ON sa.doc_id = c.id_a "
+    "  JOIN sz sb ON sb.doc_id = c.id_b "
+    "  UNION ALL SELECT a.doc_id, b.doc_id, 0, 0 "
+    "  FROM sz a JOIN sz b ON a.doc_id < b.doc_id WHERE a.n = 0 AND b.n = 0), "
+    "j AS (SELECT id_a, id_b, CASE WHEN tot - inter = 0 THEN 1.0 "
+    "  ELSE CAST(inter AS DOUBLE) / (tot - inter) END AS jaccard_sim FROM p)"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     oracle_dir = _crawl_oracle_dir()
     bpe_dir = _bpe_oracle_dir()
@@ -2347,9 +2382,18 @@ def oracle_sql() -> dict[str, str]:
             "  WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
             "  ELSE list_distinct(list_transform(generate_series(1, len(toks)-2), "
             "    i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) END AS s FROM wc), "
-            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
-            "  len(list_intersect(a.s, b.s)) AS inter, len(a.s) + len(b.s) AS tot "
-            "  FROM sn a JOIN sc2 b ON TRUE), "
+            # shared-shingle blocking, same exactness argument as
+            # _BLOCKED_J_CTE; new-shard docs are never empty (a novel
+            # token is always appended), so no empty×empty branch exists
+            "gn AS (SELECT doc_id, unnest(s) AS g FROM sn), "
+            "gc AS (SELECT doc_id, unnest(s) AS g FROM sc2), "
+            "cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "  count(*) AS inter FROM gn a JOIN gc b ON a.g = b.g "
+            "  GROUP BY 1, 2), "
+            "p AS (SELECT c.id_a, c.id_b, c.inter, "
+            "  len(sa.s) + len(sb.s) AS tot FROM cand c "
+            "  JOIN sn sa ON sa.doc_id = c.id_a "
+            "  JOIN sc2 sb ON sb.doc_id = c.id_b), "
             "j AS (SELECT id_a, id_b, CASE WHEN tot - inter = 0 THEN 1.0 "
             "  ELSE CAST(inter AS DOUBLE) / (tot - inter) END AS jaccard_sim FROM p) "
             "SELECT id_a, id_b, jaccard_sim FROM j WHERE jaccard_sim >= 0.8"
@@ -2897,6 +2941,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         # simhash near-pairs: banding is pigeonhole-complete, so brute-force
         # bit_count(xor) over the (already-verified) simhash SQL is exact
+        # byte-banded blocking (VERDICT r4 item 4): hamming <= 6 over 64
+        # bits leaves >= 2 of the 8 bytes identical (pigeonhole), so every
+        # qualifying pair shares a (byte_idx, byte_value) block; the
+        # hamming re-check on candidates is exact
         "dedup_simhash_pairs": (
             "WITH w AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] "
             "  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks FROM documents), "
@@ -2909,47 +2957,37 @@ def oracle_sql() -> dict[str, str]:
             "fpu AS (SELECT doc_id, sum(CASE WHEN vote > 0 "
             "  THEN (1::HUGEINT << (63-i)) ELSE 0::HUGEINT END) AS ufp "
             "  FROM bit GROUP BY doc_id), "
-            "fp AS (SELECT d.doc_id, CAST(COALESCE(CASE WHEN f.ufp >= (1::HUGEINT << 63) "
+            "fp AS (SELECT d.doc_id, COALESCE(f.ufp, 0::HUGEINT) AS u, "
+            "  CAST(COALESCE(CASE WHEN f.ufp >= (1::HUGEINT << 63) "
             "  THEN f.ufp - (1::HUGEINT << 64) ELSE f.ufp END, 0) AS BIGINT) AS sh "
-            "  FROM documents d LEFT JOIN fpu f ON d.doc_id = f.doc_id) "
-            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
-            "CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming "
-            "FROM fp a JOIN fp b ON a.doc_id < b.doc_id "
-            "WHERE bit_count(xor(a.sh, b.sh)) <= 6"
+            "  FROM documents d LEFT JOIN fpu f ON d.doc_id = f.doc_id), "
+            "by AS (SELECT doc_id, i, "
+            "  CAST((u >> CAST(8*i AS INT)) & 255::HUGEINT AS INT) AS bv "
+            "  FROM fp, (SELECT unnest(generate_series(0, 7)) AS i)), "
+            "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+            "  FROM by a JOIN by b ON a.i = b.i AND a.bv = b.bv "
+            "  AND a.doc_id < b.doc_id) "
+            "SELECT c.id_a, c.id_b, "
+            "CAST(bit_count(xor(fa.sh, fb.sh)) AS BIGINT) AS hamming "
+            "FROM cand c JOIN fp fa ON fa.doc_id = c.id_a "
+            "JOIN fp fb ON fb.doc_id = c.id_b "
+            "WHERE bit_count(xor(fa.sh, fb.sh)) <= 6"
         ),
-        # brute-force 3-gram Jaccard in SQL — exact because every true pair
-        # in this corpus has j >= 0.889 (measured), where LSH recall at
+        # exact 3-gram Jaccard ground truth via shared-shingle blocking
+        # (identical values to the old brute force, quadratic only in
+        # per-gram frequencies) — exact vs LSH because every true pair in
+        # this corpus has j >= 0.889 (measured), where LSH recall at
         # 128 hashes / 32 bands is 1 - (1 - 0.889^4)^32 ≈ 1 - 2e-14
         "dedup_minhash_pairs": (
-            "WITH w AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] "
-            "  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks FROM documents), "
-            "sh AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN [] "
-            "  WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
-            "  ELSE list_distinct(list_transform(generate_series(1, len(toks)-2), "
-            "    i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) END AS s FROM w), "
-            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
-            "  len(list_intersect(a.s, b.s)) AS inter, len(a.s) + len(b.s) AS tot "
-            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id), "
-            "j AS (SELECT id_a, id_b, CASE WHEN tot - inter = 0 THEN 1.0 "
-            "  ELSE CAST(inter AS DOUBLE) / (tot - inter) END AS jaccard_sim FROM p) "
-            "SELECT id_a, id_b, jaccard_sim FROM j WHERE jaccard_sim >= 0.5"
+            "WITH " + _BLOCKED_J_CTE +
+            " SELECT id_a, id_b, jaccard_sim FROM j WHERE jaccard_sim >= 0.5"
         ),
-        # same brute-force Jaccard ground truth, but here the Ray side is
+        # same blocked Jaccard ground truth, but here the Ray side is
         # the AllPairs prefix filter — exact by construction, so this
         # oracle needs NO corpus-specific recall argument
         "dedup_jaccard_pairs": (
-            "WITH w AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] "
-            "  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks FROM documents), "
-            "sh AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN [] "
-            "  WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
-            "  ELSE list_distinct(list_transform(generate_series(1, len(toks)-2), "
-            "    i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) END AS s FROM w), "
-            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
-            "  len(list_intersect(a.s, b.s)) AS inter, len(a.s) + len(b.s) AS tot "
-            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id), "
-            "j AS (SELECT id_a, id_b, CASE WHEN tot - inter = 0 THEN 1.0 "
-            "  ELSE CAST(inter AS DOUBLE) / (tot - inter) END AS jaccard_sim FROM p) "
-            "SELECT id_a, id_b, jaccard_sim FROM j WHERE jaccard_sim >= 0.5"
+            "WITH " + _BLOCKED_J_CTE +
+            " SELECT id_a, id_b, jaccard_sim FROM j WHERE jaccard_sim >= 0.5"
         ),
         # CCNet paragraph-dedup semantics over 10-word segments: first
         # (doc_id, seg_idx) occurrence of each distinct segment survives,
@@ -2972,19 +3010,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM tot t LEFT JOIN agg a USING (doc_id)"
         ),
         # near-dup clusters: min-reachable label over the verified pair
-        # graph (recursive CTE), matching driver-side union-find min labels
+        # graph (recursive CTE over the BLOCKED pair set), matching
+        # driver-side union-find min labels
         "dedup_survivors": (
-            "WITH RECURSIVE w AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] "
-            "  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks FROM documents), "
-            "sh AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN [] "
-            "  WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
-            "  ELSE list_distinct(list_transform(generate_series(1, len(toks)-2), "
-            "    i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) END AS s FROM w), "
-            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
-            "  len(list_intersect(a.s, b.s)) AS inter, len(a.s) + len(b.s) AS tot "
-            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id), "
-            "pairs AS (SELECT id_a, id_b FROM p WHERE (CASE WHEN tot - inter = 0 "
-            "  THEN 1.0 ELSE CAST(inter AS DOUBLE) / (tot - inter) END) >= 0.5), "
+            "WITH RECURSIVE " + _BLOCKED_J_CTE + ", "
+            "pairs AS (SELECT id_a, id_b FROM j WHERE jaccard_sim >= 0.5), "
             "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
             "  UNION SELECT id_b, id_a FROM pairs), "
             "reach(id, r) AS (SELECT doc_id, doc_id FROM documents "
@@ -2994,17 +3024,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         # same components; canonical = argmax word count (tie min id)
         "dedup_survivors_quality": (
-            "WITH RECURSIVE w AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] "
-            "  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks FROM documents), "
-            "sh AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN [] "
-            "  WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
-            "  ELSE list_distinct(list_transform(generate_series(1, len(toks)-2), "
-            "    i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) END AS s FROM w), "
-            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
-            "  len(list_intersect(a.s, b.s)) AS inter, len(a.s) + len(b.s) AS tot "
-            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id), "
-            "pairs AS (SELECT id_a, id_b FROM p WHERE (CASE WHEN tot - inter = 0 "
-            "  THEN 1.0 ELSE CAST(inter AS DOUBLE) / (tot - inter) END) >= 0.5), "
+            "WITH RECURSIVE " + _BLOCKED_J_CTE + ", "
+            "pairs AS (SELECT id_a, id_b FROM j WHERE jaccard_sim >= 0.5), "
             "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
             "  UNION SELECT id_b, id_a FROM pairs), "
             "reach(id, r) AS (SELECT doc_id, doc_id FROM documents "
@@ -3036,6 +3057,10 @@ def oracle_sql() -> dict[str, str]:
             "  THEN f.ufp - (1::HUGEINT << 64) ELSE f.ufp END, 0) AS BIGINT) AS simhash "
             "FROM documents d LEFT JOIN fp f ON d.doc_id = f.doc_id"
         ),
+        # n²/2 cosine over the embeddings table — re-timed for the r4
+        # quadratic-oracle sweep: 0.2 s at sf0.1 (n = 2,000, dim 64), so
+        # this one never needed blocking; kept on the DOUBLE list kernel
+        # that bit-matches the engine's numpy float64
         "dedup_embedding_pairs": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "

@@ -953,10 +953,18 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
     approximate with a tested recall contract, nothing driver-side but the
     tiny centroid matrix.
 
+    method='lsh': delegates to ``embedding_dup_pairs_lsh`` (random-
+    hyperplane band signatures + exact within-band verification) — the
+    sample-free scale path; right when no representative sample exists
+    to train centroids on (fresh corpora, drifting distributions).
+
     method='auto' (VERDICT r2 item 2): picks 'exact' only when
     ``cardinality_hint`` (e.g. a parquet metadata row count — never a
     ``ds.count()`` of a transformed pipeline) is at most
     ``_EMBEDDING_EXACT_ROWS``; otherwise the bucketed scale path."""
+    if method == "lsh":
+        return embedding_dup_pairs_lsh(
+            ds, threshold=threshold, id_col=id_col, vec_col=vec_col)
     method = _select_embedding_method(method, cardinality_hint)
     if method == "bucketed":
         return embedding_dup_pairs_bucketed(
@@ -1043,6 +1051,104 @@ def embedding_dup_pairs_bucketed(ds, threshold: float = 0.95,
     # pair keys are unbounded → coarse-partition merge, not per-key groups
     from .agg import partitioned_map_partitions as _pmp
 
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["id_a", "id_b"], as_index=False)["cosine_sim"].max()
+
+    return _pmp(cand, ["id_a", "id_b"], combine)
+
+
+def _hyperplanes(seed: int, num_bits: int, dim: int) -> np.ndarray:
+    """Deterministic random-hyperplane matrix (num_bits, dim); generated
+    from the seed per process, so no broadcast is needed at all."""
+    return np.random.RandomState(seed & 0x7FFFFFFF).standard_normal(
+        (num_bits, dim))
+
+
+def embedding_dup_pairs_lsh(ds, threshold: float = 0.95,
+                            num_bits: int = 128, bands: int = 16,
+                            seed: int = 0x5EED, n_parts: int = 256,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding"):
+    """Second scale path for embedding near-dup (VERDICT r4 item 8):
+    random-hyperplane (SimHash-for-cosine, Charikar STOC'02) signatures →
+    the same band-partition machinery as the MinHash family → exact
+    cosine verification within band groups. Unlike the centroid-bucket
+    path this needs NO representative sample — the planes are a pure
+    function of (seed, dim), regenerated in every worker.
+
+    Recall contract: a pair at cosine s collides per bit with
+    p = 1 - arccos(s)/π, per band with p^rows (rows = num_bits // bands),
+    overall 1 - (1 - p^rows)^bands. At the defaults (16 bands × 8 rows):
+    ≥ 0.9998 at s = 0.95, ~0.92 at s = 0.90, falling fast below — size
+    bands/rows to the threshold you must not miss (recall vs the exact
+    op is pinned by tests/test_ops.py). Within-band similarities are
+    exact, so precision is always 1.0.
+
+    Shuffle cost: each vector is shipped ``bands`` times (the standard
+    LSH banding trade, same as the MinHash index); groups are coarse
+    hash partitions (never one Ray group per band key)."""
+    from .agg import partitioned_map_partitions as _pmp
+
+    rows = num_bits // bands
+    if rows * bands != num_bits:
+        raise ValueError("num_bits must be divisible by bands")
+    weights = (1 << np.arange(rows, dtype=np.int64))
+
+    def sig(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = np.asarray([np.asarray(v, dtype=np.float64)
+                          for v in batch[vec_col]])
+        if mat.size == 0:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "vec_bytes": pd.Series([], dtype="object"),
+                                 "band_key": pd.Series([], dtype="int64")})
+        planes = _hyperplanes(seed, num_bits, mat.shape[1])
+        bits = (mat @ planes.T) > 0  # (n, num_bits)
+        # the vector rides the band shuffle as PACKED float64 bytes — a
+        # flat binary column hashes/ships ~10× cheaper than a Python list
+        # column duplicated `bands` times (150k-vec probe: 147 s → see
+        # BASELINE.md for the packed number)
+        packed = [row.tobytes() for row in mat]
+        frames = []
+        for b in range(bands):
+            val = bits[:, b * rows:(b + 1) * rows].astype(np.int64) @ weights
+            f = pd.DataFrame({
+                id_col: batch[id_col].to_numpy(),
+                "vec_bytes": packed,
+                "band_key": (np.int64(b) << np.int64(rows)) | val})
+            frames.append(f)
+        return pd.concat(frames, ignore_index=True)
+
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby("band_key", sort=False):
+            if len(grp) < 2:
+                continue
+            ids = grp[id_col].to_numpy()
+            mat = np.vstack([np.frombuffer(b, dtype=np.float64)
+                             for b in grp["vec_bytes"]])
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ mat.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            keep = sims[ia, ib] >= threshold
+            a, b = ids[ia[keep]], ids[ib[keep]]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            out = pd.DataFrame({"id_a": lo.astype("int64"),
+                                "id_b": hi.astype("int64"),
+                                "cosine_sim": sims[ia[keep], ib[keep]]})
+            outs.append(out[out["id_a"] != out["id_b"]])
+        if not outs:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "cosine_sim": pd.Series([], dtype="float64")})
+        return pd.concat(outs, ignore_index=True)
+
+    sigd = ds.select_columns([id_col, vec_col]).map_batches(
+        sig, batch_format="pandas")
+    cand = _pmp(sigd, ["band_key"], pairs_in_partition, n_parts=n_parts)
+
+    # a pair can collide in several bands — dedup with a second coarse
+    # partition pass (pair keys are unbounded, never per-key Ray groups)
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby(["id_a", "id_b"], as_index=False)["cosine_sim"].max()
 

@@ -1482,3 +1482,43 @@ def test_split_overlong_windows():
     for d in (2, 3):
         g = out[out.doc_id == d]
         assert g["n_tokens"].tolist() == [0] and g["piece"].tolist() == [""]
+
+
+def test_embedding_dup_pairs_lsh_recall():
+    """The hyperplane-LSH scale path (sample-free, VERDICT r4 item 8):
+    at its contract threshold (0.95, where 16 bands x 8 rows give
+    >= 0.9998 recall) it must find every pair the exact op finds on a
+    corpus with planted near-dups, and never emit a below-threshold or
+    wrong-similarity pair (within-band verification is exact)."""
+    import numpy as np2
+    import pandas as pd2
+    import ray.data as rd2
+
+    from raycrawl.ops.dedup import embedding_dup_pairs
+
+    rng = np2.random.RandomState(7)
+    base = rng.standard_normal((400, 64))
+    vecs = [base[i] for i in range(400)]
+    ids = list(range(400))
+    # plant 40 near-dups: tiny perturbation -> cosine ~0.995
+    for i in range(40):
+        src = base[i * 7]
+        dup = src + 0.05 * rng.standard_normal(64)
+        vecs.append(dup)
+        ids.append(1000 + i)
+    emb = rd2.from_pandas(pd2.DataFrame({
+        "vec_id": pd2.Series(ids, dtype="int64"),
+        "embedding": [list(map(float, v)) for v in vecs]}))
+
+    exact = embedding_dup_pairs(emb, threshold=0.95,
+                                method="exact").to_pandas()
+    lsh = embedding_dup_pairs(emb, threshold=0.95, method="lsh").to_pandas()
+
+    e = set(zip(exact["id_a"], exact["id_b"]))
+    a = set(zip(lsh["id_a"], lsh["id_b"]))
+    assert len(e) >= 40              # every planted pair is >= 0.95
+    assert a == e, f"lsh {len(a)} vs exact {len(e)}"
+    # verified similarities are exact: cross-check values per pair
+    esim = {(r.id_a, r.id_b): r.cosine_sim for r in exact.itertuples()}
+    for r in lsh.itertuples():
+        assert abs(esim[(r.id_a, r.id_b)] - r.cosine_sim) < 1e-12
