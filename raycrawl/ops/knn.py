@@ -342,6 +342,14 @@ def kmeans_fit(ds, centroid_ids: list[int], iters: int = 2,
     import pyarrow.compute as pc
     import ray
 
+    # iterative algorithm: pin the (projected) vector table in the object
+    # store ONCE so each Lloyd pass re-reads plasma blocks instead of
+    # re-executing the parquet read + upstream plan per iteration (the
+    # one place mid-pipeline materialization is the scale-CORRECT choice;
+    # the r4 bench showed per-iteration plan re-execution dominating the
+    # fit at small k)
+    ds = ds.select_columns([id_col, vec_col]).materialize()
+
     cid_sorted = sorted(centroid_ids)
     cset = pa.array(cid_sorted, pa.int64())
     c_tbl = (

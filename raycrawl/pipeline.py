@@ -489,7 +489,11 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
     # Result/seen/snapshot IO runs in the background thread and is NOT on
     # the critical path (it overlaps the NEXT wave's fetch+extract).
     phase_sec = {"pop": 0.0, "fetch_extract": 0.0, "assemble": 0.0,
-                 "admission": 0.0, "checkpoint": 0.0}
+                 "admission": 0.0, "checkpoint": 0.0,
+                 # background thread's wall (results+seen+snapshots+manifest)
+                 # — OFF the critical path, reported for diagnosis; and how
+                 # long the critical path actually stalled waiting for it
+                 "io_background": 0.0, "io_join_stall": 0.0}
     ckpt_thread: Optional[threading.Thread] = None
     ckpt_err: list[BaseException] = []
 
@@ -571,6 +575,7 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
         disk. Crash-atomic exactly as before: snapshots land in a fresh
         generation dir, the manifest is temp-written and os.rename'd, THEN
         generations outside the live full+delta chain are removed."""
+        _t0 = time.monotonic()
         try:
             if idx_arr is not None and meta_rows:
                 sub = wave_tbl.take(idx_arr)
@@ -617,6 +622,8 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
                     shutil.rmtree(old, ignore_errors=True)
         except BaseException as exc:  # surfaced at the next join
             ckpt_err.append(exc)
+        finally:
+            phase_sec["io_background"] += time.monotonic() - _t0
 
     # `pending` = (wave_no, wave_items, fetch futures) popped + submitted
     # one wave AHEAD: while the worker pool fetches+extracts wave N+1, the
@@ -793,7 +800,9 @@ def crawl(corpus_path: str, cfg: CrawlConfig) -> CrawlOutcome:
         # wave (fetch wait + admission + prefetch); one IO thread at a
         # time keeps generations ordered and wave_stats single-writer
         if ckpt_thread is not None:
+            _tj = time.monotonic()
             ckpt_thread.join()
+            phase_sec["io_join_stall"] += time.monotonic() - _tj
             if ckpt_err:
                 raise ckpt_err[0]
         ckpt_thread = threading.Thread(

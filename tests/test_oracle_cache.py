@@ -35,6 +35,8 @@ def _key_of_dir() -> str:
     h.update(repr((entrymod._POLITE_SEEDS,
                    sorted(entrymod._POLITE_KW.items()),
                    sorted(entrymod._PRIORITY_KW.items()))).encode())
+    # builder version tag (r5: corpus_digest.parquet added to the outputs)
+    h.update(b"oracle-v5:corpus_digest")
     return h.hexdigest()[:12]
 
 
