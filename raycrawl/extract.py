@@ -82,19 +82,30 @@ class PageExtractor:
     slice is one snapshot (url → html is functional within a run — a
     DIFFERENT snapshot must use a fresh pool, exactly as the reference's
     TTL bounds staleness). ``cache_hits``/``cache_misses`` counters
-    surface the dedup-hit-rate metric."""
+    surface the dedup-hit-rate metric.
+
+    ``shared_cache`` (a ``raycrawl.cache.SharedExtractCache`` actor
+    handle) adds the CROSS-WORKER level — the reference's Redis role
+    (cache_service.py:37-99): local-LRU misses are looked up in ONE
+    ``get_batch`` RPC per batch, fresh results pushed back with one
+    fire-and-forget ``put_batch``; ``shared_cache_hits`` counts them.
+    The two levels compose as L1 (per-actor, RPC-free) / L2 (shared,
+    cross-actor); either works alone."""
 
     def __init__(self, only_main: bool = True,
                  include_raw_html: bool = False,
-                 cache_size: int = 0) -> None:
+                 cache_size: int = 0,
+                 shared_cache=None) -> None:
         from collections import OrderedDict
 
         self.only_main = only_main
         self.include_raw_html = include_raw_html
         self.cache_size = cache_size
+        self.shared_cache = shared_cache
         self._cache: "OrderedDict[bytes, dict]" = OrderedDict()
         self.cache_hits = 0
         self.cache_misses = 0
+        self.shared_cache_hits = 0
 
     def _cache_key(self, url: str) -> bytes:
         import hashlib
@@ -102,15 +113,36 @@ class PageExtractor:
         return hashlib.sha256(
             f"{url}|main={self.only_main}".encode()).digest()
 
+    def _local_store(self, key: bytes, entry: dict) -> None:
+        self._cache[key] = entry
+        if len(self._cache) > self.cache_size:
+            self._cache.popitem(last=False)  # evict LRU
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
         htmls = batch.column("html").to_pylist()
         has_ts = "warc_ts" in batch.column_names
         ts = batch.column("warc_ts") if has_ts else pa.nulls(len(batch), pa.timestamp("us"))
 
+        caching = self.cache_size > 0 or self.shared_cache is not None
+        shared_hits: dict[bytes, dict] = {}
+        if self.shared_cache is not None:
+            # ONE lookup RPC per batch, only for keys the local L1 misses
+            import ray as _ray
+
+            miss_keys = sorted({k for k in (self._cache_key(u) for u in urls)
+                                if k not in self._cache})
+            if miss_keys:
+                found = _ray.get(
+                    self.shared_cache.get_batch.remote(miss_keys))
+                shared_hits = {k: v for k, v in zip(miss_keys, found)
+                               if v is not None}
+        new_keys: list[bytes] = []
+        new_vals: list[dict] = []
+
         cols: dict[str, list] = {name: [] for name in EXTRACTED.names if name not in ("url", "warc_ts")}
         for url, html in zip(urls, htmls):
-            if self.cache_size > 0:
+            if caching:
                 key = self._cache_key(url)
                 hit = self._cache.get(key)
                 if hit is not None:
@@ -118,6 +150,14 @@ class PageExtractor:
                     self.cache_hits += 1
                     for name, v in hit.items():
                         cols[name].append(v)
+                    continue
+                hit = shared_hits.get(key)
+                if hit is not None:
+                    self.shared_cache_hits += 1
+                    for name, v in hit.items():
+                        cols[name].append(v)
+                    if self.cache_size > 0:
+                        self._local_store(key, hit)
                     continue
                 self.cache_misses += 1
             try:
@@ -152,10 +192,18 @@ class PageExtractor:
                 cols["twitter_card"].append("{}")
                 cols["meta_data"].append('{"language": ""}')
                 cols["metadata_json"].append("{}")
-            if self.cache_size > 0:
-                self._cache[key] = {name: cols[name][-1] for name in cols}
-                if len(self._cache) > self.cache_size:
-                    self._cache.popitem(last=False)  # evict LRU
+            if caching:
+                entry = {name: cols[name][-1] for name in cols}
+                if self.cache_size > 0:
+                    self._local_store(key, entry)
+                if self.shared_cache is not None:
+                    new_keys.append(key)
+                    new_vals.append(entry)
+
+        if new_keys:
+            # fire-and-forget publish; the cache is advisory (a lost put
+            # only costs a future miss, never correctness)
+            self.shared_cache.put_batch.remote(new_keys, new_vals)
 
         arrays = [batch.column("url").cast(pa.string()), ts]
         for name in EXTRACTED.names:
@@ -180,12 +228,15 @@ def scrape_dataset(
     batch_size: int = 64,
     include_raw_html: bool = False,
     cache_size: int = 0,
+    shared_cache=None,
 ):
     """pages Dataset → extracted Dataset (the /scrape pipeline, SURVEY.md
     §3.1 Ray shape). Modest batch_size because html rows can be MBs (R5).
     ``cache_size`` enables the per-actor repeated-URL LRU (see
     PageExtractor) — useful when the same slice is scraped repeatedly in
-    one session, the reference cache_service workload."""
+    one session, the reference cache_service workload. ``shared_cache``
+    (a raycrawl.cache.SharedExtractCache handle) adds the cross-worker
+    shared level — the reference's Redis role."""
     import ray.data  # local import: module must not force ray at import time
 
     kwargs: dict[str, Any] = dict(
@@ -193,7 +244,8 @@ def scrape_dataset(
         batch_size=batch_size,
         fn_constructor_kwargs={"only_main": only_main,
                                "include_raw_html": include_raw_html,
-                               "cache_size": cache_size},
+                               "cache_size": cache_size,
+                               "shared_cache": shared_cache},
     )
     if concurrency is not None:
         kwargs["concurrency"] = concurrency

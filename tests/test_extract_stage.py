@@ -131,3 +131,53 @@ def test_scrape_dataset_cache_size_plumbed():
     one = out.sort_values("url").groupby("url").nth(0).reset_index(drop=True)
     two = out.sort_values("url").groupby("url").nth(1).reset_index(drop=True)
     assert one.drop(columns=["warc_ts"]).equals(two.drop(columns=["warc_ts"]))
+
+
+def test_shared_cache_cross_actor_hits():
+    """The cross-worker shared cache (reference Redis role,
+    cache_service.py:37-99): a SECOND extractor instance with a cold
+    local LRU must serve the whole batch from the shared actor —
+    byte-identical rows, zero extractions — and the two levels compose
+    (the shared hit is promoted into the local L1)."""
+    import ray
+
+    from raycrawl.cache import SharedExtractCache, SharedExtractCacheLocal
+    from raycrawl.extract import PageExtractor
+    from raycrawl.fixtures import feature_corpus
+
+    corpus = feature_corpus(n_hosts=1, pages_per_host=12)
+    batch = corpus.select(["url", "warc_ts", "html"]).slice(0, 12)
+
+    shared = SharedExtractCache.remote(max_entries=1000)
+    a = PageExtractor(cache_size=64, shared_cache=shared)
+    first = a(batch)
+    assert a.cache_misses == 12 and a.shared_cache_hits == 0
+    ray.get(shared.ping.remote())  # drain the fire-and-forget put
+
+    b = PageExtractor(cache_size=64, shared_cache=shared)  # cold L1
+    second = b(batch)
+    assert b.shared_cache_hits == 12 and b.cache_misses == 0
+    assert second.equals(first)
+    # promotion into L1: a third pass on b is local-only
+    third = b(batch)
+    assert b.cache_hits == 12 and b.shared_cache_hits == 12
+    assert third.equals(first)
+    st = ray.get(shared.stats.remote())
+    assert st["entries"] == 12 and st["hits"] == 12
+
+    # shared-only mode (cache_size=0) also works
+    c = PageExtractor(cache_size=0, shared_cache=shared)
+    assert c(batch).equals(first)
+    assert c.shared_cache_hits == 12
+    ray.kill(shared)
+
+    # core semantics without Ray: TTL expiry + LRU bound
+    import time as _t
+
+    core = SharedExtractCacheLocal(max_entries=2, ttl_seconds=0.05)
+    core.put_batch([b"k1", b"k2", b"k3"], [{"v": 1}, {"v": 2}, {"v": 3}])
+    assert core.stats()["entries"] == 2 and core.stats()["evictions"] == 1
+    assert core.get_batch([b"k1"]) == [None]      # evicted (LRU bound)
+    assert core.get_batch([b"k3"]) == [{"v": 3}]
+    _t.sleep(0.06)
+    assert core.get_batch([b"k3"]) == [None]      # expired (TTL)
