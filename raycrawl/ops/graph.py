@@ -525,3 +525,74 @@ def backlinks(index_dir: str, targets, num_buckets: int = 64):
 
     return (rd.read_parquet(files, columns=["dst", "src"])
             .map_batches(pick, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# anchor-text index (the classic web-scale anchor corpus)
+# ---------------------------------------------------------------------------
+
+def _node_text(node) -> str:
+    """Concatenated text runs under a node (anchor label)."""
+    from ..html.dom import TEXT
+
+    parts: list[str] = []
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if n.tag == TEXT:
+            parts.append(n.text)
+        else:
+            stack.extend(reversed(n.children))
+    return " ".join(" ".join(parts).split())
+
+
+def anchor_text_index(pages_ds, n_parts: int = 64):
+    """PAGES (url, html) → (dst_url, n_anchors, anchor_texts): every
+    page's outgoing <a href> anchors, aggregated per TARGET — the anchor-
+    text corpus behind link-based labels, retrieval training pairs and
+    spam features (Craswell et al. 2001's anchor evidence; every major
+    search stack materializes this table).
+
+    Shape: stateless ``map_batches`` parse (one DOM pass per page, href
+    normalized against the page url) → coarse hash partitions on dst_url
+    (never one Ray group per target — targets are unbounded) → per-target
+    aggregate: ``n_anchors`` = number of in-anchors, ``anchor_texts`` =
+    ' | '-joined sorted DISTINCT labels (deterministic under any
+    partitioning / arrival order)."""
+    import pandas as pd
+
+    from ..html.dom import parse_html
+    from ..urlnorm import normalize_url
+    from .agg import partitioned_map_groups
+
+    def anchors(batch: pd.DataFrame) -> pd.DataFrame:
+        dsts: list[str] = []
+        texts: list[str] = []
+        for url, html in zip(batch["url"], batch["html"]):
+            raw = (html.decode("utf-8", errors="replace")
+                   if isinstance(html, (bytes, bytearray)) else (html or ""))
+            try:
+                root = parse_html(raw)
+            except Exception:
+                continue
+            for a in root.find_all("a", href=True):
+                href = a.get("href")
+                if not href:
+                    continue
+                try:
+                    dst = normalize_url(href, url)
+                except Exception:
+                    continue
+                dsts.append(dst)
+                texts.append(_node_text(a))
+        return pd.DataFrame({"dst_url": pd.Series(dsts, dtype="string"),
+                             "anchor_text": pd.Series(texts, dtype="string")})
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "dst_url": [g["dst_url"].iloc[0]],
+            "n_anchors": pd.Series([len(g)], dtype="int64"),
+            "anchor_texts": [" | ".join(sorted(set(g["anchor_text"])))]})
+
+    rows = pages_ds.map_batches(anchors, batch_format="pandas")
+    return partitioned_map_groups(rows, ["dst_url"], agg, n_parts=n_parts)
