@@ -251,6 +251,23 @@ def _q_crawl_bfs(sf_dir: str):
     return df
 
 
+def _q_dup_ngrams(sf_dir: str):
+    """Cross-document duplicated-5-gram fraction (RefinedWeb/MassiveText
+    corpus-quality metric): per doc, the share of its 5-gram occurrences
+    whose gram appears in ≥2 distinct docs. Exact distributed shape —
+    grams shuffled as strings through coarse partitions; the oracle
+    recomputes document frequencies and the identical integer/DOUBLE
+    arithmetic in SQL."""
+    import ray.data as rd
+
+    from raycrawl.ops.textstats import dup_ngram_stats
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return dup_ngram_stats(docs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_anchor_texts(sf_dir: str):
     """Anchor-text index (the classic web-scale anchor corpus — link-based
     labels / retrieval pairs): parse every page's <a href> anchors,
@@ -2124,6 +2141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_bfs": _q_crawl_bfs,
         "crawl_warc": _q_crawl_warc,
         "link_anchor_texts": _q_anchor_texts,
+        "text_dup_ngrams": _q_dup_ngrams,
         "crawl_priority": _q_crawl_priority,
         "crawl_seen": _q_crawl_seen,
         "crawl_bfs_docs": _q_crawl_bfs_docs,
@@ -2498,6 +2516,31 @@ def oracle_sql() -> dict[str, str]:
         "crawl_seen": (
             f"SELECT url, depth, seq "
             f"FROM read_parquet('{oracle_dir}/crawl_seen.parquet')"
+        ),
+        # duplicated-5-gram fraction: document frequency per gram, per-doc
+        # occurrence share over df>=2 grams; identical int/DOUBLE math
+        "text_dup_ngrams": (
+            "WITH w AS (SELECT doc_id, "
+            "  CASE WHEN trim(COALESCE(text, '')) = '' THEN [] "
+            "  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks "
+            "  FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_transform("
+            "  generate_series(1, len(toks) - 4), "
+            "  i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '"
+            "||toks[i+3]||' '||toks[i+4])) AS g5 "
+            "  FROM w WHERE len(toks) >= 5), "
+            "df AS (SELECT g5 FROM (SELECT g5, count(DISTINCT doc_id) AS df "
+            "  FROM g GROUP BY g5) WHERE df >= 2), "
+            "num AS (SELECT doc_id, count(*) AS n_dup FROM g "
+            "  WHERE g5 IN (SELECT g5 FROM df) GROUP BY doc_id), "
+            "den AS (SELECT doc_id, GREATEST(len(toks) - 4, 0) AS n_ngrams "
+            "  FROM w) "
+            "SELECT den.doc_id, CAST(COALESCE(n.n_dup, 0) AS BIGINT) "
+            "AS n_dup_ngrams, CAST(den.n_ngrams AS BIGINT) AS n_ngrams, "
+            "CASE WHEN den.n_ngrams = 0 THEN 0.0 "
+            "ELSE CAST(COALESCE(n.n_dup, 0) AS DOUBLE) / den.n_ngrams END "
+            "AS dup_ngram_frac "
+            "FROM den LEFT JOIN num n USING (doc_id)"
         ),
         # anchor-text index: the corpus link lattice is closed-form in
         # doc_id (4-ary tree per host in doc_id order, 'next {rank}'

@@ -744,3 +744,89 @@ def split_overlong(ds, id_col: str = "doc_id", text_col: str = "text",
             "piece": piece})
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def dup_ngram_stats(ds, ngram: int = 5, n_parts: int = 256,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Cross-document duplicated-n-gram fraction per doc — the RefinedWeb
+    / MassiveText corpus-quality metric (Penedo et al. 2023 §"duplicated
+    n-grams"; Rae et al. 2021 appendix A): for each document, the
+    fraction of its n-gram OCCURRENCES whose n-gram appears in ≥ 2
+    distinct documents corpus-wide. Unlike repetition_stats (intra-doc),
+    this measures corpus-level boilerplate — high values flag template
+    farms that survive exact/near dedup.
+
+    Distributed shape (all coarse hash partitions, never per-key Ray
+    groups; grams ride as STRINGS so the answer is hash-free exact):
+      1. one map pass → (gram, doc_id, mult) rows, mult = occurrences of
+         that gram in that doc (one row per distinct (gram, doc)), plus a
+         tiny (doc_id, n_ngrams) denominator table;
+      2. partition by gram → document frequency per gram IS the group
+         size; per-doc partial numerators = Σ mult over df≥2 grams;
+      3. partition by doc_id → fold partials + the denominator row.
+
+    Returns (doc_id, n_dup_ngrams, n_ngrams, dup_ngram_frac) for EVERY
+    input doc (docs shorter than n grams report 0/0/0.0)."""
+    import ray.data as rd  # noqa: F401  (documents the dependency)
+
+    from .agg import partitioned_map_partitions
+
+    def occurrences(batch: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        grams: list[str] = []
+        ids: list[int] = []
+        mults: list[int] = []
+        for did, text in zip(batch[id_col], batch[text_col]):
+            toks = (text or "").split()
+            if len(toks) < ngram:
+                continue
+            c = Counter(" ".join(toks[i:i + ngram])
+                        for i in range(len(toks) - ngram + 1))
+            for g, m in c.items():
+                grams.append(g)
+                ids.append(int(did))
+                mults.append(m)
+        return pd.DataFrame({
+            "gram": pd.Series(grams, dtype="string"),
+            id_col: pd.Series(ids, dtype="int64"),
+            "mult": pd.Series(mults, dtype="int64")})
+
+    def denominators(batch: pd.DataFrame) -> pd.DataFrame:
+        n = [max(len((t or "").split()) - ngram + 1, 0)
+             for t in batch[text_col]]
+        return pd.DataFrame({
+            id_col: batch[id_col].astype("int64"),
+            "n_dup_partial": pd.Series([0] * len(batch), dtype="int64"),
+            "n_ngrams": pd.Series(n, dtype="int64")})
+
+    def per_gram(part: pd.DataFrame) -> pd.DataFrame:
+        # rows are unique per (gram, doc) → df(gram) is the group size
+        df = part.groupby("gram")[id_col].transform("size")
+        dup = part[df >= 2]
+        if len(dup) == 0:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "n_dup_partial": pd.Series([], dtype="int64"),
+                "n_ngrams": pd.Series([], dtype="int64")})
+        out = dup.groupby(id_col, as_index=False)["mult"].sum() \
+            .rename(columns={"mult": "n_dup_partial"})
+        out["n_ngrams"] = pd.Series([0] * len(out), dtype="int64")
+        return out[[id_col, "n_dup_partial", "n_ngrams"]]
+
+    def fold(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(id_col, as_index=False).agg(
+            n_dup_ngrams=("n_dup_partial", "sum"),
+            n_ngrams=("n_ngrams", "sum"))
+        denom = g["n_ngrams"].to_numpy()
+        num = g["n_dup_ngrams"].to_numpy()
+        frac = np.where(denom > 0, num / np.maximum(denom, 1), 0.0)
+        g["dup_ngram_frac"] = frac
+        return g
+
+    occ = ds.map_batches(occurrences, batch_format="pandas")
+    partials = partitioned_map_partitions(occ, ["gram"], per_gram,
+                                          n_parts=n_parts)
+    dens = ds.map_batches(denominators, batch_format="pandas")
+    return partitioned_map_partitions(partials.union(dens), [id_col],
+                                      fold, n_parts=n_parts)

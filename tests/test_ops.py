@@ -1522,3 +1522,39 @@ def test_embedding_dup_pairs_lsh_recall():
     esim = {(r.id_a, r.id_b): r.cosine_sim for r in exact.itertuples()}
     for r in lsh.itertuples():
         assert abs(esim[(r.id_a, r.id_b)] - r.cosine_sim) < 1e-12
+
+
+def test_dup_ngram_stats_cross_document():
+    """RefinedWeb-style duplicated-n-gram fraction: a 5-gram shared by
+    two docs counts toward BOTH docs' numerators (with per-doc
+    multiplicity); unique-gram docs and sub-n docs report 0."""
+    import pandas as pd2
+    import ray.data as rd2
+
+    from raycrawl.ops.textstats import dup_ngram_stats
+
+    shared = "alpha beta gamma delta epsilon"          # one 5-gram
+    docs = pd2.DataFrame({
+        "doc_id": pd2.Series([1, 2, 3, 4], dtype="int64"),
+        "text": [
+            shared + " zeta",              # 2 grams, 1 dup
+            "x0 " + shared,                # 2 grams, 1 dup
+            "u1 u2 u3 u4 u5 u6",           # 2 grams, 0 dup
+            "tiny doc",                    # < 5 tokens -> 0/0
+        ]})
+    out = dup_ngram_stats(rd2.from_pandas(docs), n_parts=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["n_ngrams"].tolist() == [2, 2, 2, 0]
+    assert out["n_dup_ngrams"].tolist() == [1, 1, 0, 0]
+    assert out["dup_ngram_frac"].tolist() == [0.5, 0.5, 0.0, 0.0]
+
+    # multiplicity: a doc repeating the shared gram twice counts both
+    docs2 = pd2.DataFrame({
+        "doc_id": pd2.Series([1, 2], dtype="int64"),
+        "text": [shared + " " + shared, shared]})
+    out2 = dup_ngram_stats(rd2.from_pandas(docs2), n_parts=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # doc 1 has 10 tokens -> 6 grams; the shared gram occurs at
+    # positions 0 and 5 -> 2 duplicated occurrences
+    row = out2.iloc[0]
+    assert row["n_ngrams"] == 6 and row["n_dup_ngrams"] == 2
