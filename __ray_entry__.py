@@ -441,6 +441,24 @@ def _q_graph_components(sf_dir: str):
     return cc
 
 
+def _q_graph_hits(sf_dir: str):
+    """Distributed integer fixed-point HITS hubs & authorities over the
+    extracted link graph — the query-independent companion to PageRank
+    for frontier prioritization (a high-hub page's outlinks are worth
+    admitting even when the page itself ranks low). Oracle unrolls the
+    identical sum-normalized floor-division recurrence as SQL CTEs over
+    the lattice edge set (raycrawl/ops/graph.py::hits)."""
+    import pyarrow.parquet as pq
+
+    from raycrawl.ops.graph import hits
+
+    nodes = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id"]).column("doc_id").to_pylist()
+    out = hits(_edges_dataset(sf_dir), nodes, num_iters=5, scale=10**6,
+               method="auto")
+    return out.rename(columns={"node": "doc_id"})
+
+
 def _q_host_rank_mass(sf_dir: str):
     """Politeness-budget allocation signal: total PageRank mass per host
     (pagerank → 16-host aggregate — the composition a scheduler runs)."""
@@ -631,6 +649,46 @@ def _pagerank_oracle(num_iters: int = 5, scale: int = 10**12,
             f" AS BIGINT) AS r FROM nodes n LEFT JOIN c{k} c USING (doc_id))")
     sql.append(final if final is not None
                else f" SELECT doc_id, r AS rank_fp FROM r{num_iters}")
+    return "".join(sql)
+
+
+def _hits_oracle(num_iters: int = 5, scale: int = 10**6) -> str:
+    """SQL mirror of ops/graph.py::hits — the same 4-ary lattice edge CTE
+    as ``_pagerank_oracle``, then the exact sum-normalized floor-division
+    HITS recurrence unrolled (HUGEINT cast on the raw·scale product, the
+    engine's Python-int exactness)."""
+    sql = [
+        "WITH ranked AS MATERIALIZED (SELECT doc_id, doc_id % 16 AS h, "
+        " row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) - 1 AS rnk "
+        " FROM documents), "
+        "edges AS MATERIALIZED (SELECT p.doc_id AS src, c.doc_id AS dst FROM ranked p "
+        " JOIN ranked c ON c.h = p.h "
+        " AND c.rnk IN (4*p.rnk+1, 4*p.rnk+2, 4*p.rnk+3, 4*p.rnk+4)), "
+        "nodes AS MATERIALIZED (SELECT doc_id FROM documents), "
+        f"h0 AS MATERIALIZED (SELECT doc_id, CAST({scale} AS BIGINT) // "
+        " (SELECT count(*) FROM nodes) AS h FROM nodes)"
+    ]
+    for k in range(1, num_iters + 1):
+        p = k - 1
+        sql.append(
+            f", ap{k} AS MATERIALIZED (SELECT e.dst AS doc_id, sum(h.h) AS v "
+            f" FROM edges e JOIN h{p} h ON h.doc_id = e.src GROUP BY e.dst)"
+            f", asum{k} AS MATERIALIZED (SELECT COALESCE(sum(v), 0) AS s FROM ap{k})"
+            f", a{k} AS MATERIALIZED (SELECT n.doc_id, CASE WHEN (SELECT s FROM asum{k}) > 0 "
+            f" THEN CAST((CAST(COALESCE(p.v, 0) AS HUGEINT) * {scale}) "
+            f" // (SELECT s FROM asum{k}) AS BIGINT) ELSE 0 END AS a "
+            f" FROM nodes n LEFT JOIN ap{k} p USING (doc_id))"
+            f", hp{k} AS MATERIALIZED (SELECT e.src AS doc_id, sum(a.a) AS v "
+            f" FROM edges e JOIN a{k} a ON a.doc_id = e.dst GROUP BY e.src)"
+            f", hsum{k} AS MATERIALIZED (SELECT COALESCE(sum(v), 0) AS s FROM hp{k})"
+            f", h{k} AS MATERIALIZED (SELECT n.doc_id, CASE WHEN (SELECT s FROM hsum{k}) > 0 "
+            f" THEN CAST((CAST(COALESCE(p.v, 0) AS HUGEINT) * {scale}) "
+            f" // (SELECT s FROM hsum{k}) AS BIGINT) ELSE 0 END AS h "
+            f" FROM nodes n LEFT JOIN hp{k} p USING (doc_id))")
+    sql.append(
+        f" SELECT n.doc_id, a.a AS auth_fp, h.h AS hub_fp FROM nodes n "
+        f" JOIN a{num_iters} a USING (doc_id) "
+        f" JOIN h{num_iters} h USING (doc_id)")
     return "".join(sql)
 
 
@@ -1292,6 +1350,22 @@ def _q_unigram_commonness(sf_dir: str):
     return unigram_commonness(docs).to_pandas()
 
 
+def _q_text_tfidf(sf_dir: str):
+    """Per-document TF-IDF top-3 terms (exact fixed-point rational-idf
+    surrogate, raycrawl/ops/search.py::tfidf_top_terms) — the classic
+    keyword/topic-label signal attached before corpus sampling/routing.
+    df comes through the bounded exact top-K vocab machinery; the oracle
+    replays the identical HUGEINT floor-division score in SQL."""
+    import ray.data as rd
+
+    from raycrawl.ops.search import tfidf_top_terms
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    out = tfidf_top_terms(docs, k=3).to_pandas()
+    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
 def _q_events_stratified(sf_dir: str):
     from raycrawl.ops.relational import events_stratified_sample
 
@@ -1613,6 +1687,15 @@ def _q_events_top_per_user(sf_dir: str):
     from raycrawl.ops.relational import events_top_per_user
 
     return events_top_per_user(sf_dir)
+
+
+def _q_events_running_total(sf_dir: str):
+    """Per-user ROWS-UNBOUNDED-PRECEDING running window (event count +
+    exact integer-millis running value), whole-partition vectorized over
+    user-hash partitions (raycrawl/ops/relational.py)."""
+    from raycrawl.ops.relational import events_running_total
+
+    return events_running_total(sf_dir)
 
 
 
@@ -2125,6 +2208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_pagerank": _q_link_pagerank,
         "host_rank_mass": _q_host_rank_mass,
         "graph_components": _q_graph_components,
+        "graph_hits": _q_graph_hits,
         "crawl_delta": _q_crawl_delta,
         "recrawl_schedule": _q_recrawl_schedule,
         "link_backlinks": _q_link_backlinks,
@@ -2160,6 +2244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_gopher_quality": _q_gopher_quality,
         "text_repetition": _q_repetition,
         "text_unigram_commonness": _q_unigram_commonness,
+        "text_tfidf_top_terms": _q_text_tfidf,
         "audio_features": _q_audio_features,
         "image_png_features": _q_image_png_features,
         "image_jpeg_features": _q_image_jpeg_features,
@@ -2192,6 +2277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_revenue_delta": _q_q6,
         "events_latest": _q_events_latest,
         "events_top_per_user": _q_events_top_per_user,
+        "events_running_total": _q_events_running_total,
         "events_asof_prev_purchase": _q_events_asof,
         "events_asof_sliced": _q_events_asof_sliced,
         "events_hash_sample": _q_events_hash_sample,
@@ -2659,6 +2745,7 @@ def oracle_sql() -> dict[str, str]:
                    "ORDER BY score DESC, t.doc_id LIMIT 100")),
         # lattice edges stay within a host, and each host's lattice is one
         # tree → components are exactly the host partitions
+        "graph_hits": _hits_oracle(num_iters=5),
         "graph_components": (
             "SELECT doc_id AS node, "
             "min(doc_id) OVER (PARTITION BY doc_id % 16) AS component "
@@ -2947,6 +3034,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM lagd GROUP BY audio_id"
         ),
         # two-pass corpus unigram frequencies → per-doc sum/min score
+        "text_tfidf_top_terms": (
+            "WITH toks AS MATERIALIZED (SELECT doc_id, "
+            "  unnest(regexp_split_to_array(trim(text), '\\s+')) AS w "
+            "  FROM documents WHERE trim(COALESCE(text, '')) <> ''), "
+            "tf AS MATERIALIZED (SELECT doc_id, w, count(*) AS tf "
+            "  FROM toks GROUP BY doc_id, w), "
+            "dl AS MATERIALIZED (SELECT doc_id, count(*) AS dl "
+            "  FROM toks GROUP BY doc_id), "
+            "df AS MATERIALIZED (SELECT w, count(DISTINCT doc_id) AS df "
+            "  FROM tf GROUP BY w), "
+            "nn AS (SELECT count(*) AS n FROM dl), "
+            "scored AS (SELECT tf.doc_id, tf.w AS term, "
+            "  CAST((CAST(1000000 AS HUGEINT) * tf.tf "
+            "        * (2 * (SELECT n FROM nn) - 2 * df.df + 1)) "
+            "       // (dl.dl * (2 * df.df + 1)) AS BIGINT) AS score_fp "
+            "  FROM tf JOIN df USING (w) JOIN dl USING (doc_id)), "
+            "ranked AS (SELECT scored.*, row_number() OVER ("
+            "  PARTITION BY doc_id ORDER BY score_fp DESC, term) AS rnk "
+            "  FROM scored) "
+            "SELECT doc_id, CAST(rnk AS BIGINT) AS rank, term, score_fp "
+            "FROM ranked WHERE rnk <= 3"
+        ),
         "text_unigram_commonness": (
             "WITH w AS (SELECT doc_id, "
             "  CASE WHEN trim(COALESCE(text, '')) = '' THEN [] "
@@ -3348,6 +3457,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, ts, event_type, "
             "CAST(floor(value * 1000 + 0.5) AS BIGINT) AS value_millis "
             "FROM events ORDER BY ts DESC, event_id DESC LIMIT 10"
+        ),
+        "events_running_total": (
+            "SELECT event_id, user_id, "
+            "  CAST(row_number() OVER w AS BIGINT) AS run_n, "
+            "  CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) "
+            "       OVER w AS BIGINT) AS run_value_millis "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "  ROWS UNBOUNDED PRECEDING)"
         ),
         "events_top_per_user": (
             "WITH r AS (SELECT user_id, event_id, "

@@ -596,3 +596,186 @@ def anchor_text_index(pages_ds, n_parts: int = 64):
 
     rows = pages_ds.map_batches(anchors, batch_format="pandas")
     return partitioned_map_groups(rows, ["dst_url"], agg, n_parts=n_parts)
+
+
+# ---------------------------------------------------------------------------
+# HITS (hubs & authorities)
+# ---------------------------------------------------------------------------
+
+def _hits_normalize(raw: np.ndarray, scale: int):
+    """Exact sum-normalization: v = raw * scale // Σraw (zeros if Σ = 0).
+
+    int64-vectorized while Σraw·scale < 2^63 (true whenever
+    max-degree·scale² < 2^63, i.e. degree < 9.2·10^6 at scale 10^6);
+    past that it falls back to exact Python-int math — same answers,
+    driver-side O(N) either way (this runs on the ≤-broadcast-threshold
+    vector or inside a join bucket's slice)."""
+    s = int(raw.sum(dtype=np.object_)) if len(raw) else 0
+    if s == 0:
+        return np.zeros(len(raw), dtype=np.int64), 0
+    if s <= (2**63 - 1) // scale:
+        return (raw * scale) // s, s
+    out = (raw.astype(object) * scale) // s
+    return np.fromiter((int(x) for x in out), dtype=np.int64,
+                       count=len(out)), s
+
+
+def hits(edges_ds, node_ids, *, num_iters: int = 5, scale: int = 10**6,
+         method: str = "auto", num_buckets: int = 32,
+         n_parts: int = 64) -> pd.DataFrame:
+    """HITS hubs-and-authorities (Kleinberg, JACM'99) over
+    Dataset(src:int64, dst:int64) → DataFrame(node, auth_fp, hub_fp) —
+    the query-independent companion signal to :func:`pagerank` for
+    frontier prioritization (a high-hub page's outlinks are worth
+    admitting even when the page itself ranks low).
+
+    Integer fixed-point, bit-reproducible across partitionings and the
+    SQL oracle (the module-wide discipline). Recurrence — all floor
+    divisions, nonnegative operands, Python ``//`` == DuckDB ``//``:
+
+        h0[v]  = scale // N
+        a'[v]  = Σ h[u]  over edges u→v          (authority from in-links)
+        a[v]   = a'[v] · scale // Σ a'           (sum-normalized, 0 if Σ=0)
+        h'[u]  = Σ a[v]  over edges u→v          (hub from out-links)
+        h[u]   = h'[u] · scale // Σ h'
+
+    Sum-normalization (not the conventional L2) keeps every step in
+    exact integers; it rescales both vectors identically, so the
+    *ranking* matches the L2 variant at every iteration. Exactness
+    bound: max-degree · scale² < 2^63 for the vectorized path (the
+    normalizer falls back to Python-int math past it, same answers).
+
+    Paths mirror :func:`pagerank` — ``'broadcast'`` keeps the two N-entry
+    vectors in the object store (one ``ray.put`` per half-iteration) and
+    streams edges through ``map_batches`` partial sums; ``'shuffle'``
+    keeps state as a Dataset with one ``bucket_hash_join`` per direction
+    per iteration and only the two scalar normalizers driver-side.
+    Equivalence is pytest-pinned (tests/test_graph_hits.py).
+    """
+    if method == "auto":
+        n_hint = (node_ids.count() if hasattr(node_ids, "map_batches")
+                  else len(node_ids))
+        method = "broadcast" if n_hint <= _AUTO_BROADCAST_NODES else "shuffle"
+    if method == "broadcast":
+        return _hits_broadcast(edges_ds, node_ids, num_iters, scale)
+    if method == "shuffle":
+        return _hits_shuffle(edges_ds, node_ids, num_iters, scale,
+                             num_buckets, n_parts)
+    raise ValueError(method)
+
+
+def _hits_broadcast(edges_ds, node_ids, num_iters: int,
+                    scale: int) -> pd.DataFrame:
+    import ray
+
+    if hasattr(node_ids, "to_pandas"):
+        node_ids = node_ids.to_pandas()["node"].to_numpy(np.int64)
+    ids = np.unique(np.asarray(node_ids, dtype=np.int64))
+    n = len(ids)
+    edges = edges_ds.materialize()  # 2·num_iters passes over the edge set
+    ids_ref = ray.put(ids)          # loop-invariant: put once
+    h = np.full(n, scale // n, dtype=np.int64)
+    a = np.zeros(n, dtype=np.int64)
+
+    def _sweep(vec: np.ndarray, take_col: str, emit_col: str) -> np.ndarray:
+        """One half-iteration: Σ vec[take] grouped by emit, distributed.
+        Same exact int64 segment-sum kernel as _pagerank_broadcast
+        (cumsum over sorted keys — bincount would go float64)."""
+        v_ref = ray.put(vec)
+
+        def partial(b: pd.DataFrame, iref=ids_ref, vref=v_ref,
+                    take=take_col, emit=emit_col) -> pd.DataFrame:
+            uids = ray.get(iref)
+            vv = ray.get(vref)
+            contrib = vv[_lookup(uids, b[take].to_numpy(np.int64))]
+            key = b[emit].to_numpy(np.int64)
+            uniq = np.unique(key)
+            order = np.argsort(key, kind="stable")
+            csum = np.concatenate(([0], np.cumsum(contrib[order])))
+            sk = key[order]
+            lo = np.searchsorted(sk, uniq, side="left")
+            hi = np.searchsorted(sk, uniq, side="right")
+            return pd.DataFrame({"node": uniq, "v": csum[hi] - csum[lo]})
+
+        raw = np.zeros(n, dtype=np.int64)
+        parts = edges.map_batches(partial, batch_format="pandas",
+                                  batch_size=_EDGE_BATCH)
+        for batch in parts.iter_batches(batch_format="pandas",
+                                        batch_size=None):
+            _fold_partials(ids, raw, batch, "node", "v")
+        return raw
+
+    for _ in range(num_iters):
+        a, _ = _hits_normalize(_sweep(h, "src", "dst"), scale)
+        h, _ = _hits_normalize(_sweep(a, "dst", "src"), scale)
+    return pd.DataFrame({"node": ids, "auth_fp": a, "hub_fp": h})
+
+
+def _hits_shuffle(edges_ds, node_ids, num_iters: int, scale: int,
+                  num_buckets: int, n_parts: int) -> pd.DataFrame:
+    from .agg import partitioned_map_partitions
+    from .join import bucket_hash_join
+
+    edges = edges_ds.materialize()
+    nodes_ds, n = _prepare_universe_ds(edges, node_ids, n_parts)
+
+    def seed(m: pd.DataFrame) -> pd.DataFrame:
+        m["a"] = np.int64(0)
+        m["h"] = np.int64(scale // n)
+        return m[["node", "a", "h"]]
+
+    state = nodes_ds.map_batches(seed, batch_format="pandas").materialize()
+
+    def _half(state, take_col: str, emit_col: str, state_val: str,
+              out_val: str):
+        """edges ⋈ state on take_col (partial-sum by emit inside the
+        bucket), coarse-partition global sum, scalar normalizer, then one
+        left join writes the normalized vector back onto the state."""
+        def sum_post(m: pd.DataFrame, emit=emit_col,
+                     sv=state_val) -> pd.DataFrame:
+            part = (pd.DataFrame({"node": m[emit].to_numpy(np.int64),
+                                  "raw": m[sv].to_numpy(np.int64)})
+                    .groupby("node", as_index=False)["raw"].sum())
+            return part
+
+        raws = bucket_hash_join(edges, state, take_col, "node",
+                                num_buckets=num_buckets, post=sum_post)
+
+        def raw_combine(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby("node", as_index=False)["raw"].sum()
+
+        raw_ds = partitioned_map_partitions(raws, "node", raw_combine,
+                                            n_parts=n_parts).materialize()
+        total = 0
+        for batch in raw_ds.iter_batches(batch_format="pandas",
+                                         batch_size=None):
+            if len(batch):
+                total += int(batch["raw"].to_numpy(np.int64)
+                             .sum(dtype=object))
+
+        def apply_norm(m: pd.DataFrame, total=total,
+                       ov=out_val) -> pd.DataFrame:
+            raw = (m["raw"].fillna(0).astype(np.int64).to_numpy()
+                   if "raw" in m else np.zeros(len(m), dtype=np.int64))
+            if total == 0:
+                m[ov] = np.int64(0)
+            elif total <= (2**63 - 1) // scale:
+                m[ov] = (raw * scale) // total
+            else:
+                m[ov] = np.fromiter(
+                    (int(x) * scale // total for x in raw),
+                    dtype=np.int64, count=len(raw))
+            return m[["node", "a", "h"]]
+
+        return bucket_hash_join(state, raw_ds, "node", "node",
+                                num_buckets=num_buckets, how="left",
+                                post=apply_norm).materialize()
+
+    for _ in range(num_iters):
+        state = _half(state, "src", "dst", "h", "a")   # authorities
+        state = _half(state, "dst", "src", "a", "h")   # hubs
+    out = state.to_pandas()[["node", "a", "h"]].rename(
+        columns={"a": "auth_fp", "h": "hub_fp"})
+    out = out.astype({"node": "int64", "auth_fp": "int64",
+                      "hub_fp": "int64"})
+    return out.sort_values("node").reset_index(drop=True)

@@ -931,3 +931,34 @@ def deterministic_shuffle_rank(ds, key_col: str = "doc_id",
 
     return partitioned_map_partitions(hds, ["__bucket"], rank_part,
                                       n_parts=min(64, n_buckets))
+
+
+def events_running_total(sf_dir: str) -> pd.DataFrame:
+    """Per-user running cumulative window — the classic
+    ``ROWS UNBOUNDED PRECEDING`` frame (per-event running event count and
+    running value, ordered by (ts, event_id) within each user): the
+    sessionless per-entity state a feature pipeline materializes.
+
+    Distributed shape: user_id hash-partitions co-locate every user's
+    history (coarse partitions, never one Ray group per user), and the
+    kernel is whole-partition vectorized — one (user, ts, event_id) sort,
+    one ``groupby().cumcount/cumsum`` pair; zero per-user Python. Value
+    is summed as exact integer millis (the module-wide cents/millis
+    discipline), so the running sums are associative-order-free and
+    bit-equal to the SQL window oracle."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def run_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").copy()
+        g["value_millis"] = np.floor(
+            g["value"] * 1000 + 0.5).astype("int64")
+        grp = g.groupby("user_id", sort=False)
+        g["run_n"] = (grp.cumcount() + 1).astype("int64")
+        g["run_value_millis"] = grp["value_millis"].cumsum().astype("int64")
+        return g[["event_id", "user_id", "run_n", "run_value_millis"]]
+
+    out = partitioned_map_partitions(ev, "user_id", run_part).to_pandas()
+    out = out.astype({"event_id": "int64", "user_id": "int64",
+                      "run_n": "int64", "run_value_millis": "int64"})
+    return out.sort_values("event_id").reset_index(drop=True)

@@ -219,3 +219,93 @@ def index_postings(index_dir: str, terms: list[str],
     return (rd.read_parquet(files)
             .map_batches(pick, batch_format="pyarrow")
             .select_columns(["term", "doc_id", "tf"]))
+
+
+def tfidf_top_terms(ds, *, k: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text", vocab_top_k: int = 1_000_000,
+                    scale: int = SCORE_SCALE) -> "object":
+    """Per-document TF-IDF top-k terms — the classic keyword/topic-label
+    signal a training-data pipeline attaches before sampling or routing
+    (Salton & Buckley, 1988). Returns a Dataset of
+    (id, rank, term, score_fp): for each document, its ``k``
+    highest-TF-IDF distinct terms ranked by (score desc, term asc).
+
+    Exact fixed-point integer scoring (the module's oracle discipline —
+    log-free rational idf surrogate, same family as :func:`bm25_topk`):
+
+        score_fp(term) = (scale · tf · (2N − 2df + 1)) // (dl · (2df + 1))
+
+    where tf = term count in the doc, dl = doc token count, df = number
+    of docs containing the term, N = number of docs with ≥1 token.
+    (2N−2df+1)/(2df+1) is the monotone rational surrogate of the idf
+    log; dividing by dl is the standard length normalization. Python-int
+    exact on this side, HUGEINT-exact in ANSI SQL.
+
+    Distributed shape: pass 1 computes df through the SAME bounded exact
+    top-K machinery as the commonness scorers
+    (textstats._bounded_topk_vocab — per-batch distinct-term partials →
+    coarse-partition exact sums → capped broadcast dict, driver RSS
+    O(n_parts × top_k) regardless of corpus size); N is a two-integer
+    scalar aggregate. Pass 2 re-streams the corpus once, scoring each
+    doc against the broadcast df table. Terms evicted past
+    ``vocab_top_k`` score with df = 0 (maximum idf — the rare-term
+    convention); below the cap — every benchmark scale — results are
+    EXACT. Tokenization matches the textstats family (whitespace split
+    of the stripped text, case-preserving)."""
+    import ray
+
+    from collections import Counter
+
+    from .textstats import _WS_SPLIT_RE as _TOK_RE
+    from .textstats import _bounded_topk_vocab
+
+    def df_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in batch[text_col].fillna(""):
+            t = t.strip()
+            if t:
+                c.update(set(_TOK_RE.split(t)))
+        return pd.DataFrame({"w": list(c.keys()),
+                             "cnt": pd.Series(list(c.values()),
+                                              dtype="int64")})
+
+    df_vocab = _bounded_topk_vocab(ds, df_batch, "w", vocab_top_k)
+
+    def n_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        nn = int((batch[text_col].fillna("").str.strip() != "").sum())
+        return pd.DataFrame({"n": pd.Series([nn], dtype="int64")})
+
+    n_docs = sum(
+        int(b["n"].sum()) for b in
+        ds.map_batches(n_batch, batch_format="pandas")
+          .iter_batches(batch_format="pandas", batch_size=None))
+    dref = ray.put(df_vocab)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        v = ray.get(dref)
+        ids: list = []
+        ranks: list[int] = []
+        terms: list[str] = []
+        scores: list[int] = []
+        for did, t in zip(batch[id_col], batch[text_col].fillna("")):
+            t = t.strip()
+            if not t:
+                continue
+            toks = _TOK_RE.split(t)
+            dl = len(toks)
+            scored = sorted(
+                (-((scale * tf * (2 * n_docs - 2 * v.get(w, 0) + 1))
+                   // (dl * (2 * v.get(w, 0) + 1))), w)
+                for w, tf in Counter(toks).items())
+            for r, (neg, w) in enumerate(scored[:k], 1):
+                ids.append(did)
+                ranks.append(r)
+                terms.append(w)
+                scores.append(-neg)
+        return pd.DataFrame({
+            id_col: pd.Series(ids, dtype="int64"),
+            "rank": pd.Series(ranks, dtype="int64"),
+            "term": pd.Series(terms, dtype="string"),
+            "score_fp": pd.Series(scores, dtype="int64")})
+
+    return ds.map_batches(score, batch_format="pandas")

@@ -1558,3 +1558,63 @@ def test_dup_ngram_stats_cross_document():
     # positions 0 and 5 -> 2 duplicated occurrences
     row = out2.iloc[0]
     assert row["n_ngrams"] == 6 and row["n_dup_ngrams"] == 2
+
+
+def test_tfidf_top_terms_matches_bruteforce():
+    from collections import Counter
+
+    from raycrawl.ops.search import tfidf_top_terms
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["apple banana apple", "banana cherry", "  ",
+                 "apple apple apple durian", "cherry durian cherry echo"]})
+    got = (tfidf_top_terms(rd.from_pandas(docs), k=2).to_pandas()
+           .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+
+    # brute force with Python ints
+    toks = {r.doc_id: r.text.strip().split() for r in docs.itertuples()
+            if r.text.strip()}
+    n = len(toks)
+    df = Counter()
+    for ws in toks.values():
+        df.update(set(ws))
+    rows = []
+    for did, ws in toks.items():
+        dl = len(ws)
+        scored = sorted(
+            (-((10**6 * tf * (2 * n - 2 * df[w] + 1))
+               // (dl * (2 * df[w] + 1))), w)
+            for w, tf in Counter(ws).items())
+        for r, (neg, w) in enumerate(scored[:2], 1):
+            rows.append((did, r, w, -neg))
+    want = pd.DataFrame(rows, columns=["doc_id", "rank", "term",
+                                       "score_fp"])
+    want = want.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert 3 not in set(got["doc_id"])  # empty doc emits nothing
+
+
+def test_events_running_total_matches_pandas(tmp_path):
+    rng = np.random.default_rng(3)
+    n = 500
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 20, n),
+        "ts": pd.to_datetime("2025-01-01")
+        + pd.to_timedelta(rng.integers(0, 3600, n), unit="s"),
+        "value": rng.normal(10, 5, n)})
+    ev.to_parquet(tmp_path / "events.parquet")
+
+    from raycrawl.ops.relational import events_running_total
+
+    got = events_running_total(str(tmp_path))
+
+    w = ev.sort_values(["user_id", "ts", "event_id"]).copy()
+    w["value_millis"] = np.floor(w["value"] * 1000 + 0.5).astype("int64")
+    grp = w.groupby("user_id", sort=False)
+    w["run_n"] = (grp.cumcount() + 1).astype("int64")
+    w["run_value_millis"] = grp["value_millis"].cumsum().astype("int64")
+    want = (w[["event_id", "user_id", "run_n", "run_value_millis"]]
+            .sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
