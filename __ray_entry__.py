@@ -1699,6 +1699,25 @@ def _q_events_running_total(sf_dir: str):
 
 
 
+def _q_events_cohort_retention(sf_dir: str):
+    """Cohort retention matrix (first-seen day × day-offset distinct
+    actives) — one user-hash shuffle emits exact per-partition partial
+    counts (users disjoint across partitions), driver combine bounded by
+    calendar-span² (raycrawl/ops/relational.py)."""
+    from raycrawl.ops.relational import events_cohort_retention
+
+    return events_cohort_retention(sf_dir)
+
+
+def _q_events_funnel(sf_dir: str):
+    """Ordered signup→view→purchase funnel per user (strictly-after
+    semantics, epoch-millis timestamps, -1 sentinels), vectorized inside
+    user-hash partitions (raycrawl/ops/relational.py)."""
+    from raycrawl.ops.relational import events_funnel
+
+    return events_funnel(sf_dir)
+
+
 def _q_events_asof(sf_dir: str):
     from raycrawl.ops.relational import events_asof_prev_purchase
 
@@ -2278,6 +2297,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest": _q_events_latest,
         "events_top_per_user": _q_events_top_per_user,
         "events_running_total": _q_events_running_total,
+        "events_cohort_retention": _q_events_cohort_retention,
+        "events_funnel": _q_events_funnel,
         "events_asof_prev_purchase": _q_events_asof,
         "events_asof_sliced": _q_events_asof_sliced,
         "events_hash_sample": _q_events_hash_sample,
@@ -3457,6 +3478,43 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, ts, event_type, "
             "CAST(floor(value * 1000 + 0.5) AS BIGINT) AS value_millis "
             "FROM events ORDER BY ts DESC, event_id DESC LIMIT 10"
+        ),
+        "events_cohort_retention": (
+            "WITH a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d "
+            "  FROM events), "
+            "f AS (SELECT user_id, min(d) AS cohort_day FROM a "
+            "  GROUP BY user_id) "
+            "SELECT f.cohort_day, "
+            "  CAST(date_diff('day', f.cohort_day, a.d) AS BIGINT) "
+            "    AS day_offset, "
+            "  CAST(count(*) AS BIGINT) AS n_users "
+            "FROM a JOIN f USING (user_id) "
+            "GROUP BY f.cohort_day, day_offset"
+        ),
+        # strictly-after 3-step funnel: each step's min ts among events
+        # later than the user's previous-step ts; -1 sentinels
+        "events_funnel": (
+            "WITH u AS (SELECT DISTINCT user_id FROM events), "
+            "s AS (SELECT user_id, min(ts) AS t1 FROM events "
+            "  WHERE event_type = 'signup' GROUP BY user_id), "
+            "v AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+            "  JOIN s ON s.user_id = e.user_id "
+            "  WHERE e.event_type = 'view' AND e.ts > s.t1 "
+            "  GROUP BY e.user_id), "
+            "p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+            "  JOIN v ON v.user_id = e.user_id "
+            "  WHERE e.event_type = 'purchase' AND e.ts > v.t2 "
+            "  GROUP BY e.user_id) "
+            "SELECT u.user_id, "
+            "  CAST(CASE WHEN p.t3 IS NOT NULL THEN 3 "
+            "       WHEN v.t2 IS NOT NULL THEN 2 "
+            "       WHEN s.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) "
+            "    AS stage, "
+            "  CAST(COALESCE(epoch_ms(s.t1), -1) AS BIGINT) AS t1_ms, "
+            "  CAST(COALESCE(epoch_ms(v.t2), -1) AS BIGINT) AS t2_ms, "
+            "  CAST(COALESCE(epoch_ms(p.t3), -1) AS BIGINT) AS t3_ms "
+            "FROM u LEFT JOIN s USING (user_id) "
+            "LEFT JOIN v USING (user_id) LEFT JOIN p USING (user_id)"
         ),
         "events_running_total": (
             "SELECT event_id, user_id, "

@@ -962,3 +962,84 @@ def events_running_total(sf_dir: str) -> pd.DataFrame:
     out = out.astype({"event_id": "int64", "user_id": "int64",
                       "run_n": "int64", "run_value_millis": "int64"})
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def events_cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention matrix — the classic growth-analytics rollup
+    (cohort_day = each user's first-seen day; n_users = distinct users
+    from that cohort active day_offset days later).
+
+    Distributed shape: ONE user-hash shuffle. Users are disjoint across
+    the coarse partitions, so each partition computes its users'
+    first-seen day AND their distinct activity days locally (a pandas
+    min + drop_duplicates — no second join stage), emitting exact
+    (cohort_day, day_offset) partial counts. The combine is a driver
+    fold: the partial key space is bounded by days² (calendar span, not
+    data size), so it stays tiny at any corpus scale."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def cohort_part(g: pd.DataFrame) -> pd.DataFrame:
+        d = g["ts"].dt.floor("D")
+        a = pd.DataFrame({"user_id": g["user_id"], "d": d}).drop_duplicates()
+        first = a.groupby("user_id", sort=False)["d"].min().rename("cohort_day")
+        a = a.join(first, on="user_id")
+        a["day_offset"] = (a["d"] - a["cohort_day"]).dt.days.astype("int64")
+        return (a.groupby(["cohort_day", "day_offset"], as_index=False)
+                 .size().rename(columns={"size": "n_users"}))
+
+    parts = partitioned_map_partitions(ev, "user_id", cohort_part)
+    chunks = [b for b in parts.iter_batches(batch_format="pandas",
+                                            batch_size=None) if len(b)]
+    out = (pd.concat(chunks, ignore_index=True)
+           .groupby(["cohort_day", "day_offset"], as_index=False)
+           ["n_users"].sum())
+    out["n_users"] = out["n_users"].astype("int64")
+    return (out.sort_values(["cohort_day", "day_offset"])
+               .reset_index(drop=True))
+
+
+def events_funnel(sf_dir: str,
+                  steps: tuple = ("signup", "view", "purchase")
+                  ) -> pd.DataFrame:
+    """Ordered 3-step funnel per user — earliest step-1 event, then the
+    earliest step-2 event STRICTLY after it, then the earliest step-3
+    event strictly after that (the standard product-analytics funnel
+    semantics; ties on ts do not advance the funnel, deterministically
+    on both sides). Returns (user_id, stage ∈ 0..3, t1_ms, t2_ms, t3_ms)
+    with -1 sentinels for unreached steps (the module's COALESCE
+    convention), timestamps as exact epoch millis.
+
+    Distributed shape: ONE user-hash shuffle; inside each partition the
+    chain is three vectorized filter → map(prev-step ts) → groupby-min
+    passes — zero per-user Python."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    ms_unit = pd.Timedelta(milliseconds=1)
+
+    def funnel_part(g: pd.DataFrame) -> pd.DataFrame:
+        ms = ((g["ts"] - pd.Timestamp(0)) // ms_unit).astype("int64")
+        g = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                          "ms": ms.to_numpy(),
+                          "event_type": g["event_type"].to_numpy()})
+        users = g["user_id"].drop_duplicates().sort_values()
+        prev = None  # Series: user_id -> ms of the previous step
+        mins = []
+        for step in steps:
+            s = g[g["event_type"] == step]
+            if prev is not None:
+                bar = s["user_id"].map(prev)
+                s = s[bar.notna() & (s["ms"] > bar)]
+            cur = s.groupby("user_id", sort=False)["ms"].min()
+            mins.append(cur)
+            prev = cur
+        out = pd.DataFrame({"user_id": users.to_numpy()})
+        stage = np.zeros(len(out), dtype=np.int64)
+        for i, cur in enumerate(mins, 1):
+            col = out["user_id"].map(cur)
+            stage = np.where(col.notna(), i, stage)
+            out[f"t{i}_ms"] = col.fillna(-1).astype("int64")
+        out.insert(1, "stage", stage)
+        return out
+
+    out = partitioned_map_partitions(ev, "user_id", funnel_part).to_pandas()
+    out = out.astype({c: "int64" for c in out.columns})
+    return out.sort_values("user_id").reset_index(drop=True)

@@ -1618,3 +1618,67 @@ def test_events_running_total_matches_pandas(tmp_path):
     want = (w[["event_id", "user_id", "run_n", "run_value_millis"]]
             .sort_values("event_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_events_funnel_ordering_semantics(tmp_path):
+    # user 0: full funnel; user 1: view BEFORE signup only -> stage 1;
+    # user 2: no signup -> stage 0; user 3: purchase ts == view ts
+    # (tie does not advance) -> stage 2
+    t = pd.Timestamp("2025-03-01")
+    s = pd.Timedelta(seconds=1)
+    rows = [
+        (0, 0, t + 0 * s, "signup"), (1, 0, t + 5 * s, "view"),
+        (2, 0, t + 9 * s, "purchase"),
+        (3, 1, t + 3 * s, "view"), (4, 1, t + 7 * s, "signup"),
+        (5, 2, t + 1 * s, "view"), (6, 2, t + 2 * s, "purchase"),
+        (7, 3, t + 0 * s, "signup"), (8, 3, t + 4 * s, "view"),
+        (9, 3, t + 4 * s, "purchase"),
+    ]
+    ev = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                     "event_type"])
+    ev["value"] = 1.0
+    ev["props"] = "{}"
+    ev.to_parquet(tmp_path / "events.parquet")
+
+    from raycrawl.ops.relational import events_funnel
+
+    got = events_funnel(str(tmp_path)).set_index("user_id")
+    ms = int(t.value // 10**6)
+    assert got.loc[0, "stage"] == 3
+    assert got.loc[0, ["t1_ms", "t2_ms", "t3_ms"]].tolist() == \
+        [ms, ms + 5000, ms + 9000]
+    assert got.loc[1, "stage"] == 1 and got.loc[1, "t2_ms"] == -1
+    assert got.loc[2, "stage"] == 0
+    assert (got.loc[2, ["t1_ms", "t2_ms", "t3_ms"]] == -1).all()
+    assert got.loc[3, "stage"] == 2 and got.loc[3, "t3_ms"] == -1
+
+
+def test_events_cohort_retention_matches_pandas(tmp_path):
+    rng = np.random.default_rng(5)
+    n = 2000
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 60, n),
+        "ts": pd.to_datetime("2025-02-01")
+        + pd.to_timedelta(rng.integers(0, 14 * 86400, n), unit="s"),
+        "event_type": rng.choice(["view", "click"], n),
+        "value": rng.normal(1, 1, n)})
+    ev.to_parquet(tmp_path / "events.parquet")
+
+    from raycrawl.ops.relational import events_cohort_retention
+
+    got = events_cohort_retention(str(tmp_path))
+
+    a = ev.assign(d=ev["ts"].dt.floor("D"))[["user_id", "d"]] \
+        .drop_duplicates()
+    first = a.groupby("user_id")["d"].min().rename("cohort_day")
+    a = a.join(first, on="user_id")
+    a["day_offset"] = (a["d"] - a["cohort_day"]).dt.days.astype("int64")
+    want = (a.groupby(["cohort_day", "day_offset"], as_index=False)
+            .size().rename(columns={"size": "n_users"})
+            .sort_values(["cohort_day", "day_offset"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # day-0 retention is every cohort's full size by construction
+    d0 = got[got["day_offset"] == 0]["n_users"].sum()
+    assert d0 == ev["user_id"].nunique()
