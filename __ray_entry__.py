@@ -1699,6 +1699,23 @@ def _q_events_running_total(sf_dir: str):
 
 
 
+def _q_customers_semi(sf_dir: str):
+    """Semi join (EXISTS): customers with an order on/after 2001-01-01 —
+    distinct-key-staged existence filter inside hash buckets
+    (raycrawl/ops/join.py::bucket_hash_join how='semi')."""
+    from raycrawl.ops.relational import customers_by_recent_orders
+
+    return customers_by_recent_orders(sf_dir)
+
+
+def _q_customers_anti(sf_dir: str):
+    """Anti join (NOT EXISTS): customers WITHOUT an order on/after
+    2001-01-01 (the churn-candidate complement; how='anti')."""
+    from raycrawl.ops.relational import customers_by_recent_orders
+
+    return customers_by_recent_orders(sf_dir, anti=True)
+
+
 def _q_events_cohort_retention(sf_dir: str):
     """Cohort retention matrix (first-seen day × day-offset distinct
     actives) — one user-hash shuffle emits exact per-partition partial
@@ -2297,6 +2314,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest": _q_events_latest,
         "events_top_per_user": _q_events_top_per_user,
         "events_running_total": _q_events_running_total,
+        "customers_with_recent_orders": _q_customers_semi,
+        "customers_no_recent_orders": _q_customers_anti,
         "events_cohort_retention": _q_events_cohort_retention,
         "events_funnel": _q_events_funnel,
         "events_asof_prev_purchase": _q_events_asof,
@@ -3478,6 +3497,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, ts, event_type, "
             "CAST(floor(value * 1000 + 0.5) AS BIGINT) AS value_millis "
             "FROM events ORDER BY ts DESC, event_id DESC LIMIT 10"
+        ),
+        "customers_with_recent_orders": (
+            "SELECT c_custkey, c_nationkey, "
+            "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) "
+            "  AS c_acctbal_cents "
+            "FROM customer c WHERE EXISTS (SELECT 1 FROM orders o "
+            "  WHERE o.o_custkey = c.c_custkey "
+            "  AND o.o_orderdate >= TIMESTAMP '2001-01-01')"
+        ),
+        "customers_no_recent_orders": (
+            "SELECT c_custkey, c_nationkey, "
+            "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) "
+            "  AS c_acctbal_cents "
+            "FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            "  WHERE o.o_custkey = c.c_custkey "
+            "  AND o.o_orderdate >= TIMESTAMP '2001-01-01')"
         ),
         "events_cohort_retention": (
             "WITH a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d "

@@ -94,12 +94,22 @@ def bucket_hash_join(left_ds, right_ds, left_on: str, right_on: str,
     partition of the join key, every row of a key is in the same call —
     a key-grouped aggregate (or per-key top-k partial) pushed here is
     globally correct and saves the second all-to-all a separate
-    groupby-after-join would need."""
+    groupby-after-join would need.
+
+    ``how='semi'`` / ``how='anti'`` keep (resp. drop) left rows whose key
+    exists on the right, emitting LEFT columns only — the existence
+    filter never duplicates a left row however many right matches there
+    are. For these, only the DISTINCT right keys are staged (per-batch
+    dedup before the bucket write), so the staged side shrinks to the
+    key cardinality regardless of right-table width or row count."""
     if stage_dir is None:
         stage_dir = tempfile.mkdtemp(prefix="raycrawl_join_", dir="/tmp")
         _register_stage_dir(stage_dir)
+    existence = how in ("semi", "anti")
 
     def tag_right(batch: pd.DataFrame) -> pd.DataFrame:
+        if existence:
+            batch = batch[[right_on]].drop_duplicates()
         return batch.assign(__bucket=_bucket_of(batch[right_on], num_buckets))
 
     right_ds.map_batches(tag_right, batch_format="pandas").write_parquet(
@@ -116,6 +126,17 @@ def bucket_hash_join(left_ds, right_ds, left_on: str, right_on: str,
     def join_group(g: pd.DataFrame) -> pd.DataFrame:
         bucket = int(g["__bucket"].iloc[0])
         files = files_by_bucket.get(bucket, [])
+        if existence:
+            g = g.drop(columns="__bucket")
+            if not files:
+                out = g.iloc[0:0] if how == "semi" else g
+            else:
+                keys = pa.concat_tables(
+                    [pq.read_table(f, columns=[right_on])
+                     for f in files]).column(right_on).to_pandas()
+                mask = g[left_on].isin(keys)
+                out = g[mask] if how == "semi" else g[~mask]
+            return post(out) if post is not None else out
         if not files:
             if how != "left":
                 return pd.DataFrame()

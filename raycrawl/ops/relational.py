@@ -1043,3 +1043,38 @@ def events_funnel(sf_dir: str,
     out = partitioned_map_partitions(ev, "user_id", funnel_part).to_pandas()
     out = out.astype({c: "int64" for c in out.columns})
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def customers_by_recent_orders(sf_dir: str, cutoff: str = "2001-01-01",
+                               anti: bool = False) -> pd.DataFrame:
+    """Existence-filter join: customers WITH (semi) or WITHOUT (anti) an
+    order on/after ``cutoff`` — the relational EXISTS / NOT EXISTS pair
+    (churn-candidate vs active-customer selection).
+
+    Distributed shape: the orders side is date-filtered at the batch
+    level and reduced to DISTINCT keys before staging
+    (ops/join.py::bucket_hash_join how='semi'/'anti' stages keys only),
+    then the existence filter runs inside each hash bucket — the left
+    row set is never duplicated and no right payload ships. acctbal is
+    emitted as exact cents (the module discipline)."""
+    from .join import bucket_hash_join
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    lo = pd.Timestamp(cutoff)
+
+    def recent(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["o_orderdate"] >= lo, ["o_custkey"]]
+
+    def shape(m: pd.DataFrame) -> pd.DataFrame:
+        m = m.copy()
+        m["c_acctbal_cents"] = _cents(m["c_acctbal"])
+        return m[["c_custkey", "c_nationkey", "c_acctbal_cents"]]
+
+    out = bucket_hash_join(
+        cust, orders.map_batches(recent, batch_format="pandas"),
+        "c_custkey", "o_custkey", how="anti" if anti else "semi",
+        post=shape).to_pandas()
+    out = out.astype({c: "int64" for c in out.columns})
+    return out.sort_values("c_custkey").reset_index(drop=True)

@@ -1682,3 +1682,40 @@ def test_events_cohort_retention_matches_pandas(tmp_path):
     # day-0 retention is every cohort's full size by construction
     d0 = got[got["day_offset"] == 0]["n_users"].sum()
     assert d0 == ev["user_id"].nunique()
+
+
+def test_bucket_hash_join_semi_anti():
+    left = rd.from_pandas(pd.DataFrame({
+        "k": np.arange(20, dtype=np.int64),
+        "payload": np.arange(20, dtype=np.int64) * 10}))
+    # right has dup keys + keys outside the left range + a wide column
+    # that must NOT ship (semi/anti stage keys only)
+    right = rd.from_pandas(pd.DataFrame({
+        "rk": np.array([0, 0, 3, 3, 3, 7, 11, 15, 99], dtype=np.int64),
+        "wide": ["x" * 100] * 9}))
+    semi = (bucket_hash_join(left, right, "k", "rk", num_buckets=4,
+                             how="semi").to_pandas()
+            .sort_values("k").reset_index(drop=True))
+    anti = (bucket_hash_join(left, right, "k", "rk", num_buckets=4,
+                             how="anti").to_pandas()
+            .sort_values("k").reset_index(drop=True))
+    # no duplication despite dup right keys; left columns only
+    assert semi["k"].tolist() == [0, 3, 7, 11, 15]
+    assert anti["k"].tolist() == [
+        k for k in range(20) if k not in (0, 3, 7, 11, 15)]
+    for out in (semi, anti):
+        assert list(out.columns) == ["k", "payload"]
+        assert (out["payload"] == out["k"] * 10).all()
+    # disjoint exact partition of the left row set
+    assert len(semi) + len(anti) == 20
+
+
+def test_bucket_hash_join_anti_empty_right():
+    left = rd.from_pandas(pd.DataFrame({"k": np.arange(5, dtype=np.int64)}))
+    empty = rd.from_pandas(pd.DataFrame({"rk": pd.Series([], dtype="int64")}))
+    anti = bucket_hash_join(left, empty, "k", "rk", num_buckets=2,
+                            how="anti").to_pandas()
+    assert sorted(anti["k"].tolist()) == [0, 1, 2, 3, 4]
+    semi = bucket_hash_join(left, empty, "k", "rk", num_buckets=2,
+                            how="semi").to_pandas()
+    assert len(semi) == 0
