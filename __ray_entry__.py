@@ -1699,6 +1699,24 @@ def _q_events_running_total(sf_dir: str):
 
 
 
+def _q_events_daily_pivot(sf_dir: str):
+    """Day × event-type crosstab — the pivot happens inside the
+    per-batch partial (conditional counts as additive columns), one
+    aggregate_partials pass (raycrawl/ops/relational.py)."""
+    from raycrawl.ops.relational import events_daily_pivot
+
+    return events_daily_pivot(sf_dir)
+
+
+def _q_customer_segment_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(segment, nation): finest level distributed-exact,
+    coarser levels derived driver-side from the small finest table
+    (additive aggregates — the cube-from-finest trick)."""
+    from raycrawl.ops.relational import customer_segment_rollup
+
+    return customer_segment_rollup(sf_dir)
+
+
 def _q_customers_semi(sf_dir: str):
     """Semi join (EXISTS): customers with an order on/after 2001-01-01 —
     distinct-key-staged existence filter inside hash buckets
@@ -2314,6 +2332,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest": _q_events_latest,
         "events_top_per_user": _q_events_top_per_user,
         "events_running_total": _q_events_running_total,
+        "events_daily_pivot": _q_events_daily_pivot,
+        "customer_segment_rollup": _q_customer_segment_rollup,
         "customers_with_recent_orders": _q_customers_semi,
         "customers_no_recent_orders": _q_customers_anti,
         "events_cohort_retention": _q_events_cohort_retention,
@@ -3497,6 +3517,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, ts, event_type, "
             "CAST(floor(value * 1000 + 0.5) AS BIGINT) AS value_millis "
             "FROM events ORDER BY ts DESC, event_id DESC LIMIT 10"
+        ),
+        "events_daily_pivot": (
+            "SELECT date_trunc('day', ts) AS day, "
+            "CAST(count(*) FILTER (event_type = 'click') AS BIGINT) "
+            "  AS n_click, "
+            "CAST(count(*) FILTER (event_type = 'error') AS BIGINT) "
+            "  AS n_error, "
+            "CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) "
+            "  AS n_purchase, "
+            "CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) "
+            "  AS n_signup, "
+            "CAST(count(*) FILTER (event_type = 'view') AS BIGINT) "
+            "  AS n_view, "
+            "CAST(count(*) AS BIGINT) AS n_total "
+            "FROM events GROUP BY date_trunc('day', ts)"
+        ),
+        # ROLLUP levels carry the 'ALL' / -1 sentinels so the column
+        # types stay NULL-free on both sides
+        "customer_segment_rollup": (
+            "SELECT COALESCE(c_mktsegment, 'ALL') AS c_mktsegment, "
+            "CAST(COALESCE(c_nationkey, -1) AS BIGINT) AS c_nationkey, "
+            "CAST(count(*) AS BIGINT) AS n_customers, "
+            "CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) "
+            "  AS BIGINT) AS acctbal_cents "
+            "FROM customer GROUP BY ROLLUP(c_mktsegment, c_nationkey)"
         ),
         "customers_with_recent_orders": (
             "SELECT c_custkey, c_nationkey, "

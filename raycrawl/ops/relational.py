@@ -1078,3 +1078,71 @@ def customers_by_recent_orders(sf_dir: str, cutoff: str = "2001-01-01",
         post=shape).to_pandas()
     out = out.astype({c: "int64" for c in out.columns})
     return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_daily_pivot(sf_dir: str) -> pd.DataFrame:
+    """Day × event-type crosstab (pivot) — the standard reporting
+    rollout: one row per day, one count column per event type plus the
+    total. The pivot happens INSIDE the per-batch partial (conditional
+    counts become plain additive columns), so the whole op is one
+    aggregate_partials pass keyed by day — no wide shuffle, no
+    post-aggregation reshape."""
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"day": b["ts"].dt.floor("D")})
+        for t in _EVENT_TYPES:
+            g[f"n_{t}"] = (b["event_type"] == t).astype("int64")
+        g["n_total"] = np.int64(1)
+        return g.groupby("day", as_index=False).sum()
+
+    cols = [f"n_{t}" for t in _EVENT_TYPES] + ["n_total"]
+    out = aggregate_partials(ev, partial, keys=["day"],
+                             agg_spec={c: "sum" for c in cols})
+    out[cols] = out[cols].astype("int64")
+    return out.sort_values("day").reset_index(drop=True)
+
+
+def customer_segment_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(c_mktsegment, c_nationkey) over the customer
+    table — counts + exact acctbal cents at three levels: (segment,
+    nation), (segment), grand total. Rollup levels use the module's
+    sentinel convention ('ALL' / -1) so the schema stays unions-free.
+
+    Distributed shape: ONE aggregate_partials pass computes the finest
+    (segment, nation) level exactly; the coarser levels are derived
+    driver-side from that small table (counts and sums are additive, so
+    re-aggregating the finest level is exact and costs nothing at any
+    corpus scale — the cube-from-finest trick)."""
+    cust = _read(sf_dir, "customer",
+                 ["c_mktsegment", "c_nationkey", "c_acctbal"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"c_mktsegment": b["c_mktsegment"],
+                          "c_nationkey": b["c_nationkey"],
+                          "n_customers": np.int64(1),
+                          "acctbal_cents": _cents(b["c_acctbal"])})
+        return g.groupby(["c_mktsegment", "c_nationkey"],
+                         as_index=False).sum()
+
+    fine = aggregate_partials(
+        cust, partial, keys=["c_mktsegment", "c_nationkey"],
+        agg_spec={"n_customers": "sum", "acctbal_cents": "sum"})
+    seg = (fine.groupby("c_mktsegment", as_index=False)
+           [["n_customers", "acctbal_cents"]].sum()
+           .assign(c_nationkey=np.int64(-1)))
+    total = pd.DataFrame({
+        "c_mktsegment": ["ALL"],
+        "c_nationkey": np.int64(-1),
+        "n_customers": [fine["n_customers"].sum()],
+        "acctbal_cents": [fine["acctbal_cents"].sum()]})
+    out = pd.concat(
+        [fine, seg, total], ignore_index=True)[
+        ["c_mktsegment", "c_nationkey", "n_customers", "acctbal_cents"]]
+    out = out.astype({"c_nationkey": "int64", "n_customers": "int64",
+                      "acctbal_cents": "int64"})
+    return (out.sort_values(["c_mktsegment", "c_nationkey"])
+               .reset_index(drop=True))

@@ -1719,3 +1719,54 @@ def test_bucket_hash_join_anti_empty_right():
     semi = bucket_hash_join(left, empty, "k", "rk", num_buckets=2,
                             how="semi").to_pandas()
     assert len(semi) == 0
+
+
+def test_events_daily_pivot_matches_crosstab(tmp_path):
+    rng = np.random.default_rng(9)
+    n = 800
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 10, n),
+        "ts": pd.to_datetime("2025-04-01")
+        + pd.to_timedelta(rng.integers(0, 5 * 86400, n), unit="s"),
+        "event_type": rng.choice(
+            ["click", "error", "purchase", "signup", "view"], n),
+        "value": 1.0})
+    ev.to_parquet(tmp_path / "events.parquet")
+
+    from raycrawl.ops.relational import events_daily_pivot
+
+    got = events_daily_pivot(str(tmp_path)).set_index("day")
+    ct = pd.crosstab(ev["ts"].dt.floor("D"), ev["event_type"])
+    for t in ["click", "error", "purchase", "signup", "view"]:
+        assert (got[f"n_{t}"] == ct[t].reindex(got.index,
+                                               fill_value=0)).all()
+    assert got["n_total"].sum() == n
+
+
+def test_customer_segment_rollup_levels(tmp_path):
+    rng = np.random.default_rng(13)
+    n = 300
+    cust = pd.DataFrame({
+        "c_custkey": np.arange(n, dtype=np.int64),
+        "c_name": [f"c{i}" for i in range(n)],
+        "c_nationkey": rng.integers(0, 7, n),
+        "c_acctbal": rng.normal(1000, 400, n),
+        "c_mktsegment": rng.choice(["AUTO", "HOUSE"], n)})
+    cust.to_parquet(tmp_path / "customer.parquet")
+
+    from raycrawl.ops.relational import customer_segment_rollup
+
+    got = customer_segment_rollup(str(tmp_path))
+    cents = np.floor(cust["c_acctbal"] * 100 + 0.5).astype("int64")
+    total = got[(got["c_mktsegment"] == "ALL")]
+    assert len(total) == 1
+    assert total["n_customers"].iloc[0] == n
+    assert total["acctbal_cents"].iloc[0] == cents.sum()
+    # each segment subtotal equals the sum of its fine rows
+    for seg in ["AUTO", "HOUSE"]:
+        rows = got[got["c_mktsegment"] == seg]
+        sub = rows[rows["c_nationkey"] == -1]
+        fine = rows[rows["c_nationkey"] >= 0]
+        assert sub["n_customers"].iloc[0] == fine["n_customers"].sum()
+        assert sub["acctbal_cents"].iloc[0] == fine["acctbal_cents"].sum()
