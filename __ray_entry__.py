@@ -1699,6 +1699,15 @@ def _q_events_running_total(sf_dir: str):
 
 
 
+def _q_events_user_top_type(sf_dir: str):
+    """Grouped MODE — each user's most frequent event_type (ties →
+    lexicographically smallest), exact per user-hash partition
+    (raycrawl/ops/relational.py)."""
+    from raycrawl.ops.relational import events_user_top_type
+
+    return events_user_top_type(sf_dir)
+
+
 def _q_events_daily_pivot(sf_dir: str):
     """Day × event-type crosstab — the pivot happens inside the
     per-batch partial (conditional counts as additive columns), one
@@ -2332,6 +2341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest": _q_events_latest,
         "events_top_per_user": _q_events_top_per_user,
         "events_running_total": _q_events_running_total,
+        "events_user_top_type": _q_events_user_top_type,
         "events_daily_pivot": _q_events_daily_pivot,
         "customer_segment_rollup": _q_customer_segment_rollup,
         "customers_with_recent_orders": _q_customers_semi,
@@ -3517,6 +3527,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, ts, event_type, "
             "CAST(floor(value * 1000 + 0.5) AS BIGINT) AS value_millis "
             "FROM events ORDER BY ts DESC, event_id DESC LIMIT 10"
+        ),
+        "events_user_top_type": (
+            "WITH c AS (SELECT user_id, event_type, "
+            "  CAST(count(*) AS BIGINT) AS n FROM events "
+            "  GROUP BY user_id, event_type), "
+            "r AS (SELECT c.*, row_number() OVER (PARTITION BY user_id "
+            "  ORDER BY n DESC, event_type) AS rnk FROM c) "
+            "SELECT user_id, event_type AS top_type, n "
+            "FROM r WHERE rnk = 1"
         ),
         "events_daily_pivot": (
             "SELECT date_trunc('day', ts) AS day, "

@@ -1146,3 +1146,29 @@ def customer_segment_rollup(sf_dir: str) -> pd.DataFrame:
                       "acctbal_cents": "int64"})
     return (out.sort_values(["c_mktsegment", "c_nationkey"])
                .reset_index(drop=True))
+
+
+def events_user_top_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped MODE: each user's most frequent event_type (ties broken
+    by lexicographically smallest type — deterministic on both sides).
+    The per-key mode is the canonical 'dominant category' labeling step
+    (user persona, document primary language, host content-type).
+
+    Distributed shape: ONE user-hash shuffle; inside each partition the
+    mode is a (user, type) C-groupby size + a (count desc, type asc)
+    sort + first-per-user — zero per-user Python. Users are disjoint
+    across partitions so per-partition modes are globally exact."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def mode_part(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.groupby(["user_id", "event_type"], as_index=False)
+              .size().rename(columns={"size": "n"}))
+        c = c.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = c.drop_duplicates("user_id", keep="first")
+        return top.rename(columns={"event_type": "top_type"})[
+            ["user_id", "top_type", "n"]]
+
+    out = partitioned_map_partitions(ev, "user_id", mode_part).to_pandas()
+    out = out.astype({"user_id": "int64", "n": "int64"})
+    return out.sort_values("user_id").reset_index(drop=True)

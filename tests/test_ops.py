@@ -1770,3 +1770,21 @@ def test_customer_segment_rollup_levels(tmp_path):
         fine = rows[rows["c_nationkey"] >= 0]
         assert sub["n_customers"].iloc[0] == fine["n_customers"].sum()
         assert sub["acctbal_cents"].iloc[0] == fine["acctbal_cents"].sum()
+
+
+def test_events_user_top_type_tiebreak(tmp_path):
+    # user 0: clear mode; user 1: 2-2 tie -> lexicographically smallest
+    ev = pd.DataFrame({
+        "event_id": np.arange(7, dtype=np.int64),
+        "user_id": np.array([0, 0, 0, 1, 1, 1, 1], dtype=np.int64),
+        "ts": pd.date_range("2025-01-01", periods=7, freq="min"),
+        "event_type": ["view", "view", "click",
+                       "view", "click", "click", "view"],
+        "value": 1.0})
+    ev.to_parquet(tmp_path / "events.parquet")
+
+    from raycrawl.ops.relational import events_user_top_type
+
+    got = events_user_top_type(str(tmp_path)).set_index("user_id")
+    assert got.loc[0, "top_type"] == "view" and got.loc[0, "n"] == 2
+    assert got.loc[1, "top_type"] == "click" and got.loc[1, "n"] == 2
