@@ -1699,6 +1699,25 @@ def _q_events_running_total(sf_dir: str):
 
 
 
+def _q_events_lag_value(sf_dir: str):
+    """LAG window — previous event id + exact value millis within each
+    user's (ts, event_id) order, SQL LAG defaults mirrored
+    (raycrawl/ops/relational.py)."""
+    from raycrawl.ops.relational import events_lag_value
+
+    return events_lag_value(sf_dir)
+
+
+def _q_users_value_ntile(sf_dir: str):
+    """Distributed NTILE(4) over per-user total value — global rank via
+    value-range buckets + driver prefix offsets (no single-node sort),
+    floor-division tiles replayed identically by the oracle
+    (raycrawl/ops/relational.py)."""
+    from raycrawl.ops.relational import users_value_ntile
+
+    return users_value_ntile(sf_dir)
+
+
 def _q_events_user_top_type(sf_dir: str):
     """Grouped MODE — each user's most frequent event_type (ties →
     lexicographically smallest), exact per user-hash partition
@@ -2341,6 +2360,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest": _q_events_latest,
         "events_top_per_user": _q_events_top_per_user,
         "events_running_total": _q_events_running_total,
+        "events_lag_value": _q_events_lag_value,
+        "users_value_ntile": _q_users_value_ntile,
         "events_user_top_type": _q_events_user_top_type,
         "events_daily_pivot": _q_events_daily_pivot,
         "customer_segment_rollup": _q_customer_segment_rollup,
@@ -3527,6 +3548,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, ts, event_type, "
             "CAST(floor(value * 1000 + 0.5) AS BIGINT) AS value_millis "
             "FROM events ORDER BY ts DESC, event_id DESC LIMIT 10"
+        ),
+        "events_lag_value": (
+            "SELECT event_id, user_id, "
+            "CAST(COALESCE(LAG(event_id) OVER w, -1) AS BIGINT) "
+            "  AS prev_event_id, "
+            "CAST(COALESCE(LAG(CAST(floor(value * 1000 + 0.5) AS BIGINT)) "
+            "  OVER w, 0) AS BIGINT) AS prev_value_millis "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        # floor-division tiles (rank0·4 // n + 1) — NOT SQL ntile(),
+        # whose remainder placement differs; both sides replay the
+        # same formula so the comparison is exact
+        "users_value_ntile": (
+            "WITH t AS (SELECT user_id, "
+            "  CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) "
+            "    AS BIGINT) AS total_value_millis "
+            "  FROM events GROUP BY user_id), "
+            "r AS (SELECT user_id, total_value_millis, "
+            "  row_number() OVER (ORDER BY total_value_millis DESC, "
+            "    user_id) - 1 AS r0, "
+            "  count(*) OVER () AS n FROM t) "
+            "SELECT user_id, total_value_millis, "
+            "CAST(r0 * 4 // n + 1 AS BIGINT) AS tile FROM r"
         ),
         "events_user_top_type": (
             "WITH c AS (SELECT user_id, event_type, "

@@ -1172,3 +1172,108 @@ def events_user_top_type(sf_dir: str) -> pd.DataFrame:
     out = partitioned_map_partitions(ev, "user_id", mode_part).to_pandas()
     out = out.astype({"user_id": "int64", "n": "int64"})
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def events_lag_value(sf_dir: str) -> pd.DataFrame:
+    """LAG window — each event's previous event (id + exact value
+    millis) within its user's (ts, event_id) order; sentinel
+    prev_event_id = -1 / prev_value_millis = 0 for the first event (the
+    SQL LAG(x, 1, default) defaults, mirrored exactly). The per-entity
+    lag is the feature-engineering staple (delta features, dwell time).
+
+    Distributed shape: one user-hash shuffle; inside each partition one
+    mergesort + one groupby().shift — zero per-user Python."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def lag_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").copy()
+        g["value_millis"] = np.floor(
+            g["value"] * 1000 + 0.5).astype("int64")
+        grp = g.groupby("user_id", sort=False)
+        g["prev_event_id"] = (grp["event_id"].shift(1)
+                              .fillna(-1).astype("int64"))
+        g["prev_value_millis"] = (grp["value_millis"].shift(1)
+                                  .fillna(0).astype("int64"))
+        return g[["event_id", "user_id", "prev_event_id",
+                  "prev_value_millis"]]
+
+    out = partitioned_map_partitions(ev, "user_id", lag_part).to_pandas()
+    out = out.astype({c: "int64" for c in out.columns})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def users_value_ntile(sf_dir: str, tiles: int = 4,
+                      n_buckets: int = 64) -> pd.DataFrame:
+    """Distributed NTILE — rank every user by total event value
+    (descending, user_id tie-break) and assign tile = rank0·tiles // n
+    + 1 (floor-division tiles; the oracle replays the same formula).
+    The global-rank bucketing primitive behind spend-quartile / corpus
+    quality-tier partitioning.
+
+    Scale shape (no global sort materializes on one node — the same
+    offset trick as :func:`deterministic_shuffle_rank`, keyed on a
+    monotone value transform instead of a hash): per-user totals stay a
+    Dataset; pass 1 folds scalar (min, max, n); pass 2 range-buckets
+    key = max − total (ascending key ⇔ descending total) into
+    ``n_buckets`` ordered ranges and counts each (a tiny driver prefix-
+    sum table gives every bucket its global offset — value skew only
+    unbalances bucket sizes, never correctness); pass 3 sorts WITHIN
+    each bucket by (key, user_id) and adds the offset."""
+    from .agg import aggregate_partials_ds, partitioned_map_partitions
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+
+    def total_part(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"],
+            "total_value_millis": np.floor(
+                b["value"] * 1000 + 0.5).astype("int64")}) \
+            .groupby("user_id", as_index=False).sum()
+
+    totals = aggregate_partials_ds(
+        ev, total_part, keys=["user_id"],
+        agg_spec={"total_value_millis": "sum"}).materialize()
+
+    lo, hi, n = None, None, 0
+    for b in totals.iter_batches(batch_format="pandas", batch_size=None):
+        if not len(b):
+            continue
+        t = b["total_value_millis"]
+        lo = t.min() if lo is None else min(lo, t.min())
+        hi = t.max() if hi is None else max(hi, t.max())
+        n += len(b)
+    if n == 0:
+        return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                             "total_value_millis": pd.Series([], dtype="int64"),
+                             "tile": pd.Series([], dtype="int64")})
+    lo, hi = int(lo), int(hi)
+    span = hi - lo + 1
+
+    def bucketed(b: pd.DataFrame) -> pd.DataFrame:
+        key = hi - b["total_value_millis"].to_numpy(np.int64)
+        b = b.assign(__key=key,
+                     __bucket=(key * n_buckets // span).astype("int64"))
+        return b
+
+    keyed = totals.map_batches(bucketed,
+                               batch_format="pandas").materialize()
+    counts = np.zeros(n_buckets, dtype=np.int64)
+    for b in keyed.iter_batches(batch_format="pandas", batch_size=None):
+        if len(b):
+            np.add.at(counts, b["__bucket"].to_numpy(np.int64),
+                      np.ones(len(b), dtype=np.int64))
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__bucket", "__key", "user_id"],
+                          kind="mergesort")
+        local = g.groupby("__bucket", sort=False).cumcount().to_numpy()
+        r0 = offsets[g["__bucket"].to_numpy(np.int64)] + local
+        g = g.assign(tile=(r0 * tiles // n + 1).astype("int64"))
+        return g[["user_id", "total_value_millis", "tile"]]
+
+    out = partitioned_map_partitions(keyed, "__bucket", rank_part,
+                                     n_parts=min(64, n_buckets)).to_pandas()
+    out = out.astype({c: "int64" for c in out.columns})
+    return out.sort_values("user_id").reset_index(drop=True)

@@ -1788,3 +1788,51 @@ def test_events_user_top_type_tiebreak(tmp_path):
     got = events_user_top_type(str(tmp_path)).set_index("user_id")
     assert got.loc[0, "top_type"] == "view" and got.loc[0, "n"] == 2
     assert got.loc[1, "top_type"] == "click" and got.loc[1, "n"] == 2
+
+
+def test_events_lag_value_defaults(tmp_path):
+    ev = pd.DataFrame({
+        "event_id": np.array([5, 2, 9], dtype=np.int64),
+        "user_id": np.array([1, 1, 1], dtype=np.int64),
+        # ts order differs from event_id order on purpose
+        "ts": pd.to_datetime(["2025-01-01 00:02", "2025-01-01 00:01",
+                              "2025-01-01 00:03"]),
+        "value": [1.5, 2.5, -0.0015]})
+    ev.to_parquet(tmp_path / "events.parquet")
+
+    from raycrawl.ops.relational import events_lag_value
+
+    got = events_lag_value(str(tmp_path)).set_index("event_id")
+    # order by ts: 2 -> 5 -> 9
+    assert got.loc[2, "prev_event_id"] == -1
+    assert got.loc[2, "prev_value_millis"] == 0
+    assert got.loc[5, "prev_event_id"] == 2
+    assert got.loc[5, "prev_value_millis"] == 2500
+    assert got.loc[9, "prev_event_id"] == 5
+    assert got.loc[9, "prev_value_millis"] == 1500
+
+
+def test_users_value_ntile_matches_rank_formula(tmp_path):
+    rng = np.random.default_rng(21)
+    n = 3000
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 250, n),
+        "ts": pd.to_datetime("2025-01-01")
+        + pd.to_timedelta(rng.integers(0, 86400, n), unit="s"),
+        "value": rng.normal(10, 5, n)})
+    ev.to_parquet(tmp_path / "events.parquet")
+
+    from raycrawl.ops.relational import users_value_ntile
+
+    got = users_value_ntile(str(tmp_path), n_buckets=16)
+
+    m = np.floor(ev["value"] * 1000 + 0.5).astype("int64")
+    t = (pd.DataFrame({"user_id": ev["user_id"], "m": m})
+         .groupby("user_id", as_index=False)["m"].sum()
+         .rename(columns={"m": "total_value_millis"}))
+    t = t.sort_values(["total_value_millis", "user_id"],
+                      ascending=[False, True]).reset_index(drop=True)
+    t["tile"] = (t.index.to_numpy() * 4 // len(t) + 1).astype("int64")
+    want = t.sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
