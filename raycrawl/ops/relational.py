@@ -1250,11 +1250,20 @@ def users_value_ntile(sf_dir: str, tiles: int = 4,
     lo, hi = int(lo), int(hi)
     span = hi - lo + 1
 
+    # key·B must not wrap int64; past that, float bucketing stays safe
+    # (IEEE multiply/divide are monotone, and bucket boundaries only
+    # need monotonicity in key — ranks come from the within-bucket sort)
+    int_safe = span <= (2**63 - 1) // n_buckets
+
     def bucketed(b: pd.DataFrame) -> pd.DataFrame:
         key = hi - b["total_value_millis"].to_numpy(np.int64)
-        b = b.assign(__key=key,
-                     __bucket=(key * n_buckets // span).astype("int64"))
-        return b
+        if int_safe:
+            bucket = key * n_buckets // span
+        else:
+            bucket = np.minimum(
+                (key.astype(np.float64) * n_buckets / span).astype(np.int64),
+                n_buckets - 1)
+        return b.assign(__key=key, __bucket=bucket.astype("int64"))
 
     keyed = totals.map_batches(bucketed,
                                batch_format="pandas").materialize()

@@ -1836,3 +1836,25 @@ def test_users_value_ntile_matches_rank_formula(tmp_path):
     t["tile"] = (t.index.to_numpy() * 4 // len(t) + 1).astype("int64")
     want = t.sort_values("user_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_users_value_ntile_extreme_span(tmp_path):
+    # value span wide enough that key*n_buckets would wrap int64 —
+    # exercises the float bucketing fallback (monotone, rank-exact)
+    vals = np.array([9.3e14, -9.3e14, 5.0e14, 0.0, 1.0], dtype=np.float64)
+    ev = pd.DataFrame({
+        "event_id": np.arange(5, dtype=np.int64),
+        "user_id": np.arange(5, dtype=np.int64),
+        "ts": pd.date_range("2025-01-01", periods=5, freq="h"),
+        "value": vals})
+    ev.to_parquet(tmp_path / "events.parquet")
+
+    from raycrawl.ops.relational import users_value_ntile
+
+    got = users_value_ntile(str(tmp_path), n_buckets=64)
+    totals = np.floor(vals * 1000 + 0.5).astype("int64")
+    order = np.argsort(-totals, kind="stable")
+    want_tile = np.empty(5, dtype=np.int64)
+    for r0, u in enumerate(order):
+        want_tile[u] = r0 * 4 // 5 + 1
+    assert got.sort_values("user_id")["tile"].tolist() == want_tile.tolist()
