@@ -1699,6 +1699,50 @@ def _q_events_running_total(sf_dir: str):
 
 
 
+def _q_docs_jsonl_roundtrip(sf_dir: str):
+    """JSONL sink/source e2e: documents → hash-sharded gzip JSONL
+    archives (byte-deterministic, resumable at file granularity) → read
+    back file-granularly → per-shard aggregate. The oracle aggregates
+    the ORIGINAL table with the same shard hash (doc_id % 16), so an
+    exact match certifies lossless serialization of every row
+    (raycrawl/ops/jsonl.py)."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from raycrawl.ops.agg import aggregate_partials
+    from raycrawl.ops.jsonl import read_jsonl_shards, write_jsonl_shards
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "lang"])
+    tmp = tempfile.mkdtemp(prefix="raycrawl_jsonl_rt_", dir="/tmp")
+    try:
+        write_jsonl_shards(docs, tmp, n_shards=16)
+        back = read_jsonl_shards(tmp)
+
+        def partial(b):
+            import numpy as np
+            import pandas as pd
+
+            g = pd.DataFrame({
+                "shard": b["doc_id"].to_numpy("int64") % 16,
+                "n_docs": np.int64(1),
+                "sum_len_chars": b["text"].fillna("").str.len()
+                .astype("int64"),
+                "sum_doc_id": b["doc_id"].astype("int64")})
+            return g.groupby("shard", as_index=False).sum()
+
+        out = aggregate_partials(
+            back, partial, keys=["shard"],
+            agg_spec={"n_docs": "sum", "sum_len_chars": "sum",
+                      "sum_doc_id": "sum"})
+        out = out.astype({c: "int64" for c in out.columns})
+        return out.sort_values("shard").reset_index(drop=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_events_lag_value(sf_dir: str):
     """LAG window — previous event id + exact value millis within each
     user's (ts, event_id) order, SQL LAG defaults mirrored
@@ -2360,6 +2404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest": _q_events_latest,
         "events_top_per_user": _q_events_top_per_user,
         "events_running_total": _q_events_running_total,
+        "docs_jsonl_roundtrip": _q_docs_jsonl_roundtrip,
         "events_lag_value": _q_events_lag_value,
         "users_value_ntile": _q_users_value_ntile,
         "events_user_top_type": _q_events_user_top_type,
@@ -3548,6 +3593,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, ts, event_type, "
             "CAST(floor(value * 1000 + 0.5) AS BIGINT) AS value_millis "
             "FROM events ORDER BY ts DESC, event_id DESC LIMIT 10"
+        ),
+        # aggregates the ORIGINAL table — matching the Ray side (which
+        # aggregates the JSONL read-back) certifies lossless roundtrip
+        "docs_jsonl_roundtrip": (
+            "SELECT doc_id % 16 AS shard, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(length(COALESCE(text, ''))) AS BIGINT) "
+            "  AS sum_len_chars, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_doc_id "
+            "FROM documents GROUP BY doc_id % 16"
         ),
         "events_lag_value": (
             "SELECT event_id, user_id, "

@@ -1858,3 +1858,38 @@ def test_users_value_ntile_extreme_span(tmp_path):
     for r0, u in enumerate(order):
         want_tile[u] = r0 * 4 // 5 + 1
     assert got.sort_values("user_id")["tile"].tolist() == want_tile.tolist()
+
+
+def test_jsonl_shards_roundtrip_and_determinism(tmp_path):
+    from raycrawl.ops.jsonl import read_jsonl_shards, write_jsonl_shards
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(40, dtype=np.int64),
+        "text": [f"döc {i} ☃" if i % 5 else None for i in range(40)],
+        "score": np.linspace(0, 1, 40)})
+    ds = rd.from_pandas(docs)
+    d1 = tmp_path / "a"
+    m = write_jsonl_shards(ds, str(d1), n_shards=4)
+    assert m["n_rows"].sum() == 40 and len(m) == 4
+    assert (m["sum_id"].sum() == docs["doc_id"].sum())
+
+    back = (read_jsonl_shards(str(d1)).to_pandas()[docs.columns.tolist()]
+            .sort_values("doc_id").reset_index(drop=True))
+    # None survives as null; unicode survives exactly
+    pd.testing.assert_frame_equal(back, docs, check_dtype=False)
+
+    # byte-deterministic re-export
+    import hashlib
+
+    d2 = tmp_path / "b"
+    write_jsonl_shards(rd.from_pandas(docs), str(d2), n_shards=4)
+    h = lambda d: [hashlib.md5(p.read_bytes()).hexdigest()
+                   for p in sorted(d.glob("shard-*.jsonl.gz"))]
+    assert h(d1) == h(d2)
+
+    # resumable: an existing shard file is not rewritten
+    mtimes = {p.name: p.stat().st_mtime_ns
+              for p in d1.glob("shard-*.jsonl.gz")}
+    write_jsonl_shards(rd.from_pandas(docs), str(d1), n_shards=4)
+    assert {p.name: p.stat().st_mtime_ns
+            for p in d1.glob("shard-*.jsonl.gz")} == mtimes
