@@ -59,7 +59,10 @@ def write_jsonl_shards(ds, out_dir: str, id_col: str = "doc_id",
             path = os.path.join(out_dir, f"shard-{shard:05d}.jsonl.gz")
             if not os.path.exists(path):  # resumable: finished shard
                 buf = io.BytesIO()
-                with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as z:
+                # level 6: level 9 costs ~11x the CPU for ~1% size —
+                # compression dominates the sink's wall time
+                with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0,
+                                   compresslevel=6) as z:
                     for rec in sub.to_dict("records"):
                         rec = {k: (None if pd.isna(v) else v)
                                for k, v in rec.items()}
