@@ -1762,6 +1762,34 @@ def _q_users_value_ntile(sf_dir: str):
     return users_value_ntile(sf_dir)
 
 
+def _q_users_value_rank(sf_dir: str):
+    """Distributed RANK + DENSE_RANK over per-user total value — the
+    NTILE range-bucket machinery extended to tie-aware SQL rank
+    semantics in one shuffle; driver state is O(n_buckets)
+    (raycrawl/ops/relational.py)."""
+    from raycrawl.ops.relational import users_value_rank
+
+    return users_value_rank(sf_dir)
+
+
+def _q_events_moving_window(sf_dir: str):
+    """ROWS BETWEEN 2 PRECEDING AND CURRENT ROW per-user moving frame
+    — cumsum-minus-shifted-cumsum inside user-hash partitions, O(rows)
+    regardless of frame width (raycrawl/ops/relational.py)."""
+    from raycrawl.ops.relational import events_moving_window
+
+    return events_moving_window(sf_dir)
+
+
+def _q_customer_segment_cube(sf_dir: str):
+    """GROUP BY CUBE(segment, nation): all four grouping sets from ONE
+    distributed pass over the finest level (cube-from-finest; additive
+    measures make it exact) (raycrawl/ops/relational.py)."""
+    from raycrawl.ops.relational import customer_segment_cube
+
+    return customer_segment_cube(sf_dir)
+
+
 def _q_events_user_top_type(sf_dir: str):
     """Grouped MODE — each user's most frequent event_type (ties →
     lexicographically smallest), exact per user-hash partition
@@ -2407,6 +2435,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jsonl_roundtrip": _q_docs_jsonl_roundtrip,
         "events_lag_value": _q_events_lag_value,
         "users_value_ntile": _q_users_value_ntile,
+        "users_value_rank": _q_users_value_rank,
+        "events_moving_window": _q_events_moving_window,
+        "customer_segment_cube": _q_customer_segment_cube,
         "events_user_top_type": _q_events_user_top_type,
         "events_daily_pivot": _q_events_daily_pivot,
         "customer_segment_rollup": _q_customer_segment_rollup,
@@ -3627,6 +3658,36 @@ def oracle_sql() -> dict[str, str]:
             "  count(*) OVER () AS n FROM t) "
             "SELECT user_id, total_value_millis, "
             "CAST(r0 * 4 // n + 1 AS BIGINT) AS tile FROM r"
+        ),
+        "users_value_rank": (
+            "WITH t AS (SELECT user_id, "
+            "  CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) "
+            "    AS BIGINT) AS total_value_millis "
+            "  FROM events GROUP BY user_id) "
+            "SELECT user_id, total_value_millis, "
+            "CAST(RANK() OVER (ORDER BY total_value_millis DESC) "
+            "  AS BIGINT) AS rnk, "
+            "CAST(DENSE_RANK() OVER (ORDER BY total_value_millis DESC) "
+            "  AS BIGINT) AS dense_rnk FROM t"
+        ),
+        "events_moving_window": (
+            "SELECT event_id, user_id, "
+            "CAST(count(*) OVER w AS BIGINT) AS win_n, "
+            "CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) "
+            "  OVER w AS BIGINT) AS win_value_millis "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+        ),
+        # sentinel convention: 'ALL' / -1 for rolled-up levels, so the
+        # cube stays a single union-free schema on both sides
+        "customer_segment_cube": (
+            "SELECT COALESCE(c_mktsegment, 'ALL') AS c_mktsegment, "
+            "CAST(COALESCE(c_nationkey, -1) AS BIGINT) AS c_nationkey, "
+            "CAST(count(*) AS BIGINT) AS n_customers, "
+            "CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) "
+            "  AS BIGINT) AS acctbal_cents "
+            "FROM customer GROUP BY CUBE(c_mktsegment, c_nationkey)"
         ),
         "events_user_top_type": (
             "WITH c AS (SELECT user_id, event_type, "

@@ -1286,3 +1286,200 @@ def users_value_ntile(sf_dir: str, tiles: int = 4,
                                      n_parts=min(64, n_buckets)).to_pandas()
     out = out.astype({c: "int64" for c in out.columns})
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def users_value_rank(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
+    """Distributed RANK + DENSE_RANK — every user ranked by total event
+    value (descending) with SQL tie semantics: equal totals share a
+    rank, RANK leaves gaps, DENSE_RANK does not. The global leaderboard
+    primitive (quality-score ranking, host-budget ordering).
+
+    Scale shape (same range-bucket trick as :func:`users_value_ntile`,
+    extended to tie-aware ranks in ONE shuffle): pass 1 folds (min,
+    max); pass 2 range-buckets key = max − total — equal keys land in
+    the SAME bucket by construction, so ties never straddle buckets and
+    per-bucket local ranks are exact. Each bucket partition emits local
+    first-position (RANK) and local distinct-key index (DENSE_RANK);
+    the driver folds two n_buckets-entry tables (row counts via
+    np.add.at, distinct-key counts via a per-bucket local max — NOT a
+    driver-side distinct set, so driver memory is O(n_buckets) at any
+    cardinality) into prefix offsets, and a final offset-add map
+    finishes without a second shuffle."""
+    from .agg import aggregate_partials_ds, partitioned_map_partitions
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+
+    def total_part(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"],
+            "total_value_millis": np.floor(
+                b["value"] * 1000 + 0.5).astype("int64")}) \
+            .groupby("user_id", as_index=False).sum()
+
+    totals = aggregate_partials_ds(
+        ev, total_part, keys=["user_id"],
+        agg_spec={"total_value_millis": "sum"}).materialize()
+
+    lo, hi = None, None
+    for b in totals.iter_batches(batch_format="pandas", batch_size=None):
+        if not len(b):
+            continue
+        t = b["total_value_millis"]
+        lo = t.min() if lo is None else min(lo, t.min())
+        hi = t.max() if hi is None else max(hi, t.max())
+    if lo is None:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ["user_id", "total_value_millis", "rnk",
+                       "dense_rnk"]})
+    lo, hi = int(lo), int(hi)
+    span = hi - lo + 1
+    int_safe = span <= (2**63 - 1) // n_buckets
+
+    def bucketed(b: pd.DataFrame) -> pd.DataFrame:
+        key = hi - b["total_value_millis"].to_numpy(np.int64)
+        if int_safe:
+            bucket = key * n_buckets // span
+        else:
+            bucket = np.minimum(
+                (key.astype(np.float64) * n_buckets / span).astype(np.int64),
+                n_buckets - 1)
+        return b.assign(__key=key, __bucket=bucket.astype("int64"))
+
+    keyed = totals.map_batches(bucketed, batch_format="pandas")
+
+    def local_rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__bucket", "__key"], kind="mergesort")
+        kv = g["__key"].to_numpy(np.int64)
+        bv = g["__bucket"].to_numpy(np.int64)
+        n_rows = len(g)
+        i = np.arange(n_rows, dtype=np.int64)
+        newb = np.ones(n_rows, dtype=bool)
+        newk = np.ones(n_rows, dtype=bool)
+        if n_rows > 1:
+            newb[1:] = bv[1:] != bv[:-1]
+            newk[1:] = newb[1:] | (kv[1:] != kv[:-1])
+        # global row index of each (bucket,key)-run start / bucket start
+        run_start = np.where(newk, i, 0)
+        np.maximum.accumulate(run_start, out=run_start)
+        buck_start = np.where(newb, i, 0)
+        np.maximum.accumulate(buck_start, out=buck_start)
+        first0 = run_start - buck_start
+        nk_cum = np.cumsum(newk)
+        dense0 = nk_cum - nk_cum[buck_start]
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(),
+            "total_value_millis": g["total_value_millis"].to_numpy(),
+            "__bucket": bv,
+            "__first0": first0,
+            "__dense0": dense0.astype(np.int64)})
+
+    ranked = partitioned_map_partitions(
+        keyed, "__bucket", local_rank_part,
+        n_parts=min(64, n_buckets)).materialize()
+
+    counts = np.zeros(n_buckets, dtype=np.int64)
+    ndist = np.zeros(n_buckets, dtype=np.int64)
+    for b in ranked.iter_batches(batch_format="pandas", batch_size=None):
+        if not len(b):
+            continue
+        bk = b["__bucket"].to_numpy(np.int64)
+        np.add.at(counts, bk, np.ones(len(b), dtype=np.int64))
+        np.maximum.at(ndist, bk,
+                      b["__dense0"].to_numpy(np.int64) + 1)
+    row_off = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    dense_off = np.concatenate(([0], np.cumsum(ndist)[:-1]))
+
+    def add_offsets(b: pd.DataFrame) -> pd.DataFrame:
+        bk = b["__bucket"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "user_id": b["user_id"],
+            "total_value_millis": b["total_value_millis"],
+            "rnk": row_off[bk] + b["__first0"].to_numpy(np.int64) + 1,
+            "dense_rnk": dense_off[bk]
+                + b["__dense0"].to_numpy(np.int64) + 1})
+
+    out = ranked.map_batches(add_offsets,
+                             batch_format="pandas").to_pandas()
+    out = out.astype({c: "int64" for c in out.columns})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def events_moving_window(sf_dir: str, frame: int = 3) -> pd.DataFrame:
+    """Per-user moving ROWS frame — the SQL ``ROWS BETWEEN 2 PRECEDING
+    AND CURRENT ROW`` window (win_n = rows in frame, win_value_millis =
+    exact integer frame sum), ordered by (ts, event_id) within each
+    user. The fixed-width trailing window behind rate features and
+    burst detection.
+
+    Distributed shape: ONE user-hash shuffle; inside each partition the
+    kernel is whole-partition vectorized — one mergesort, one cumsum,
+    one groupby().shift(frame): frame_sum = cumsum − cumsum.shift(frame)
+    (per user), so cost is O(rows) regardless of frame width. Integer
+    millis keep the subtraction exact (no float cancellation)."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def win_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").copy()
+        g["value_millis"] = np.floor(
+            g["value"] * 1000 + 0.5).astype("int64")
+        grp = g.groupby("user_id", sort=False)
+        g["__c"] = grp["value_millis"].cumsum()
+        g["__i"] = grp.cumcount()
+        grp2 = g.groupby("user_id", sort=False)
+        lagged = grp2["__c"].shift(frame).fillna(0).astype("int64")
+        g["win_value_millis"] = (g["__c"] - lagged).astype("int64")
+        g["win_n"] = np.minimum(g["__i"] + 1, frame).astype("int64")
+        return g[["event_id", "user_id", "win_n", "win_value_millis"]]
+
+    out = partitioned_map_partitions(ev, "user_id", win_part).to_pandas()
+    out = out.astype({c: "int64" for c in out.columns})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def customer_segment_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(c_mktsegment, c_nationkey) over the customer table
+    — counts + exact acctbal cents at all FOUR grouping sets: (segment,
+    nation), (segment), (nation), grand total, with the module's
+    sentinel convention ('ALL' / -1). Extends
+    :func:`customer_segment_rollup` to the full cube.
+
+    Distributed shape: identical cost to the rollup — ONE
+    aggregate_partials pass computes the finest (segment, nation) level
+    exactly; all coarser grouping sets are re-aggregated driver-side
+    from that small table (additive measures make cube-from-finest
+    exact, and the finest table is bounded by |segments|×|nations|, not
+    corpus size)."""
+    cust = _read(sf_dir, "customer",
+                 ["c_mktsegment", "c_nationkey", "c_acctbal"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"c_mktsegment": b["c_mktsegment"],
+                          "c_nationkey": b["c_nationkey"],
+                          "n_customers": np.int64(1),
+                          "acctbal_cents": _cents(b["c_acctbal"])})
+        return g.groupby(["c_mktsegment", "c_nationkey"],
+                         as_index=False).sum()
+
+    fine = aggregate_partials(
+        cust, partial, keys=["c_mktsegment", "c_nationkey"],
+        agg_spec={"n_customers": "sum", "acctbal_cents": "sum"})
+    seg = (fine.groupby("c_mktsegment", as_index=False)
+           [["n_customers", "acctbal_cents"]].sum()
+           .assign(c_nationkey=np.int64(-1)))
+    nat = (fine.groupby("c_nationkey", as_index=False)
+           [["n_customers", "acctbal_cents"]].sum()
+           .assign(c_mktsegment="ALL"))
+    total = pd.DataFrame({
+        "c_mktsegment": ["ALL"],
+        "c_nationkey": np.int64(-1),
+        "n_customers": [fine["n_customers"].sum()],
+        "acctbal_cents": [fine["acctbal_cents"].sum()]})
+    out = pd.concat(
+        [fine, seg, nat, total], ignore_index=True)[
+        ["c_mktsegment", "c_nationkey", "n_customers", "acctbal_cents"]]
+    out = out.astype({"c_nationkey": "int64", "n_customers": "int64",
+                      "acctbal_cents": "int64"})
+    return (out.sort_values(["c_mktsegment", "c_nationkey"])
+               .reset_index(drop=True))

@@ -1893,3 +1893,84 @@ def test_jsonl_shards_roundtrip_and_determinism(tmp_path):
     write_jsonl_shards(rd.from_pandas(docs), str(d1), n_shards=4)
     assert {p.name: p.stat().st_mtime_ns
             for p in d1.glob("shard-*.jsonl.gz")} == mtimes
+
+
+def test_users_value_rank_tie_semantics(tmp_path):
+    # many tied totals so RANK gaps / DENSE_RANK compaction both fire,
+    # including ties that would straddle naive bucket boundaries
+    rng = np.random.default_rng(33)
+    n = 4000
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 300, n),
+        "ts": pd.to_datetime("2025-01-01")
+        + pd.to_timedelta(rng.integers(0, 86400, n), unit="s"),
+        # coarse values -> repeated per-user totals
+        "value": rng.integers(1, 4, n).astype(np.float64)})
+    ev.to_parquet(tmp_path / "events.parquet")
+
+    from raycrawl.ops.relational import users_value_rank
+
+    got = users_value_rank(str(tmp_path), n_buckets=16)
+
+    m = np.floor(ev["value"] * 1000 + 0.5).astype("int64")
+    t = (pd.DataFrame({"user_id": ev["user_id"], "m": m})
+         .groupby("user_id", as_index=False)["m"].sum()
+         .rename(columns={"m": "total_value_millis"}))
+    t["rnk"] = t["total_value_millis"].rank(
+        method="min", ascending=False).astype("int64")
+    t["dense_rnk"] = t["total_value_millis"].rank(
+        method="dense", ascending=False).astype("int64")
+    want = t.sort_values("user_id").reset_index(drop=True)
+    assert t["rnk"].duplicated().any()  # fixture really has ties
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_events_moving_window_rows_frame(tmp_path):
+    ev = pd.DataFrame({
+        "event_id": np.array([1, 2, 3, 4, 10], dtype=np.int64),
+        "user_id": np.array([7, 7, 7, 7, 8], dtype=np.int64),
+        "ts": pd.to_datetime(["2025-01-01 00:00", "2025-01-01 00:01",
+                              "2025-01-01 00:02", "2025-01-01 00:03",
+                              "2025-01-01 00:00"]),
+        "value": [1.0, 2.0, 4.0, 8.0, 5.0]})
+    ev.to_parquet(tmp_path / "events.parquet")
+
+    from raycrawl.ops.relational import events_moving_window
+
+    got = events_moving_window(str(tmp_path)).set_index("event_id")
+    assert got.loc[1, ["win_n", "win_value_millis"]].tolist() == [1, 1000]
+    assert got.loc[2, ["win_n", "win_value_millis"]].tolist() == [2, 3000]
+    assert got.loc[3, ["win_n", "win_value_millis"]].tolist() == [3, 7000]
+    # frame slides: rows 2,3,4 only
+    assert got.loc[4, ["win_n", "win_value_millis"]].tolist() == [3, 14000]
+    assert got.loc[10, ["win_n", "win_value_millis"]].tolist() == [1, 5000]
+
+
+def test_customer_segment_cube_all_grouping_sets(tmp_path):
+    cust = pd.DataFrame({
+        "c_custkey": np.arange(6, dtype=np.int64),
+        "c_mktsegment": ["AUTO", "AUTO", "BUILDING",
+                         "BUILDING", "AUTO", "BUILDING"],
+        "c_nationkey": np.array([0, 1, 0, 1, 0, 0], dtype=np.int64),
+        "c_acctbal": [10.01, 20.02, 30.03, 40.04, 50.05, 60.06]})
+    cust.to_parquet(tmp_path / "customer.parquet")
+
+    from raycrawl.ops.relational import customer_segment_cube
+
+    got = customer_segment_cube(str(tmp_path))
+    idx = got.set_index(["c_mktsegment", "c_nationkey"])
+    # finest
+    assert idx.loc[("AUTO", 0), "n_customers"] == 2
+    assert idx.loc[("AUTO", 0), "acctbal_cents"] == 1001 + 5005
+    # segment margin
+    assert idx.loc[("AUTO", -1), "n_customers"] == 3
+    # nation margin (the grouping set ROLLUP lacks)
+    assert idx.loc[("ALL", 0), "n_customers"] == 4
+    assert idx.loc[("ALL", 1), "n_customers"] == 2
+    # grand total
+    assert idx.loc[("ALL", -1), "n_customers"] == 6
+    assert idx.loc[("ALL", -1), "acctbal_cents"] == \
+        idx.loc[("AUTO", -1), "acctbal_cents"] \
+        + idx.loc[("BUILDING", -1), "acctbal_cents"]
+    assert len(got) == 2 * 2 + 2 + 2 + 1
