@@ -906,6 +906,28 @@ def _q_simhash(sf_dir: str):
     return simhash_fingerprints(docs).to_pandas()
 
 
+def _q_dedup_edit_pairs(sf_dir: str):
+    """Levenshtein-≤1 near-dup pairs on 24-char text prefixes via
+    symmetric-delete (SymSpell) blocking — blocking is pigeonhole-
+    COMPLETE for the edit budget (any pair within distance k shares a
+    member of their ≤k-deletion neighborhoods), so candidates are a
+    superset and the vectorized DP verify is exact; the oracle replays
+    the identical blocking in SQL (raycrawl/ops/dedup.py)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raycrawl.ops.dedup import edit_prefix_pairs
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    df = edit_prefix_pairs(docs, k=1, key_len=24).to_pandas()
+    if "doc_a" not in df.columns:  # zero-row dataset loses its schema
+        df = pd.DataFrame({c: pd.Series(dtype="int64")
+                           for c in ["doc_a", "doc_b", "dist"]})
+    df = df.astype({c: "int64" for c in df.columns})
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def _q_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs (hamming ≤ 6): banding is pigeonhole-COMPLETE
     for the hamming budget (any pair within budget shares ≥1 exact band),
@@ -2393,6 +2415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_segments": _q_segment_dedup,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_pairs": _q_simhash_pairs,
+        "dedup_edit_pairs": _q_dedup_edit_pairs,
         "dedup_embedding_pairs": _q_embedding_dups,
         "text_token_count": _q_token_count,
         "text_gopher_quality": _q_gopher_quality,
@@ -3293,6 +3316,28 @@ def oracle_sql() -> dict[str, str]:
             "WHEN de >= 1 AND de > en AND de > fr AND de >= es THEN 'de' "
             "WHEN es >= 1 AND es > en AND es > fr AND es > de THEN 'es' "
             "ELSE 'und' END AS lang_pred FROM s"
+        ),
+        # edit-distance pairs: the oracle replays the engine's symmetric-
+        # delete blocking (pigeonhole-complete for ed <= 1: shared member
+        # of the <=1-deletion neighborhoods), then verifies with DuckDB's
+        # exact levenshtein — blocked, never an all-pairs cross join
+        "dedup_edit_pairs": (
+            "WITH keys AS (SELECT doc_id, "
+            "  substr(COALESCE(text, ''), 1, 24) AS key FROM documents), "
+            "vars AS ("
+            "  SELECT doc_id, key, key AS v FROM keys "
+            "  UNION "
+            "  SELECT doc_id, key, substr(key, 1, CAST(i AS INT) - 1) || "
+            "    substr(key, CAST(i AS INT) + 1) AS v "
+            "  FROM keys, LATERAL (SELECT unnest(generate_series(1, "
+            "    length(key))) AS i) t), "
+            "cand AS (SELECT DISTINCT a.doc_id AS doc_a, "
+            "  b.doc_id AS doc_b, a.key AS ka, b.key AS kb "
+            "  FROM vars a JOIN vars b ON a.v = b.v "
+            "    AND a.doc_id < b.doc_id) "
+            "SELECT doc_a, doc_b, "
+            "CAST(levenshtein(ka, kb) AS BIGINT) AS dist "
+            "FROM cand WHERE levenshtein(ka, kb) <= 1"
         ),
         # simhash near-pairs: banding is pigeonhole-complete, so brute-force
         # bit_count(xor) over the (already-verified) simhash SQL is exact

@@ -1974,3 +1974,59 @@ def test_customer_segment_cube_all_grouping_sets(tmp_path):
         idx.loc[("AUTO", -1), "acctbal_cents"] \
         + idx.loc[("BUILDING", -1), "acctbal_cents"]
     assert len(got) == 2 * 2 + 2 + 2 + 1
+
+
+def test_edit_prefix_pairs_matches_bruteforce(tmp_path):
+    # typo corpus: subs/inserts/deletes within the key window, so d=0,
+    # d=1 and d=2 pairs all exist; blocking must find every one
+    rng = np.random.default_rng(7)
+    base = ["the quick brown fox jump", "pack my box with five doz",
+            "sphinx of black quartz j", "höw vexingly quick daft z"]
+    texts = []
+    for i in range(80):
+        s = base[i % 4]
+        r = rng.random()
+        p = int(rng.integers(0, len(s)))
+        if r < 0.3:
+            s = s[:p] + chr(97 + int(rng.integers(0, 26))) + s[p + 1:]
+        elif r < 0.5:
+            s = s[:p] + s[p + 1:]
+        elif r < 0.7:
+            s = s[:p] + "x" + s[p:]
+        texts.append(s + " tail text beyond the key window")
+    df = pd.DataFrame({"doc_id": np.arange(80, dtype=np.int64),
+                       "text": texts})
+
+    from raycrawl.ops.dedup import edit_prefix_pairs
+
+    def ed(a, b):
+        prev = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            cur = [i] + [0] * len(b)
+            for j in range(1, len(b) + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[len(b)]
+
+    keys = [t[:24] for t in texts]
+    for k in (1, 2):
+        got = (edit_prefix_pairs(rd.from_pandas(df), k=k, key_len=24)
+               .to_pandas().sort_values(["doc_a", "doc_b"])
+               .reset_index(drop=True))
+        want = pd.DataFrame(
+            [(i, j, ed(keys[i], keys[j]))
+             for i in range(80) for j in range(i + 1, 80)
+             if ed(keys[i], keys[j]) <= k],
+            columns=["doc_a", "doc_b", "dist"]).astype("int64")
+        assert (want["dist"] == 1).any()  # fixture exercises d=1
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_batch_edit_distance_kernel():
+    from raycrawl.ops.dedup import _batch_edit_distance
+
+    a = ["abc", "", "käse", "abcd", "kitten", "flaw"]
+    b = ["abd", "xy", "kase", "abc", "sitting", "lawn"]
+    got = _batch_edit_distance(a, b, 8).tolist()
+    assert got == [1, 2, 1, 1, 3, 2]
