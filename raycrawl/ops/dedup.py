@@ -1652,12 +1652,16 @@ def edit_prefix_pairs(ds, k: int = 1, key_len: int = 24,
 
     Scale shape: variants explode each doc into ≤ O(key_len^k) short
     strings (k=1 → key_len+1); candidates group on the variant string
-    via coarse hash partitions (never one Ray group per variant); the
-    pair-combine + verify is a second coarse shuffle of (doc_a, doc_b,
-    key_a, key_b) rows only — document bodies never move. Exact-equal
-    keys pair quadratically (they are all true d=0 results); corpora
-    with huge exact-dup groups should run :func:`exact_dedup` first."""
-    from .agg import partitioned_map_groups, partitioned_map_partitions
+    via coarse hash partitions (never one Ray group per variant), and
+    the within-partition kernel is a vectorized sorted-run scan — rows
+    whose variant is unshared (almost all of them) are dropped by one
+    bincount mask, so cost is O(rows) + O(actual candidate pairs), not
+    O(distinct variants) pandas group dispatches; the pair-combine +
+    verify is a second coarse shuffle of (doc_a, doc_b, key_a, key_b)
+    rows only — document bodies never move. Exact-equal keys pair
+    quadratically (they are all true d=0 results); corpora with huge
+    exact-dup groups should run :func:`exact_dedup` first."""
+    from .agg import partitioned_map_partitions
 
     def keyed(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
@@ -1675,15 +1679,39 @@ def edit_prefix_pairs(ds, k: int = 1, key_len: int = 24,
 
     variants = ds.map_batches(keyed, batch_format="pyarrow")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="mergesort")
-        ids = g[id_col].to_numpy(np.int64)
-        keys = g["key"].to_numpy()
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib],
-                             "key_a": keys[ia], "key_b": keys[ib]})
+    _empty_cand = pd.DataFrame({
+        "doc_a": pd.Series(dtype="int64"),
+        "doc_b": pd.Series(dtype="int64"),
+        "key_a": pd.Series(dtype="object"),
+        "key_b": pd.Series(dtype="object")})
 
-    cand = partitioned_map_groups(variants, ["v"], pairs)
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["v", id_col], kind="mergesort")
+        v = g["v"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new[1:] = v[1:] != v[:-1]
+        run_id = np.cumsum(new) - 1
+        counts = np.bincount(run_id)
+        shared = counts[run_id] >= 2
+        if not shared.any():
+            return _empty_cand
+        ids = g[id_col].to_numpy(np.int64)[shared]
+        keys = g["key"].to_numpy()[shared]
+        rid = run_id[shared]
+        starts = np.flatnonzero(
+            np.concatenate(([True], rid[1:] != rid[:-1])))
+        ends = np.append(starts[1:], len(rid))
+        frames = []
+        for s, e in zip(starts, ends):
+            ia, ib = np.triu_indices(e - s, k=1)
+            frames.append(pd.DataFrame({
+                "doc_a": ids[s + ia], "doc_b": ids[s + ib],
+                "key_a": keys[s + ia], "key_b": keys[s + ib]}))
+        return (pd.concat(frames, ignore_index=True)
+                .drop_duplicates(["doc_a", "doc_b"]))
+
+    cand = partitioned_map_partitions(variants, ["v"], pairs_part)
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["doc_a", "doc_b"])
