@@ -459,6 +459,25 @@ def _q_graph_hits(sf_dir: str):
     return out.rename(columns={"node": "doc_id"})
 
 
+def _q_link_bfs_depth(sf_dir: str):
+    """Multi-source BFS over the extracted link graph: shortest hop
+    count from the seed set (doc_id % 97 = 1 — the backlinks target
+    convention) for every page within 8 hops. Level-synchronous, exact
+    on both broadcast and shuffle paths; the oracle unrolls the same
+    levels over the lattice edge CTE
+    (raycrawl/ops/graph.py::bfs_distance)."""
+    import pyarrow.parquet as pq
+
+    from raycrawl.ops.graph import bfs_distance
+
+    nodes = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id"]).column("doc_id").to_numpy()
+    seeds = nodes[nodes % 97 == 1]
+    out = bfs_distance(_edges_dataset(sf_dir), nodes, seeds,
+                       max_depth=8, method="auto")
+    return out.rename(columns={"node": "doc_id"})
+
+
 def _q_host_rank_mass(sf_dir: str):
     """Politeness-budget allocation signal: total PageRank mass per host
     (pagerank → 16-host aggregate — the composition a scheduler runs)."""
@@ -649,6 +668,32 @@ def _pagerank_oracle(num_iters: int = 5, scale: int = 10**12,
             f" AS BIGINT) AS r FROM nodes n LEFT JOIN c{k} c USING (doc_id))")
     sql.append(final if final is not None
                else f" SELECT doc_id, r AS rank_fp FROM r{num_iters}")
+    return "".join(sql)
+
+
+def _bfs_oracle(max_depth: int = 8) -> str:
+    """SQL mirror of ops/graph.py::bfs_distance — the 4-ary lattice edge
+    CTE, seeds doc_id % 97 = 1, then level-synchronous BFS unrolled one
+    MATERIALIZED CTE per level (the lattice is a forest, so per-level
+    sets cannot blow up); min(dist) per node = first-reach level."""
+    sql = [
+        "WITH ranked AS MATERIALIZED (SELECT doc_id, doc_id % 16 AS h, "
+        " row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) - 1 AS rnk "
+        " FROM documents), "
+        "edges AS MATERIALIZED (SELECT p.doc_id AS src, c.doc_id AS dst FROM ranked p "
+        " JOIN ranked c ON c.h = p.h "
+        " AND c.rnk IN (4*p.rnk+1, 4*p.rnk+2, 4*p.rnk+3, 4*p.rnk+4)), "
+        "l0 AS MATERIALIZED (SELECT doc_id AS node FROM documents "
+        " WHERE doc_id % 97 = 1)"
+    ]
+    for k in range(1, max_depth + 1):
+        sql.append(
+            f", l{k} AS MATERIALIZED (SELECT DISTINCT e.dst AS node "
+            f" FROM edges e JOIN l{k - 1} f ON f.node = e.src)")
+    union = " UNION ALL ".join(
+        f"SELECT node, {k} AS dist FROM l{k}" for k in range(max_depth + 1))
+    sql.append(f" SELECT node AS doc_id, CAST(min(dist) AS BIGINT) AS dist "
+               f"FROM ({union}) GROUP BY node")
     return "".join(sql)
 
 
@@ -2385,6 +2430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_rank_mass": _q_host_rank_mass,
         "graph_components": _q_graph_components,
         "graph_hits": _q_graph_hits,
+        "link_bfs_depth": _q_link_bfs_depth,
         "crawl_delta": _q_crawl_delta,
         "recrawl_schedule": _q_recrawl_schedule,
         "link_backlinks": _q_link_backlinks,
@@ -2936,6 +2982,7 @@ def oracle_sql() -> dict[str, str]:
         # lattice edges stay within a host, and each host's lattice is one
         # tree → components are exactly the host partitions
         "graph_hits": _hits_oracle(num_iters=5),
+        "link_bfs_depth": _bfs_oracle(max_depth=8),
         "graph_components": (
             "SELECT doc_id AS node, "
             "min(doc_id) OVER (PARTITION BY doc_id % 16) AS component "

@@ -779,3 +779,150 @@ def _hits_shuffle(edges_ds, node_ids, num_iters: int, scale: int,
     out = out.astype({"node": "int64", "auth_fp": "int64",
                       "hub_fp": "int64"})
     return out.sort_values("node").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# multi-source BFS shortest-hop distance
+# ---------------------------------------------------------------------------
+
+
+def bfs_distance(edges_ds, node_ids, seeds, *, max_depth: int = 8,
+                 method: str = "auto", n_parts: int = 64,
+                 num_buckets: int = 16) -> pd.DataFrame:
+    """Multi-source directed BFS → DataFrame(node, dist): the shortest
+    hop count from the NEAREST seed, for every node reachable within
+    ``max_depth`` hops (unreached nodes are omitted). The crawl-native
+    graph question — "how many link hops from the seed list is this
+    page" — and the level-synchronous pattern behind reachability,
+    influence radius, and seed-set coverage audits.
+
+    Level-synchronous BFS is exact by construction (a node is first
+    reached at its true shortest distance), so both execution paths are
+    bit-identical; rounds ≤ min(max_depth, eccentricity of the seed
+    set).
+
+    ``'broadcast'``: the distance vector lives on the driver (one
+    N-entry int array — the same cardinality contract as
+    :func:`pagerank`'s broadcast path); each level ships the CURRENT
+    frontier ids once via ``ray.put`` and streams edges through
+    ``map_batches`` (sorted-array membership, vectorized), folding the
+    per-batch reached-node partials into the vector.
+
+    ``'shuffle'``: nothing node-shaped on the driver. Each level is one
+    ``bucket_hash_join(edges, frontier, how='semi')`` (frontier keys
+    only are staged), a coarse-partition distinct on dst, and one
+    ``how='anti'`` against the reached set; the reached set stays a
+    Dataset that grows by union. Per-level cost is O(edges touched),
+    total O(E) across the run — each edge's source is in the frontier
+    at most once."""
+    if method == "auto":
+        n_hint = (node_ids.count() if hasattr(node_ids, "map_batches")
+                  else len(node_ids))
+        method = ("broadcast" if n_hint <= _AUTO_BROADCAST_NODES
+                  else "shuffle")
+    if method == "broadcast":
+        return _bfs_broadcast(edges_ds, node_ids, seeds, max_depth)
+    if method == "shuffle":
+        return _bfs_shuffle(edges_ds, node_ids, seeds, max_depth,
+                            n_parts, num_buckets)
+    raise ValueError(method)
+
+
+def _bfs_broadcast(edges_ds, node_ids, seeds, max_depth: int
+                   ) -> pd.DataFrame:
+    import ray
+
+    if hasattr(node_ids, "to_pandas"):
+        node_ids = node_ids.to_pandas()["node"].to_numpy(np.int64)
+    ids = np.unique(np.asarray(node_ids, dtype=np.int64))
+    seed_arr = np.unique(np.asarray(list(seeds), dtype=np.int64))
+    seed_arr = seed_arr[np.isin(seed_arr, ids)]
+    dist = np.full(len(ids), -1, dtype=np.int64)
+    dist[_lookup(ids, seed_arr)] = 0
+    edges = edges_ds.materialize()
+
+    for d in range(max_depth):
+        frontier = ids[dist == d]  # ascending — ids is sorted
+        if len(frontier) == 0:
+            break
+        fref = ray.put(frontier)
+
+        def reached(b: pd.DataFrame, fref=fref) -> pd.DataFrame:
+            f = ray.get(fref)
+            src = b["src"].to_numpy(np.int64)
+            pos = np.searchsorted(f, src)
+            pos[pos == len(f)] = 0
+            hit = f[pos] == src
+            dst = np.unique(b["dst"].to_numpy(np.int64)[hit])
+            return pd.DataFrame({"node": dst})
+
+        parts = edges.map_batches(reached, batch_format="pandas",
+                                  batch_size=_EDGE_BATCH)
+        any_new = False
+        for batch in parts.iter_batches(batch_format="pandas",
+                                        batch_size=None):
+            if not len(batch):
+                continue
+            idx = _lookup(ids, batch["node"].to_numpy(np.int64))
+            fresh = dist[idx] == -1
+            if fresh.any():
+                dist[idx[fresh]] = d + 1
+                any_new = True
+        if not any_new:
+            break
+    keep = dist >= 0
+    return (pd.DataFrame({"node": ids[keep], "dist": dist[keep]})
+            .reset_index(drop=True))
+
+
+def _bfs_shuffle(edges_ds, node_ids, seeds, max_depth: int,
+                 n_parts: int, num_buckets: int) -> pd.DataFrame:
+    import ray.data as rd
+
+    from .agg import partitioned_map_partitions
+    from .join import bucket_hash_join
+
+    edges = edges_ds.materialize()
+    seed_arr = np.unique(np.asarray(list(seeds), dtype=np.int64))
+    if hasattr(node_ids, "to_pandas"):
+        node_ids = node_ids.to_pandas()["node"].to_numpy(np.int64)
+    ids = np.unique(np.asarray(node_ids, dtype=np.int64))
+    seed_arr = seed_arr[np.isin(seed_arr, ids)]
+
+    frontier = rd.from_pandas(pd.DataFrame(
+        {"node": seed_arr})).materialize()
+    reached = rd.from_pandas(pd.DataFrame(
+        {"node": seed_arr,
+         "dist": np.zeros(len(seed_arr), dtype=np.int64)})).materialize()
+
+    for d in range(1, max_depth + 1):
+        hits = bucket_hash_join(
+            edges, frontier, left_on="src", right_on="node",
+            how="semi", num_buckets=num_buckets,
+            post=lambda m: m[["dst"]].drop_duplicates())
+
+        def as_node(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"node": b["dst"].to_numpy(np.int64)})
+
+        nxt = partitioned_map_partitions(
+            hits.map_batches(as_node, batch_format="pandas"),
+            ["node"], lambda g: g.drop_duplicates("node"),
+            n_parts=n_parts)
+        new = bucket_hash_join(
+            nxt, reached, left_on="node", right_on="node",
+            how="anti", num_buckets=num_buckets).materialize()
+        if new.count() == 0:
+            break
+
+        def with_dist(b: pd.DataFrame, d=d) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": b["node"].to_numpy(np.int64),
+                "dist": np.full(len(b), d, dtype=np.int64)})
+
+        tagged = new.map_batches(with_dist,
+                                 batch_format="pandas").materialize()
+        reached = reached.union(tagged).materialize()
+        frontier = new
+
+    out = reached.to_pandas().astype({"node": "int64", "dist": "int64"})
+    return out.sort_values("node").reset_index(drop=True)

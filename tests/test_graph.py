@@ -259,3 +259,48 @@ def test_survivors_driver_with_dataset_raises():
     pairs = rd.from_pandas(pd.DataFrame({"id_a": [1], "id_b": [2]}))
     with pytest.raises(ValueError, match="driver"):
         dedup_survivors([1, 2, 3], pairs, method="driver")
+
+
+def _serial_bfs(edges, nodes, seeds, max_depth):
+    import collections
+
+    adj = collections.defaultdict(list)
+    for s, d in edges:
+        adj[s].append(d)
+    dist = {s: 0 for s in seeds if s in set(nodes)}
+    q = collections.deque(dist)
+    while q:
+        u = q.popleft()
+        if dist[u] >= max_depth:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return (pd.DataFrame(sorted(dist.items()), columns=["node", "dist"])
+            .astype("int64"))
+
+
+def test_bfs_distance_paths_match_serial():
+    from raycrawl.ops.graph import bfs_distance
+
+    edges, nodes = _random_graph(n=120, m=500, seed=3, isolated=4)
+    eds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    seeds = [n for n in nodes if n % 17 == 1]
+    want = _serial_bfs(edges, nodes, seeds, max_depth=8)
+    for method in ("broadcast", "shuffle"):
+        got = bfs_distance(eds, nodes, seeds, max_depth=8, method=method)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_dtype=False)
+
+
+def test_bfs_distance_max_depth_truncates():
+    from raycrawl.ops.graph import bfs_distance
+
+    # a 5-node chain: 0 -> 1 -> 2 -> 3 -> 4
+    edges = [(i, i + 1) for i in range(4)]
+    eds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = bfs_distance(eds, list(range(5)), [0], max_depth=2,
+                       method="broadcast")
+    assert got["node"].tolist() == [0, 1, 2]
+    assert got["dist"].tolist() == [0, 1, 2]
