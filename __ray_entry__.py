@@ -1810,6 +1810,51 @@ def _q_docs_jsonl_roundtrip(sf_dir: str):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_docs_csv_roundtrip(sf_dir: str):
+    """CSV sink/source e2e: documents → hash-sharded gzip CSV archives
+    (RFC-4180, byte-deterministic, resumable at file granularity) →
+    read back file-granularly → per-shard aggregate. The oracle
+    aggregates the ORIGINAL table with the same shard hash, so an exact
+    match certifies lossless serialization of every row (null → ''
+    equivalence via COALESCE on both sides)
+    (raycrawl/ops/csvio.py)."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from raycrawl.ops.agg import aggregate_partials
+    from raycrawl.ops.csvio import read_csv_shards, write_csv_shards
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "lang"])
+    tmp = tempfile.mkdtemp(prefix="raycrawl_csv_rt_", dir="/tmp")
+    try:
+        write_csv_shards(docs, tmp, n_shards=16)
+        back = read_csv_shards(tmp, dtypes={"doc_id": "int64"})
+
+        def partial(b):
+            import numpy as np
+            import pandas as pd
+
+            g = pd.DataFrame({
+                "shard": b["doc_id"].to_numpy("int64") % 16,
+                "n_docs": np.int64(1),
+                "sum_len_chars": b["text"].fillna("").str.len()
+                .astype("int64"),
+                "sum_doc_id": b["doc_id"].astype("int64")})
+            return g.groupby("shard", as_index=False).sum()
+
+        out = aggregate_partials(
+            back, partial, keys=["shard"],
+            agg_spec={"n_docs": "sum", "sum_len_chars": "sum",
+                      "sum_doc_id": "sum"})
+        out = out.astype({c: "int64" for c in out.columns})
+        return out.sort_values("shard").reset_index(drop=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_events_lag_value(sf_dir: str):
     """LAG window — previous event id + exact value millis within each
     user's (ts, event_id) order, SQL LAG defaults mirrored
@@ -2502,6 +2547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_per_user": _q_events_top_per_user,
         "events_running_total": _q_events_running_total,
         "docs_jsonl_roundtrip": _q_docs_jsonl_roundtrip,
+        "docs_csv_roundtrip": _q_docs_csv_roundtrip,
         "events_lag_value": _q_events_lag_value,
         "users_value_ntile": _q_users_value_ntile,
         "users_value_rank": _q_users_value_rank,
@@ -3720,6 +3766,16 @@ def oracle_sql() -> dict[str, str]:
         # aggregates the ORIGINAL table — matching the Ray side (which
         # aggregates the JSONL read-back) certifies lossless roundtrip
         "docs_jsonl_roundtrip": (
+            "SELECT doc_id % 16 AS shard, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(length(COALESCE(text, ''))) AS BIGINT) "
+            "  AS sum_len_chars, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_doc_id "
+            "FROM documents GROUP BY doc_id % 16"
+        ),
+        # same certification shape for the CSV sink (null ≡ '' on both
+        # sides — CSV's documented lossy corner)
+        "docs_csv_roundtrip": (
             "SELECT doc_id % 16 AS shard, "
             "CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(sum(length(COALESCE(text, ''))) AS BIGINT) "

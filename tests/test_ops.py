@@ -2030,3 +2030,42 @@ def test_batch_edit_distance_kernel():
     b = ["abd", "xy", "kase", "abc", "sitting", "lawn"]
     got = _batch_edit_distance(a, b, 8).tolist()
     assert got == [1, 2, 1, 1, 3, 2]
+
+
+def test_csv_shards_roundtrip_and_determinism(tmp_path):
+    from raycrawl.ops.csvio import read_csv_shards, write_csv_shards
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(40, dtype=np.int64),
+        # commas, quotes, embedded newlines, unicode — the RFC-4180
+        # quoting corners; None becomes '' (documented lossy corner)
+        "text": [f'döc {i}, "q"\nline2 ☃' if i % 5 else None
+                 for i in range(40)],
+        "lang": ["en"] * 40})
+    ds = rd.from_pandas(docs)
+    d1 = tmp_path / "a"
+    m = write_csv_shards(ds, str(d1), n_shards=4)
+    assert m["n_rows"].sum() == 40 and len(m) == 4
+    assert m["sum_id"].sum() == docs["doc_id"].sum()
+
+    back = (read_csv_shards(str(d1), dtypes={"doc_id": "int64"})
+            .to_pandas()[docs.columns.tolist()]
+            .sort_values("doc_id").reset_index(drop=True))
+    want = docs.copy()
+    want["text"] = want["text"].fillna("")
+    pd.testing.assert_frame_equal(back, want, check_dtype=False)
+
+    import hashlib
+
+    d2 = tmp_path / "b"
+    write_csv_shards(rd.from_pandas(docs), str(d2), n_shards=4)
+    h = lambda d: [hashlib.md5(p.read_bytes()).hexdigest()
+                   for p in sorted(d.glob("shard-*.csv.gz"))]
+    assert h(d1) == h(d2)
+
+    # resumable: an existing shard file is not rewritten
+    mtimes = {p.name: p.stat().st_mtime_ns
+              for p in d1.glob("shard-*.csv.gz")}
+    write_csv_shards(rd.from_pandas(docs), str(d1), n_shards=4)
+    assert {p.name: p.stat().st_mtime_ns
+            for p in d1.glob("shard-*.csv.gz")} == mtimes
