@@ -1810,6 +1810,22 @@ def _q_docs_jsonl_roundtrip(sf_dir: str):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_docs_split_assign(sf_dir: str):
+    """Deterministic stratified train/val/test split with exact
+    per-stratum (lang) cut points — grouped global ranking via
+    (stratum, hash-range) buckets + a driver offset table bounded by
+    |strata|·256, so no stratum ever co-locates on one worker; the
+    integer threshold predicate replays verbatim in the oracle
+    (raycrawl/ops/training.py::stratified_split_assign)."""
+    import ray.data as rd
+
+    from raycrawl.ops.training import stratified_split_assign
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "lang"])
+    return stratified_split_assign(docs)
+
+
 def _q_docs_csv_roundtrip(sf_dir: str):
     """CSV sink/source e2e: documents → hash-sharded gzip CSV archives
     (RFC-4180, byte-deterministic, resumable at file granularity) →
@@ -2548,6 +2564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_total": _q_events_running_total,
         "docs_jsonl_roundtrip": _q_docs_jsonl_roundtrip,
         "docs_csv_roundtrip": _q_docs_csv_roundtrip,
+        "docs_split_assign": _q_docs_split_assign,
         "events_lag_value": _q_events_lag_value,
         "users_value_ntile": _q_users_value_ntile,
         "users_value_rank": _q_users_value_rank,
@@ -3772,6 +3789,23 @@ def oracle_sql() -> dict[str, str]:
             "  AS sum_len_chars, "
             "CAST(sum(doc_id) AS BIGINT) AS sum_doc_id "
             "FROM documents GROUP BY doc_id % 16"
+        ),
+        # stratified split: rank within lang by (first-64-bits-of-md5,
+        # doc_id) — both sides order on the SAME truncated key so hash
+        # collisions past bit 64 cannot diverge the rank
+        "docs_split_assign": (
+            "WITH h AS (SELECT doc_id, lang, "
+            "  ('0x' || substr(md5('split0' || "
+            "    CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT AS hv "
+            "  FROM documents), "
+            "r AS (SELECT doc_id, lang, "
+            "  row_number() OVER (PARTITION BY lang "
+            "    ORDER BY hv, doc_id) - 1 AS r0, "
+            "  count(*) OVER (PARTITION BY lang) AS n FROM h) "
+            "SELECT doc_id, lang, "
+            "CASE WHEN r0 * 1000 < n * 800 THEN 'train' "
+            "  WHEN r0 * 1000 < n * 900 THEN 'val' "
+            "  ELSE 'test' END AS split FROM r"
         ),
         # same certification shape for the CSV sink (null ≡ '' on both
         # sides — CSV's documented lossy corner)

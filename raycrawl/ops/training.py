@@ -127,3 +127,99 @@ def build_training_shards(ds, out_dir: str, num_merges: int = 200,
     packed.write_parquet(out_dir, partition_cols=["shard"])
     return {"merges": len(merges), "vocab_size": len(vids),
             "shards": shards, "sequences": n_seq, "tokens": tot}
+
+
+def stratified_split_assign(ds, fractions=(0.8, 0.1, 0.1),
+                            salt: str = "split0", id_col: str = "doc_id",
+                            stratum_col: str = "lang",
+                            n_buckets: int = 256) -> pd.DataFrame:
+    """Deterministic stratified train/val/test assignment with EXACT
+    per-stratum cut points — the split every training pipeline needs:
+    within each stratum (language, source, quality tier) the docs whose
+    stratum-rank r satisfies ``r·1000 < n·⌊f_train·1000⌋`` go to train
+    (= ⌈f_train·n⌉ docs), the next band to val, the rest to test — an
+    integer predicate both sides replay verbatim — and membership is a
+    pure function of (salt, id) so re-runs,
+    re-partitions and incremental corpus versions agree on every doc
+    they share a stratum-rank for.
+
+    Distributed shape (grouped global ranking — the
+    :func:`raycrawl.ops.relational.deterministic_shuffle_rank` offset
+    trick, keyed per stratum): each doc hashes to
+    hv = first-64-bits of md5(salt‖id); hv's top byte range-buckets the
+    stratum, a driver table of (stratum, bucket) counts — bounded by
+    |strata|·n_buckets, never corpus size — gives prefix offsets, and
+    within-bucket (hv, id) argsorts finish the exact per-stratum rank
+    WITHOUT co-locating any whole stratum on one worker (strata are
+    few; a stratum is usually most of the corpus). Thresholds replay in
+    integer floor arithmetic on both sides."""
+    import hashlib as _hl
+
+    import ray
+
+    from .agg import partitioned_map_partitions
+
+    f_train, f_val, _ = fractions
+    tr_num = int(round(f_train * 1000))
+    va_num = int(round((f_train + f_val) * 1000))
+
+    def hashed(b: pd.DataFrame) -> pd.DataFrame:
+        hv = np.fromiter(
+            (int(_hl.md5(f"{salt}{k}".encode()).hexdigest()[:16], 16)
+             for k in b[id_col]), dtype=np.uint64, count=len(b))
+        return pd.DataFrame({
+            id_col: b[id_col].astype("int64"),
+            stratum_col: b[stratum_col],
+            "__h": hv.view(np.int64),
+            "__bucket": (hv >> np.uint64(56)).astype("int64")})
+
+    hds = ds.map_batches(hashed, batch_format="pandas").materialize()
+
+    counts: dict = {}
+    for b in hds.iter_batches(batch_format="pandas", batch_size=None):
+        if not len(b):
+            continue
+        part = (b.groupby([stratum_col, "__bucket"]).size())
+        for (s, bk), c in part.items():
+            counts[(s, int(bk))] = counts.get((s, int(bk)), 0) + int(c)
+    strata = sorted({s for s, _ in counts})
+    offsets: dict = {}
+    totals: dict = {}
+    for s in strata:
+        run = 0
+        for bk in range(n_buckets):
+            c = counts.get((s, bk), 0)
+            if c:
+                offsets[(s, bk)] = run
+            run += c
+        totals[s] = run
+    oref = ray.put((offsets, totals, tr_num, va_num))
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        offs, tots, trn, van = ray.get(oref)
+        # rank order is (hv as uint64, id); a global (hv, id) sort also
+        # orders every (stratum, bucket) group internally, and the
+        # per-group cumcount below is interleaving-safe
+        hu = g["__h"].to_numpy().view(np.uint64)
+        order = np.lexsort((g[id_col].to_numpy(), hu))
+        g = g.iloc[order]
+        grp = g.groupby([stratum_col, "__bucket"], sort=False)
+        local = grp.cumcount().to_numpy(np.int64)
+        off = np.fromiter(
+            (offs[(s, int(bk))] for s, bk in
+             zip(g[stratum_col], g["__bucket"])),
+            dtype=np.int64, count=len(g))
+        n = np.fromiter((tots[s] for s in g[stratum_col]),
+                        dtype=np.int64, count=len(g))
+        r0 = off + local
+        split = np.where(r0 * 1000 < n * trn, "train",
+                         np.where(r0 * 1000 < n * van, "val", "test"))
+        return pd.DataFrame({id_col: g[id_col].to_numpy(np.int64),
+                             stratum_col: g[stratum_col].to_numpy(),
+                             "split": split})
+
+    out = partitioned_map_partitions(
+        hds, [stratum_col, "__bucket"], rank_part,
+        n_parts=min(64, n_buckets)).to_pandas()
+    out[id_col] = out[id_col].astype("int64")
+    return out.sort_values(id_col).reset_index(drop=True)

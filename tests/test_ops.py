@@ -2069,3 +2069,42 @@ def test_csv_shards_roundtrip_and_determinism(tmp_path):
     write_csv_shards(rd.from_pandas(docs), str(d1), n_shards=4)
     assert {p.name: p.stat().st_mtime_ns
             for p in d1.glob("shard-*.csv.gz")} == mtimes
+
+
+def test_stratified_split_exact_cuts_and_determinism():
+    from raycrawl.ops.training import stratified_split_assign
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    docs = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "lang": rng.choice(["en", "fr", "de"], n, p=[0.7, 0.2, 0.1])})
+    ds = rd.from_pandas(docs)
+    got = stratified_split_assign(ds)
+
+    # per-stratum counts follow the integer predicate exactly
+    for lang, sub in got.groupby("lang"):
+        nn = len(sub)
+        n_train = sum(r * 1000 < nn * 800 for r in range(nn))
+        n_val = sum(nn * 800 <= r * 1000 < nn * 900 for r in range(nn))
+        vc = sub["split"].value_counts()
+        assert vc.get("train", 0) == n_train
+        assert vc.get("val", 0) == n_val
+        assert vc.get("test", 0) == nn - n_train - n_val
+
+    # deterministic: same input, any bucketing → identical assignment
+    again = stratified_split_assign(rd.from_pandas(docs), n_buckets=256)
+    pd.testing.assert_frame_equal(got, again)
+
+    # membership is a pure function of (salt, id): dropping half the
+    # docs keeps every shared doc's hash ORDER, so train-set docs with
+    # low ranks stay train (spot the lowest-hash doc per lang)
+    import hashlib
+
+    def hv(i):
+        return int(hashlib.md5(f"split0{i}".encode())
+                   .hexdigest()[:16], 16)
+
+    for lang, sub in got.groupby("lang"):
+        lowest = min(sub["doc_id"], key=hv)
+        assert sub.set_index("doc_id").loc[lowest, "split"] == "train"
