@@ -1918,6 +1918,27 @@ def _q_customer_segment_cube(sf_dir: str):
     return customer_segment_cube(sf_dir)
 
 
+def _q_events_trailing_1h(sf_dir: str):
+    """RANGE BETWEEN INTERVAL 1 HOUR PRECEDING per-user trailing window
+    — (user, ts) collapsed to one monotone int64 key so both frame
+    edges are a single vectorized searchsorted; RANGE peer semantics
+    (ts-equal rows share a frame) match SQL exactly
+    (raycrawl/ops/relational.py)."""
+    from raycrawl.ops.relational import events_trailing_1h
+
+    return events_trailing_1h(sf_dir)
+
+
+def _q_events_hourly_anomaly(sf_dir: str):
+    """Hourly volume anomaly flags via the cross-multiplied integer
+    z-score predicate (n·c − s)² > k²(n·q − s²) — second-moment
+    statistics with every division cleared, bit-equal to the HUGEINT
+    SQL oracle (raycrawl/ops/relational.py)."""
+    from raycrawl.ops.relational import events_hourly_anomaly
+
+    return events_hourly_anomaly(sf_dir)
+
+
 def _q_events_user_top_type(sf_dir: str):
     """Grouped MODE — each user's most frequent event_type (ties →
     lexicographically smallest), exact per user-hash partition
@@ -2569,6 +2590,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_value_ntile": _q_users_value_ntile,
         "users_value_rank": _q_users_value_rank,
         "events_moving_window": _q_events_moving_window,
+        "events_trailing_1h": _q_events_trailing_1h,
+        "events_hourly_anomaly": _q_events_hourly_anomaly,
         "customer_segment_cube": _q_customer_segment_cube,
         "events_user_top_type": _q_events_user_top_type,
         "events_daily_pivot": _q_events_daily_pivot,
@@ -3860,6 +3883,30 @@ def oracle_sql() -> dict[str, str]:
             "FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
             "  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+        ),
+        "events_trailing_1h": (
+            "SELECT event_id, user_id, "
+            "CAST(count(*) OVER w AS BIGINT) AS trail_n, "
+            "CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) "
+            "  OVER w AS BIGINT) AS trail_value_millis "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+            "  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+        ),
+        # z-score test with divisions cleared: HUGEINT keeps the
+        # squared deviations exact at any count magnitude
+        "events_hourly_anomaly": (
+            "WITH h AS (SELECT date_trunc('hour', ts) AS hour, "
+            "  CAST(count(*) AS BIGINT) AS n_events FROM events "
+            "  GROUP BY 1), "
+            "m AS (SELECT count(*) AS n, sum(n_events) AS s, "
+            "  sum(CAST(n_events AS HUGEINT) * n_events) AS q FROM h) "
+            "SELECT hour, n_events, "
+            "CAST(CASE WHEN (CAST(m.n AS HUGEINT) * n_events - m.s) * "
+            "  (CAST(m.n AS HUGEINT) * n_events - m.s) "
+            "  > 4 * (m.n * m.q - CAST(m.s AS HUGEINT) * m.s) "
+            "  THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly "
+            "FROM h, m"
         ),
         # sentinel convention: 'ALL' / -1 for rolled-up levels, so the
         # cube stays a single union-free schema on both sides

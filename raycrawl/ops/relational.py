@@ -1483,3 +1483,108 @@ def customer_segment_cube(sf_dir: str) -> pd.DataFrame:
                       "acctbal_cents": "int64"})
     return (out.sort_values(["c_mktsegment", "c_nationkey"])
                .reset_index(drop=True))
+
+
+def events_trailing_1h(sf_dir: str) -> pd.DataFrame:
+    """Per-event trailing time window — the SQL ``RANGE BETWEEN
+    INTERVAL 1 HOUR PRECEDING AND CURRENT ROW`` frame per user
+    (trail_n = events in the user's last hour including this one,
+    trail_value_millis = their exact value sum). The time-based sibling
+    of :func:`events_moving_window`'s ROWS frame — rate limiting,
+    burst features, velocity checks.
+
+    Distributed shape: ONE user-hash shuffle; inside each partition the
+    kernel collapses (user, ts) into one monotone int64 key — a
+    partition-local dense user index times a block stride wider than
+    the partition's time span + 2h — so BOTH frame edges are a single
+    vectorized ``searchsorted`` (the −1h lower bound cannot cross into
+    the previous user's block), then cumsum at the right edge minus
+    cumsum before the left edge; O(rows log rows) sort, O(rows) frame,
+    exact integer millis. Stride overflow (users-per-partition × span
+    ≥ 2^63 — centuries of µs × thousands of users) raises rather than
+    wrapping.
+
+    RANGE semantics (peer rows): every event with the same (user, ts)
+    is inside every peer's frame regardless of event_id order — the
+    searchsorted window is [ts−1h, ts] inclusive by timestamp, matching
+    SQL RANGE exactly (ROWS would not)."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def trail_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").copy()
+        vm = np.floor(g["value"] * 1000 + 0.5).astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy("datetime64[us]").astype("int64")
+        csum = np.cumsum(vm)
+        cnt = np.arange(1, len(g) + 1, dtype=np.int64)
+        hour_us = 3_600_000_000
+        ts_rel = ts - ts.min()
+        block = int(ts_rel.max()) + 2 * hour_us + 1
+        uidx = pd.factorize(uid)[0].astype(np.int64)  # rows are uid-sorted
+        if uidx.max() + 1 > (2**63 - 1) // block:
+            raise OverflowError(
+                "events_trailing_1h: users-per-partition × time span "
+                "exceeds int64 — raise n_parts")
+        key = uidx * block + ts_rel
+        # lower bound ts−1h stays inside this user's block (2h margin)
+        lo = np.searchsorted(key, key - hour_us, side="left")
+        # RANGE upper bound includes ts-peers AFTER this row too
+        hi = np.searchsorted(key, key, side="right") - 1
+        trail_v = csum[hi] - np.where(lo > 0, csum[lo - 1], 0)
+        trail_n = cnt[hi] - np.where(lo > 0, cnt[lo - 1], 0)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "user_id": uid,
+            "trail_n": trail_n.astype("int64"),
+            "trail_value_millis": trail_v.astype("int64")})
+
+    out = partitioned_map_partitions(ev, "user_id", trail_part).to_pandas()
+    out = out.astype({c: "int64" for c in out.columns})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def events_hourly_anomaly(sf_dir: str, k: int = 2) -> pd.DataFrame:
+    """Hourly volume anomaly flags, EXACT in integer arithmetic: an
+    hour is anomalous when its event count deviates from the global
+    hourly mean by more than ``k`` standard deviations — evaluated as
+    the cross-multiplied integer predicate
+
+        (n·c − s)² > k² · (n·q − s²)     [n hours, s = Σc, q = Σc²]
+
+    which is the z-score test with every division cleared, so there is
+    no float rounding to diverge from the SQL oracle (the module-wide
+    exactness discipline applied to second moments).
+
+    Distributed shape: one aggregate_partials pass folds per-hour
+    counts (the hour key space is calendar-bounded); the three global
+    moments and the flag evaluation are a driver fold over that small
+    table. HUGEINT-class products are kept in Python ints via object
+    arrays when they could exceed int64."""
+    from .agg import aggregate_partials
+
+    ev = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"hour": b["ts"].dt.floor("h"),
+                          "n_events": np.int64(1)})
+        return g.groupby("hour", as_index=False).sum()
+
+    hours = aggregate_partials(
+        ev, partial, keys=["hour"], agg_spec={"n_events": "sum"})
+    n = len(hours)
+    if n == 0:
+        return pd.DataFrame({"hour": pd.Series(dtype="datetime64[us]"),
+                             "n_events": pd.Series(dtype="int64"),
+                             "is_anomaly": pd.Series(dtype="int64")})
+    c = hours["n_events"].astype("int64")
+    s = int(c.sum())
+    q = int((c.astype(object) * c.astype(object)).sum())
+    dev = (int(n) * c.astype(object) - s)
+    lhs = dev * dev
+    rhs = int(k) * int(k) * (int(n) * q - s * s)
+    out = pd.DataFrame({
+        "hour": hours["hour"],
+        "n_events": c,
+        "is_anomaly": (lhs > rhs).astype("int64")})
+    return out.sort_values("hour").reset_index(drop=True)

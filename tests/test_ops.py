@@ -2108,3 +2108,60 @@ def test_stratified_split_exact_cuts_and_determinism():
     for lang, sub in got.groupby("lang"):
         lowest = min(sub["doc_id"], key=hv)
         assert sub.set_index("doc_id").loc[lowest, "split"] == "train"
+
+
+def test_events_trailing_1h_range_semantics(tmp_path):
+    # ts ties (peer rows) and an exact-1h-ago event (inclusive bound)
+    ev = pd.DataFrame({
+        "event_id": np.array([1, 2, 3, 4, 5], dtype=np.int64),
+        "user_id": np.array([7, 7, 7, 7, 9], dtype=np.int64),
+        "ts": pd.to_datetime(["2025-01-01 00:00", "2025-01-01 00:30",
+                              "2025-01-01 01:00",  # exactly 1h after #1
+                              "2025-01-01 01:00",  # peer of #3
+                              "2025-01-01 00:10"]),
+        "value": [1.0, 2.0, 4.0, 8.0, 16.0]})
+    ev.to_parquet(tmp_path / "events.parquet")
+
+    from raycrawl.ops.relational import events_trailing_1h
+
+    got = events_trailing_1h(str(tmp_path)).set_index("event_id")
+    assert got.loc[1, ["trail_n", "trail_value_millis"]].tolist() \
+        == [1, 1000]
+    assert got.loc[2, ["trail_n", "trail_value_millis"]].tolist() \
+        == [2, 3000]
+    # frame of #3: events at [00:00, 01:00] inclusive, including its
+    # ts-peer #4 (RANGE semantics) -> all four rows of user 7
+    assert got.loc[3, ["trail_n", "trail_value_millis"]].tolist() \
+        == [4, 15000]
+    assert got.loc[4, ["trail_n", "trail_value_millis"]].tolist() \
+        == [4, 15000]
+    assert got.loc[5, ["trail_n", "trail_value_millis"]].tolist() \
+        == [1, 16000]
+
+
+def test_events_hourly_anomaly_integer_predicate(tmp_path):
+    # 10 quiet hours of 5 events + one 50-event spike hour
+    rows = []
+    eid = 0
+    for h in range(10):
+        for i in range(5):
+            rows.append((eid, pd.Timestamp("2025-01-01")
+                         + pd.Timedelta(hours=h, minutes=i))); eid += 1
+    for i in range(50):
+        rows.append((eid, pd.Timestamp("2025-01-01 12:00")
+                     + pd.Timedelta(minutes=i % 60))); eid += 1
+    ev = pd.DataFrame(rows, columns=["event_id", "ts"])
+    ev["user_id"] = np.int64(1)
+    ev["value"] = 1.0
+    ev.to_parquet(tmp_path / "events.parquet")
+
+    from raycrawl.ops.relational import events_hourly_anomaly
+
+    got = events_hourly_anomaly(str(tmp_path))
+    flagged = got[got["is_anomaly"] == 1]["hour"].tolist()
+    assert flagged == [pd.Timestamp("2025-01-01 12:00")]
+    # replicate the predicate serially
+    c = got["n_events"].to_numpy(object)
+    n, s, q = len(c), int(c.sum()), int((c * c).sum())
+    want = ((n * c - s) ** 2 > 4 * (n * q - s * s)).astype("int64")
+    assert got["is_anomaly"].tolist() == want.tolist()
