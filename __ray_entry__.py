@@ -2392,6 +2392,18 @@ def _q_interval_join(sf_dir: str):
     return out.sort_values(["interval_id", "event_id"]).reset_index(drop=True)
 
 
+def _q_q5(sf_dir: str):
+    """TPC-H Q5 shape: 6-table star join — region/nation/supplier/
+    filtered-customer broadcast as key→nation maps, orders date-pruned
+    at the scan and annotated batch-local, ONE fact shuffle
+    (lineitem⋈orders) with the supplier lookup + cust=supp nation
+    equality + per-nation revenue partial pushed into the join's post
+    (raycrawl/ops/relational.py::q5_local_supplier_volume)."""
+    from raycrawl.ops.relational import q5_local_supplier_volume
+
+    return q5_local_supplier_volume(sf_dir)
+
+
 def _q_q3(sf_dir: str):
     """TPC-H Q3 shape: broadcast customer semi-join + bucketed
     orders⋈lineitem hash join with the aggregate and top-k partial pushed
@@ -2623,6 +2635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_index_lookup": _q_index_lookup,
         "events_interval_join": _q_interval_join,
         "q3_shipping_priority": _q_q3,
+        "q5_local_supplier_volume": _q_q5,
         "quantiles_order_totals": _q_quantile_selection,
     }
 
@@ -4248,6 +4261,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         # classic Q3: three-way join, integer-cents revenue, top 10 by
         # (revenue desc, orderdate, orderkey)
+        "q5_local_supplier_volume": (
+            "SELECT n_name, "
+            "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) "
+            "  * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM customer, orders, lineitem, supplier, nation, region "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "  AND s_nationkey = n_nationkey "
+            "  AND n_regionkey = r_regionkey AND r_name = 'ASIA' "
+            "  AND o_orderdate >= DATE '1997-01-01' "
+            "  AND o_orderdate < DATE '1998-01-01' "
+            "GROUP BY n_name"
+        ),
         "q3_shipping_priority": (
             "SELECT l_orderkey, "
             "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents, "

@@ -1588,3 +1588,114 @@ def events_hourly_anomaly(sf_dir: str, k: int = 2) -> pd.DataFrame:
         "n_events": c,
         "is_anomaly": (lhs > rhs).astype("int64")})
     return out.sort_values("hour").reset_index(drop=True)
+
+
+def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                             date_lo: str = "1997-01-01",
+                             date_hi: str = "1998-01-01") -> pd.DataFrame:
+    """TPC-H Q5 shape (local supplier volume): region ⋈ nation ⋈
+    customer ⋈ orders ⋈ lineitem ⋈ supplier, revenue per nation where
+    the supplier and the customer share the nation — the canonical
+    many-table star join with a non-key equality (c_nationkey =
+    s_nationkey) threaded through the fact table.
+
+    Join strategy by side size (q3's discipline extended to 6 tables):
+    region/nation/supplier/filtered-customer are DIMENSIONS → broadcast
+    once as (key → nationkey) maps via ``ray.put``; orders (date-pruned
+    at the Parquet scan) annotate o_custkey → cust_nation per batch with
+    zero shuffle; lineitem ⋈ orders is the ONLY all-to-all
+    (``bucket_hash_join`` on orderkey) and the supplier-nation lookup,
+    the cust=supp equality filter AND the per-nation revenue partial all
+    run inside the join's ``post`` — so the whole 6-table query costs
+    one fact-table shuffle plus a |nations|-row driver fold. Revenue is
+    exact integer cents."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .join import bucket_hash_join
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    reg = rd.read_parquet(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"],
+        filter=(pc.field("r_name") == region)).to_pandas()
+    nat = rd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    nat = nat[nat["n_regionkey"].isin(reg["r_regionkey"])]
+    nation_name = dict(zip(nat["n_nationkey"].astype(int),
+                           nat["n_name"]))
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(nation_name)]
+    supp = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(nation_name)]
+
+    cust_ref = ray.put(dict(zip(cust["c_custkey"].astype(int),
+                                cust["c_nationkey"].astype(int))))
+    supp_ref = ray.put(dict(zip(supp["s_suppkey"].astype(int),
+                                supp["s_nationkey"].astype(int))))
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=((pc.field("o_orderdate") >= pc.scalar(lo))
+                & (pc.field("o_orderdate") < pc.scalar(hi))))
+
+    def annotate(b: pd.DataFrame) -> pd.DataFrame:
+        cmap = ray.get(cust_ref)
+        cn = b["o_custkey"].map(cmap)
+        keep = cn.notna()
+        return pd.DataFrame({
+            "o_orderkey": b["o_orderkey"][keep],
+            "cust_nation": cn[keep].astype("int64")})
+
+    orders = orders.map_batches(annotate, batch_format="pandas")
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        rev = np.floor(b["l_extendedprice"] * (1 - b["l_discount"]) * 100
+                       + 0.5).astype("int64")
+        return pd.DataFrame({"l_orderkey": b["l_orderkey"],
+                             "l_suppkey": b["l_suppkey"],
+                             "rev_cents": rev})
+
+    li = li.map_batches(cents, batch_format="pandas")
+
+    def nation_partial(merged: pd.DataFrame) -> pd.DataFrame:
+        if len(merged) == 0:
+            return pd.DataFrame({
+                "nationkey": pd.Series(dtype="int64"),
+                "revenue_cents": pd.Series(dtype="int64")})
+        smap = ray.get(supp_ref)
+        sn = merged["l_suppkey"].map(smap)
+        keep = sn.notna() & (sn == merged["cust_nation"])
+        g = merged[keep]
+        out = (pd.DataFrame({"nationkey": g["cust_nation"].astype("int64"),
+                             "revenue_cents": g["rev_cents"].astype("int64")})
+               .groupby("nationkey", as_index=False).sum())
+        return out.astype("int64")
+
+    partials = bucket_hash_join(li, orders, "l_orderkey", "o_orderkey",
+                                num_buckets=32,
+                                post=nation_partial).to_pandas()
+    if len(partials) == 0:
+        return pd.DataFrame({"n_name": pd.Series(dtype="object"),
+                             "revenue_cents": pd.Series(dtype="int64")})
+    out = partials.groupby("nationkey", as_index=False).sum()
+    out["n_name"] = out["nationkey"].map(nation_name)
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return (out[["n_name", "revenue_cents"]]
+            .sort_values(["revenue_cents", "n_name"],
+                         ascending=[False, True])
+            .reset_index(drop=True))

@@ -2165,3 +2165,42 @@ def test_events_hourly_anomaly_integer_predicate(tmp_path):
     n, s, q = len(c), int(c.sum()), int((c * c).sum())
     want = ((n * c - s) ** 2 > 4 * (n * q - s * s)).astype("int64")
     assert got["is_anomaly"].tolist() == want.tolist()
+
+
+def test_q5_local_supplier_volume_serial_equiv(tmp_path):
+    # tiny star schema where only (cust_nation == supp_nation) rows count
+    pd.DataFrame({"r_regionkey": [0, 1],
+                  "r_name": ["ASIA", "EUROPE"]}).to_parquet(
+        tmp_path / "region.parquet")
+    pd.DataFrame({"n_nationkey": [0, 1, 2],
+                  "n_name": ["JAPAN", "CHINA", "FRANCE"],
+                  "n_regionkey": [0, 0, 1]}).to_parquet(
+        tmp_path / "nation.parquet")
+    pd.DataFrame({"c_custkey": [10, 11, 12],
+                  "c_nationkey": [0, 1, 2]}).to_parquet(
+        tmp_path / "customer.parquet")
+    pd.DataFrame({"s_suppkey": [20, 21, 22],
+                  "s_nationkey": [0, 1, 2]}).to_parquet(
+        tmp_path / "supplier.parquet")
+    pd.DataFrame({
+        "o_orderkey": [1, 2, 3, 4],
+        "o_custkey": [10, 11, 12, 10],
+        "o_orderdate": pd.to_datetime(
+            ["1997-06-01", "1997-06-01", "1997-06-01",
+             "1996-01-01"])}).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame({
+        # order 1 (cust JAPAN): supp JAPAN (counts), supp CHINA (no)
+        # order 2 (cust CHINA): supp CHINA (counts)
+        # order 3 (cust FRANCE, EUROPE region): excluded entirely
+        # order 4: outside the date window
+        "l_orderkey": [1, 1, 2, 3, 4],
+        "l_suppkey": [20, 21, 21, 22, 20],
+        "l_extendedprice": [100.0, 50.0, 30.0, 99.0, 77.0],
+        "l_discount": [0.1, 0.0, 0.0, 0.0, 0.0]}).to_parquet(
+        tmp_path / "lineitem.parquet")
+
+    from raycrawl.ops.relational import q5_local_supplier_volume
+
+    got = q5_local_supplier_volume(str(tmp_path))
+    assert got["n_name"].tolist() == ["JAPAN", "CHINA"]
+    assert got["revenue_cents"].tolist() == [9000, 3000]
