@@ -139,7 +139,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "cluster_kmeans", "image_png_features", "image_jpeg_features",
              "warc_extract",
              "link_pagerank", "crawl_delta", "text_bpe_tokens",
-             "text_pack_sequences"]
+             "text_pack_sequences",
+             "dedup_edit_pairs", "link_bfs_depth", "docs_split_assign"]
     out = {}
     builds = {}
     entrymod.pop_build_sec()  # reset any ledger left by earlier phases
