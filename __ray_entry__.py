@@ -929,6 +929,23 @@ def _q_jaccard_pairs(sf_dir: str):
     return allpairs_jaccard_pairs(docs, threshold=0.5).to_pandas()
 
 
+def _q_dedup_containment_pairs(sf_dir: str):
+    """Set-containment near-dup join (|A∩B| / min(|A|,|B|) ≥ 0.8) — the
+    asymmetric quote/excerpt/superset relation, candidates via the
+    PPJoin-style smaller-prefix × larger-full-list filter (complete, no
+    recall contract), exactly verified; the oracle blocks on shared
+    shingles (complete for any t > 0) then applies the same division
+    (raycrawl/ops/dedup.py::containment_pairs)."""
+    import ray.data as rd
+
+    from raycrawl.ops.dedup import containment_pairs
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    out = containment_pairs(docs, threshold=0.8).to_pandas()
+    return (out.sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
 def _q_segment_dedup(sf_dir: str):
     """CCNet-style segment-level exact dedup: 10-word segments, corpus-wide
     first occurrence wins, docs reassembled (ops/dedup.py segment_dedup)."""
@@ -2552,6 +2569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_jaccard_pairs": _q_jaccard_pairs,
+        "dedup_containment_pairs": _q_dedup_containment_pairs,
         "dedup_segments": _q_segment_dedup,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_pairs": _q_simhash_pairs,
@@ -3534,6 +3552,27 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_pairs": (
             "WITH " + _BLOCKED_J_CTE +
             " SELECT id_a, id_b, jaccard_sim FROM j WHERE jaccard_sim >= 0.5"
+        ),
+        # containment: same shared-shingle blocking (complete for t>0),
+        # LEAST(size) denominator; mn=0 rows exist only for the
+        # empty-empty UNION branch (containment 1.0, engine convention)
+        "dedup_containment_pairs": (
+            "WITH " + _SH_CTE +
+            "g AS (SELECT doc_id, unnest(s) AS g FROM sh), "
+            "cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "  count(*) AS inter FROM g a JOIN g b ON a.g = b.g "
+            "  AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "sz AS (SELECT doc_id, len(s) AS n FROM sh), "
+            "p AS (SELECT c.id_a, c.id_b, c.inter, "
+            "  LEAST(sa.n, sb.n) AS mn "
+            "  FROM cand c JOIN sz sa ON sa.doc_id = c.id_a "
+            "  JOIN sz sb ON sb.doc_id = c.id_b "
+            "  UNION ALL SELECT a.doc_id, b.doc_id, 0, 0 "
+            "  FROM sz a JOIN sz b ON a.doc_id < b.doc_id "
+            "  WHERE a.n = 0 AND b.n = 0) "
+            "SELECT id_a, id_b, CASE WHEN mn = 0 THEN 1.0 "
+            "  ELSE CAST(inter AS DOUBLE) / mn END AS containment "
+            "FROM p WHERE mn = 0 OR CAST(inter AS DOUBLE) / mn >= 0.8"
         ),
         # CCNet paragraph-dedup semantics over 10-word segments: first
         # (doc_id, seg_idx) occurrence of each distinct segment survives,

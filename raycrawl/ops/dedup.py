@@ -351,6 +351,18 @@ def jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     return inter / union if union else 0.0
 
 
+def containment(text_a: str, text_b: str, n: int = 3) -> float:
+    """Max-directional set containment |A∩B| / min(|A|, |B|) over word
+    n-gram shingles — 1.0 when the smaller document's shingles are a
+    subset of the larger's (quote / excerpt / superset detection, which
+    symmetric Jaccard under-scores when sizes differ a lot)."""
+    sa, sb = _token_ngrams(text_a, n), _token_ngrams(text_b, n)
+    if not sa and not sb:
+        return 1.0
+    m = min(len(sa), len(sb))
+    return len(sa & sb) / m if m else 0.0
+
+
 _VERIFY_BROADCAST_LIMIT = 20_000  # candidate docs; above this a dict of
 # full texts no longer belongs in one object — switch to the bucket join
 
@@ -386,18 +398,23 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8, ngram: int = 3,
 
 def verify_jaccard_pairs(ds, cand, threshold: float, ngram: int = 3,
                          id_col: str = "doc_id", text_col: str = "text",
-                         verify: str = "auto"):
-    """Exact n-gram-Jaccard verification of candidate pairs, shared by the
-    MinHash-LSH and AllPairs prefix-filter front ends. ``cand`` must be a
-    MATERIALIZED dataset of (id_a, id_b) rows; returns (id_a, id_b,
-    jaccard_sim) rows with jaccard_sim ≥ threshold."""
+                         verify: str = "auto", metric: str = "jaccard"):
+    """Exact set-similarity verification of candidate pairs, shared by
+    the MinHash-LSH, AllPairs and containment front ends. ``cand`` must
+    be a MATERIALIZED dataset of (id_a, id_b) rows; returns (id_a, id_b,
+    <metric column>) rows with similarity ≥ threshold. ``metric``:
+    'jaccard' (column jaccard_sim) or 'containment' (column containment,
+    = |A∩B| / min(|A|, |B|))."""
     import ray
     import ray.data as rd
 
+    sim_fn = {"jaccard": jaccard, "containment": containment}[metric]
+    sim_col = {"jaccard": "jaccard_sim",
+               "containment": "containment"}[metric]
     n_pairs = cand.count()
     empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                           "id_b": pd.Series([], dtype="int64"),
-                          "jaccard_sim": pd.Series([], dtype="float64")})
+                          sim_col: pd.Series([], dtype="float64")})
     if n_pairs == 0:
         return rd.from_pandas(empty)
     if verify == "auto":
@@ -421,10 +438,10 @@ def verify_jaccard_pairs(ds, cand, threshold: float, ngram: int = 3,
         def score(batch: pd.DataFrame) -> pd.DataFrame:
             if len(batch) == 0:
                 return empty
-            sims = [jaccard(a or "", b or "", ngram)
+            sims = [sim_fn(a or "", b or "", ngram)
                     for a, b in zip(batch["__ta"], batch["__tb"])]
-            out = batch[["id_a", "id_b"]].assign(jaccard_sim=sims)
-            return out[out["jaccard_sim"] >= threshold]
+            out = batch[["id_a", "id_b"]].assign(**{sim_col: sims})
+            return out[out[sim_col] >= threshold]
 
         return j2.map_batches(score, batch_format="pandas")
 
@@ -442,10 +459,10 @@ def verify_jaccard_pairs(ds, cand, threshold: float, ngram: int = 3,
 
     def bverify(batch: pd.DataFrame) -> pd.DataFrame:
         tx = ray.get(texts_ref)
-        sims = [jaccard(tx.get(a, ""), tx.get(b, ""), ngram)
+        sims = [sim_fn(tx.get(a, ""), tx.get(b, ""), ngram)
                 for a, b in zip(batch["id_a"], batch["id_b"])]
-        batch = batch.assign(jaccard_sim=sims)
-        return batch[batch["jaccard_sim"] >= threshold]
+        batch = batch.assign(**{sim_col: sims})
+        return batch[batch[sim_col] >= threshold]
 
     return cand.map_batches(bverify, batch_format="pandas")
 
@@ -1724,3 +1741,149 @@ def edit_prefix_pairs(ds, k: int = 1, key_len: int = 24,
             "dist": dist[keep]})
 
     return partitioned_map_partitions(cand, ["doc_a", "doc_b"], verify)
+
+
+# ---------------------------------------------------------------------------
+# set-containment near-dup join (quote / excerpt / superset detection)
+# ---------------------------------------------------------------------------
+
+
+class ContainmentExplodeStage(PrefixStage):
+    """One-pass explode for the containment join: per doc emit its FULL
+    gram list (role 0 — the index side) AND its prefix grams again as
+    role 1 (the query side). Reuses ``PrefixStage``'s hot-gram total
+    order; shingles each text exactly once."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: D102
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(self.text_col).to_pylist()
+        out_grams, out_ids, out_sizes, out_roles = [], [], [], []
+        t = self.threshold
+        for doc_id, text in zip(ids, texts):
+            grams = _shingle_hashes_fast(text or "", self.ngram)
+            s = len(grams)
+            if s == 0:
+                # empty docs: sentinel gram in both roles (mutual
+                # containment 1.0 — jaccard()/containment() convention)
+                for role in (0, 1):
+                    out_grams.append(np.zeros(1, dtype=np.uint64))
+                    out_ids.append(np.full(1, doc_id, dtype=np.int64))
+                    out_sizes.append(np.zeros(1, dtype=np.int32))
+                    out_roles.append(np.full(1, role, dtype=np.int8))
+                continue
+            p = min(s, s - int(np.ceil(t * s - 1e-9)) + 1)
+            order = self._order_keys(grams)
+            pref = grams[np.argpartition(order, p - 1)[:p]] if p < s \
+                else grams
+            out_grams.extend([grams, pref])
+            out_ids.extend([np.full(s, doc_id, dtype=np.int64),
+                            np.full(p, doc_id, dtype=np.int64)])
+            out_sizes.extend([np.full(s, s, dtype=np.int32),
+                              np.full(p, s, dtype=np.int32)])
+            out_roles.extend([np.zeros(s, dtype=np.int8),
+                              np.ones(p, dtype=np.int8)])
+        if not out_grams:
+            return pa.table({"gram": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "size": pa.array([], pa.int32()),
+                             "role": pa.array([], pa.int8())})
+        return pa.table({
+            "gram": pa.array(np.concatenate(out_grams).view(np.int64)),
+            "doc_id": pa.array(np.concatenate(out_ids)),
+            "size": pa.array(np.concatenate(out_sizes)),
+            "role": pa.array(np.concatenate(out_roles)),
+        })
+
+
+def containment_pairs(ds, threshold: float = 0.8, ngram: int = 3,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      concurrency: int = 4, verify: str = "auto",
+                      hot_grams: int = 4096, sample_docs: int = 2000,
+                      n_parts: int = 256):
+    """EXACT verified containment pairs — (id_a, id_b, containment)
+    with |A∩B| / min(|A|, |B|) ≥ threshold: the asymmetric duplicate
+    relation (a page quoting most of another, a superset rewrite) that
+    symmetric Jaccard under-scores when sizes differ.
+
+    Candidate generation is the asymmetric prefix filter (the
+    PPJoin-family containment variant of ``PrefixStage``'s AllPairs
+    argument): if inter/min ≥ t, the SMALLER doc needs ≥ ⌈t·s_min⌉
+    shared shingles, more than fit in its suffix once its prefix of
+    ``s − ⌈t·s⌉ + 1`` rarest-ordered shingles is removed — so the
+    smaller doc's PREFIX must intersect the larger doc's FULL shingle
+    list. Both roles reuse ``PrefixStage`` (threshold=0 emits the full
+    list); grouping (prefix-row × full-row, size_prefix ≤ size_full)
+    per gram yields a guaranteed-complete candidate superset, exactly
+    verified afterward — no recall contract, same as the AllPairs path.
+
+    Shuffle shape: 16-byte (gram, id, size, role) rows in coarse hash
+    partitions, a vectorized per-partition merge, a pair-keyed dedup
+    stage, then :func:`verify_jaccard_pairs` with metric='containment'.
+    Both roles come out of ONE actor-pool pass (shingle once, emit full
+    list + prefix flag) — a second pool would both re-shingle the corpus
+    and, at small CPU counts, hold enough reserved actor CPUs to starve
+    the downstream shuffle. Full-role rows of boilerplate grams meet few
+    prefix rows (hot grams order to the END of every prefix), so
+    candidate volume stays near the true-pair count on template-heavy
+    web text."""
+    import ray
+    import ray.data as rd
+
+    hot = _sample_hot_grams(ds, text_col, ngram, sample_docs, hot_grams)
+    hot_ref = ray.put(hot) if hot else None
+
+    exploded = ds.map_batches(
+        ContainmentExplodeStage, batch_format="pyarrow",
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(threshold=threshold, ngram=ngram,
+                                   id_col=id_col, text_col=text_col,
+                                   hot_ref=hot_ref))
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        h = b["gram"].to_numpy().astype(np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            h = h * np.uint64(0x9E3779B97F4A7C15)
+        return b.assign(part=((h >> np.uint64(33)).astype(np.int64)
+                              % n_parts).astype("int32"))
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g[g.duplicated("gram", keep=False)]
+        out_empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                  "id_b": pd.Series(dtype="int64")})
+        if len(dup) == 0:
+            return out_empty
+        q = dup[dup["role"] == 1]
+        x = dup[dup["role"] == 0]
+        if len(q) == 0 or len(x) == 0:
+            return out_empty
+        m = q.merge(x, on="gram", suffixes=("_q", "_x"))
+        keep = ((m["size_q"] <= m["size_x"])
+                & (m["doc_id_q"] != m["doc_id_x"]))
+        m = m[keep]
+        if len(m) == 0:
+            return out_empty
+        a = m["doc_id_q"].to_numpy(np.int64)
+        b_ = m["doc_id_x"].to_numpy(np.int64)
+        return (pd.DataFrame({"id_a": np.minimum(a, b_),
+                              "id_b": np.maximum(a, b_)})
+                .drop_duplicates())
+
+    cand = (exploded.map_batches(add_part, batch_format="pandas")
+            .groupby("part").map_groups(pairs_part,
+                                        batch_format="pandas"))
+
+    def add_pair_part(b: pd.DataFrame) -> pd.DataFrame:
+        pp = (b["id_a"].to_numpy() * 1_000_003
+              + b["id_b"].to_numpy()) % 1024
+        return b.assign(pp=pp.astype("int32"))
+
+    def drop_dup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
+
+    cand = (cand.map_batches(add_pair_part, batch_format="pandas")
+            .groupby("pp").map_groups(drop_dup, batch_format="pandas")
+            .select_columns(["id_a", "id_b"])).materialize()
+    return verify_jaccard_pairs(ds, cand, threshold=threshold,
+                                ngram=ngram, id_col=id_col,
+                                text_col=text_col, verify=verify,
+                                metric="containment")

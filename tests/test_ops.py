@@ -2204,3 +2204,42 @@ def test_q5_local_supplier_volume_serial_equiv(tmp_path):
     got = q5_local_supplier_volume(str(tmp_path))
     assert got["n_name"].tolist() == ["JAPAN", "CHINA"]
     assert got["revenue_cents"].tolist() == [9000, 3000]
+
+
+def test_containment_pairs_matches_bruteforce():
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(3000)]
+    texts = []
+    for i in range(200):
+        n = int(rng.integers(8, 60))
+        texts.append(" ".join(rng.choice(vocab, n)))
+        if i % 7 == 3:  # plant an excerpt (high one-way containment)
+            toks = texts[-1].split()
+            texts.append(" ".join(toks[:max(4, int(len(toks) * 0.9))]))
+    docs = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                         "text": texts})
+
+    from raycrawl.ops.dedup import containment, containment_pairs
+
+    got = (containment_pairs(rd.from_pandas(docs), threshold=0.8)
+           .to_pandas().sort_values(["id_a", "id_b"])
+           .reset_index(drop=True))
+    want = pd.DataFrame(
+        [(i, j, containment(texts[i], texts[j], 3))
+         for i in range(len(texts)) for j in range(i + 1, len(texts))
+         if containment(texts[i], texts[j], 3) >= 0.8],
+        columns=["id_a", "id_b", "containment"]).astype(
+        {"id_a": "int64", "id_b": "int64"})
+    assert len(want) > 10  # fixture really plants excerpt pairs
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_containment_asymmetric_vs_jaccard():
+    from raycrawl.ops.dedup import containment, jaccard
+
+    big = " ".join(f"w{i}" for i in range(100))
+    small = " ".join(f"w{i}" for i in range(20))  # strict prefix subset
+    assert containment(big, small, 3) == 1.0
+    assert jaccard(big, small, 3) < 0.25
+    assert containment("", "", 3) == 1.0
+    assert containment("", big, 3) == 0.0
