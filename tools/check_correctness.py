@@ -40,7 +40,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # names may be space- or comma-separated; a bare "--only" flag is
+    # tolerated (ignored) — and any name that matches NO query is a hard
+    # error, so a typo can never produce a vacuous "all checks passed"
+    only = {n for a in sys.argv[2:] for n in a.split(",")
+            if n and n != "--only"}
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
@@ -56,6 +60,10 @@ def main() -> None:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"FAIL  unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
