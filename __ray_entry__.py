@@ -1956,6 +1956,17 @@ def _q_events_hourly_anomaly(sf_dir: str):
     return events_hourly_anomaly(sf_dir)
 
 
+def _q_events_value_winsorize(sf_dir: str):
+    """P1/P99 winsorize: thresholds are exact distributed order
+    statistics (two-pass selection, O(n_bins) driver — no global sort),
+    broadcast + one vectorized clip; the oracle replays the integer
+    idx = (q_num·(n−1)) // q_den convention
+    (raycrawl/ops/relational.py)."""
+    from raycrawl.ops.relational import events_value_winsorize
+
+    return events_value_winsorize(sf_dir)
+
+
 def _q_events_user_top_type(sf_dir: str):
     """Grouped MODE — each user's most frequent event_type (ties →
     lexicographically smallest), exact per user-hash partition
@@ -2622,6 +2633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_window": _q_events_moving_window,
         "events_trailing_1h": _q_events_trailing_1h,
         "events_hourly_anomaly": _q_events_hourly_anomaly,
+        "events_value_winsorize": _q_events_value_winsorize,
         "customer_segment_cube": _q_customer_segment_cube,
         "events_user_top_type": _q_events_user_top_type,
         "events_daily_pivot": _q_events_daily_pivot,
@@ -3944,6 +3956,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
             "  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+        ),
+        # winsorize thresholds at the module's exact integer-fraction
+        # order statistic; LEAST/GREATEST is the clip
+        "events_value_winsorize": (
+            "WITH v AS (SELECT event_id, "
+            "  CAST(floor(value * 1000 + 0.5) AS BIGINT) AS m "
+            "  FROM events), "
+            "n AS (SELECT count(*) AS n FROM v), "
+            "r AS (SELECT m, row_number() OVER (ORDER BY m) - 1 AS idx "
+            "  FROM v), "
+            "t AS (SELECT "
+            "  max(CASE WHEN r.idx = (1 * (n.n - 1)) // 100 "
+            "    THEN m END) AS lo, "
+            "  max(CASE WHEN r.idx = (99 * (n.n - 1)) // 100 "
+            "    THEN m END) AS hi FROM r CROSS JOIN n) "
+            "SELECT event_id, m AS value_millis, "
+            "CAST(LEAST(GREATEST(m, t.lo), t.hi) AS BIGINT) "
+            "  AS value_winsorized_millis FROM v, t"
         ),
         # z-score test with divisions cleared: HUGEINT keeps the
         # squared deviations exact at any count magnitude

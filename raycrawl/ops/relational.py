@@ -1699,3 +1699,41 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
             .sort_values(["revenue_cents", "n_name"],
                          ascending=[False, True])
             .reset_index(drop=True))
+
+
+def events_value_winsorize(sf_dir: str) -> pd.DataFrame:
+    """Winsorization — clip every event's value to the corpus's exact
+    [P1, P99] band (outlier taming before training-feature export).
+    Thresholds are EXACT distributed order statistics at
+    idx = (q_num·(n−1)) // q_den (the module's integer-fraction
+    quantile convention, replayed verbatim by the oracle), computed by
+    :func:`raycrawl.ops.sketch.exact_quantile_selection` — two
+    streaming passes, O(n_bins) driver memory, never a global sort —
+    then broadcast, and the clip itself is one vectorized map."""
+    from .sketch import exact_quantile_selection
+
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+
+    def millis(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": b["event_id"].astype("int64"),
+            "value_millis": np.floor(
+                b["value"] * 1000 + 0.5).astype("int64")})
+
+    vm = ev.map_batches(millis, batch_format="pandas").materialize()
+    qs = exact_quantile_selection(vm, "value_millis",
+                                  [(1, 100), (99, 100)])
+    qmap = {(int(a), int(b)): int(v) for a, b, v in
+            zip(qs["q_num"], qs["q_den"], qs["quantile_value"])}
+    lo, hi = qmap[(1, 100)], qmap[(99, 100)]
+
+    def clip(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["value_millis"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "event_id": b["event_id"],
+            "value_millis": m,
+            "value_winsorized_millis": np.clip(m, lo, hi)})
+
+    out = vm.map_batches(clip, batch_format="pandas").to_pandas()
+    out = out.astype({c: "int64" for c in out.columns})
+    return out.sort_values("event_id").reset_index(drop=True)

@@ -2243,3 +2243,24 @@ def test_containment_asymmetric_vs_jaccard():
     assert jaccard(big, small, 3) < 0.25
     assert containment("", "", 3) == 1.0
     assert containment("", big, 3) == 0.0
+
+
+def test_events_value_winsorize_exact_thresholds(tmp_path):
+    # values 0..999 -> with n=1000, idx_lo = (999)//100 = 9,
+    # idx_hi = (99*999)//100 = 989 -> clip band [9, 989] (millis x1000)
+    ev = pd.DataFrame({
+        "event_id": np.arange(1000, dtype=np.int64),
+        "user_id": np.int64(1),
+        "ts": pd.date_range("2025-01-01", periods=1000, freq="min"),
+        "value": np.arange(1000, dtype=np.float64)})
+    ev.to_parquet(tmp_path / "events.parquet")
+
+    from raycrawl.ops.relational import events_value_winsorize
+
+    got = events_value_winsorize(str(tmp_path)).set_index("event_id")
+    assert got.loc[0, "value_winsorized_millis"] == 9 * 1000
+    assert got.loc[9, "value_winsorized_millis"] == 9 * 1000
+    assert got.loc[10, "value_winsorized_millis"] == 10 * 1000
+    assert got.loc[989, "value_winsorized_millis"] == 989 * 1000
+    assert got.loc[999, "value_winsorized_millis"] == 989 * 1000
+    assert (got["value_millis"] == got.index * 1000).all()
