@@ -1956,6 +1956,16 @@ def _q_events_hourly_anomaly(sf_dir: str):
     return events_hourly_anomaly(sf_dir)
 
 
+def _q_events_daily_active(sf_dir: str):
+    """Exact DAU — grouped COUNT(DISTINCT): map-side (day, user) dedup
+    combiner, one user-hash shuffle (per-partition distinct is globally
+    exact — users disjoint), calendar-bounded driver fold
+    (raycrawl/ops/relational.py)."""
+    from raycrawl.ops.relational import events_daily_active
+
+    return events_daily_active(sf_dir)
+
+
 def _q_events_value_winsorize(sf_dir: str):
     """P1/P99 winsorize: thresholds are exact distributed order
     statistics (two-pass selection, O(n_bins) driver — no global sort),
@@ -2634,6 +2644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trailing_1h": _q_events_trailing_1h,
         "events_hourly_anomaly": _q_events_hourly_anomaly,
         "events_value_winsorize": _q_events_value_winsorize,
+        "events_daily_active": _q_events_daily_active,
         "customer_segment_cube": _q_customer_segment_cube,
         "events_user_top_type": _q_events_user_top_type,
         "events_daily_pivot": _q_events_daily_pivot,
@@ -3956,6 +3967,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
             "  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+        ),
+        "events_daily_active": (
+            "SELECT date_trunc('day', ts) AS day, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY 1"
         ),
         # winsorize thresholds at the module's exact integer-fraction
         # order statistic; LEAST/GREATEST is the clip

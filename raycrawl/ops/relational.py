@@ -1737,3 +1737,43 @@ def events_value_winsorize(sf_dir: str) -> pd.DataFrame:
     out = vm.map_batches(clip, batch_format="pandas").to_pandas()
     out = out.astype({c: "int64" for c in out.columns})
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def events_daily_active(sf_dir: str) -> pd.DataFrame:
+    """Exact COUNT(DISTINCT user) per day (DAU) — the canonical grouped
+    distinct aggregate, and the exact sibling of the HLL path in
+    :mod:`raycrawl.ops.sketch` (use HLL when ±1.6% suffices; this when
+    the number must be exact).
+
+    Distributed shape: a map-side combiner first shrinks each batch to
+    its distinct (day, user) rows (bounded by the batch's own
+    cardinality — the classic pre-shuffle dedup), then ONE user-hash
+    shuffle co-locates every user's rows so a per-partition
+    drop_duplicates is globally exact (users are disjoint across
+    partitions); per-day partial counts fold on the driver over a
+    calendar-bounded key space. No per-day Ray groups, no global
+    distinct materialization."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"].astype("int64"),
+            "day": b["ts"].dt.floor("D")}).drop_duplicates()
+
+    pairs = ev.map_batches(combine, batch_format="pandas")
+
+    def part_counts(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["day", "user_id"])
+        return (d.groupby("day", as_index=False).size()
+                .rename(columns={"size": "n_users"}))
+
+    parts = partitioned_map_partitions(pairs, "user_id", part_counts)
+    chunks = [b for b in parts.iter_batches(batch_format="pandas",
+                                            batch_size=None) if len(b)]
+    if not chunks:
+        return pd.DataFrame({"day": pd.Series(dtype="datetime64[us]"),
+                             "n_users": pd.Series(dtype="int64")})
+    out = (pd.concat(chunks, ignore_index=True)
+           .groupby("day", as_index=False)["n_users"].sum())
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("day").reset_index(drop=True)

@@ -2264,3 +2264,22 @@ def test_events_value_winsorize_exact_thresholds(tmp_path):
     assert got.loc[989, "value_winsorized_millis"] == 989 * 1000
     assert got.loc[999, "value_winsorized_millis"] == 989 * 1000
     assert (got["value_millis"] == got.index * 1000).all()
+
+
+def test_events_daily_active_exact_distinct(tmp_path):
+    # user 1 appears twice on day 1 (counts once); user 2 spans days
+    ev = pd.DataFrame({
+        "event_id": np.arange(5, dtype=np.int64),
+        "user_id": np.array([1, 1, 2, 2, 3], dtype=np.int64),
+        "ts": pd.to_datetime(["2025-01-01 01:00", "2025-01-01 23:00",
+                              "2025-01-01 12:00", "2025-01-02 00:00",
+                              "2025-01-02 05:00"]),
+        "value": 1.0})
+    ev.to_parquet(tmp_path / "events.parquet")
+
+    from raycrawl.ops.relational import events_daily_active
+
+    got = events_daily_active(str(tmp_path))
+    assert got["day"].tolist() == [pd.Timestamp("2025-01-01"),
+                                   pd.Timestamp("2025-01-02")]
+    assert got["n_users"].tolist() == [2, 2]
