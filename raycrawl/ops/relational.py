@@ -1413,25 +1413,34 @@ def events_moving_window(sf_dir: str, frame: int = 3) -> pd.DataFrame:
     burst detection.
 
     Distributed shape: ONE user-hash shuffle; inside each partition the
-    kernel is whole-partition vectorized — one mergesort, one cumsum,
-    one groupby().shift(frame): frame_sum = cumsum − cumsum.shift(frame)
-    (per user), so cost is O(rows) regardless of frame width. Integer
-    millis keep the subtraction exact (no float cancellation)."""
+    kernel is whole-partition vectorized in pure positional numpy — one
+    mergesort, one global cumsum, then frame_sum = cs[i] − cs[max(i −
+    frame, user_start − 1)] (the lag position clamps at the user
+    boundary, so no per-group pandas dispatch — a 1M-group
+    groupby().shift costs ~2× this whole kernel). O(rows) regardless of
+    frame width; integer millis keep the subtraction exact."""
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
     def win_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"],
-                          kind="mergesort").copy()
-        g["value_millis"] = np.floor(
-            g["value"] * 1000 + 0.5).astype("int64")
-        grp = g.groupby("user_id", sort=False)
-        g["__c"] = grp["value_millis"].cumsum()
-        g["__i"] = grp.cumcount()
-        grp2 = g.groupby("user_id", sort=False)
-        lagged = grp2["__c"].shift(frame).fillna(0).astype("int64")
-        g["win_value_millis"] = (g["__c"] - lagged).astype("int64")
-        g["win_n"] = np.minimum(g["__i"] + 1, frame).astype("int64")
-        return g[["event_id", "user_id", "win_n", "win_value_millis"]]
+                          kind="mergesort")
+        vm = np.floor(g["value"] * 1000 + 0.5).astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy(np.int64)
+        n_rows = len(g)
+        i = np.arange(n_rows, dtype=np.int64)
+        newu = np.ones(n_rows, dtype=bool)
+        if n_rows > 1:
+            newu[1:] = uid[1:] != uid[:-1]
+        ustart = np.where(newu, i, 0)
+        np.maximum.accumulate(ustart, out=ustart)
+        cs = np.cumsum(vm)
+        lag = np.maximum(i - frame, ustart - 1)
+        sub = np.where(lag >= 0, cs[np.maximum(lag, 0)], 0)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "user_id": uid,
+            "win_n": np.minimum(i - ustart + 1, frame),
+            "win_value_millis": cs - sub})
 
     out = partitioned_map_partitions(ev, "user_id", win_part).to_pandas()
     out = out.astype({c: "int64" for c in out.columns})
