@@ -1966,6 +1966,18 @@ def _q_events_daily_active(sf_dir: str):
     return events_daily_active(sf_dir)
 
 
+def _q_events_weekly_active(sf_dir: str):
+    """Rolling 7-day distinct actives (WAU per day) — the windowed
+    COUNT(DISTINCT) no window function computes: each distinct (user,
+    day) pair explodes to its ≤7 covered report days (bounded
+    amplification converts the sliding distinct into a grouped
+    distinct), deduped inside user partitions
+    (raycrawl/ops/relational.py)."""
+    from raycrawl.ops.relational import events_weekly_active
+
+    return events_weekly_active(sf_dir)
+
+
 def _q_events_value_winsorize(sf_dir: str):
     """P1/P99 winsorize: thresholds are exact distributed order
     statistics (two-pass selection, O(n_bins) driver — no global sort),
@@ -2645,6 +2657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_anomaly": _q_events_hourly_anomaly,
         "events_value_winsorize": _q_events_value_winsorize,
         "events_daily_active": _q_events_daily_active,
+        "events_weekly_active": _q_events_weekly_active,
         "customer_segment_cube": _q_customer_segment_cube,
         "events_user_top_type": _q_events_user_top_type,
         "events_daily_pivot": _q_events_daily_pivot,
@@ -3972,6 +3985,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT date_trunc('day', ts) AS day, "
             "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
             "FROM events GROUP BY 1"
+        ),
+        # sliding 7-day distinct: the day×activity interval join is the
+        # oracle's direct statement of the window-as-union semantics
+        "events_weekly_active": (
+            "WITH au AS (SELECT DISTINCT user_id, "
+            "  date_trunc('day', ts) AS day FROM events), "
+            "days AS (SELECT DISTINCT day FROM au) "
+            "SELECT d.day, CAST(count(DISTINCT a.user_id) AS BIGINT) "
+            "  AS n_users FROM days d JOIN au a "
+            "  ON a.day BETWEEN d.day - INTERVAL 6 DAY AND d.day "
+            "GROUP BY 1"
         ),
         # winsorize thresholds at the module's exact integer-fraction
         # order statistic; LEAST/GREATEST is the clip

@@ -1786,3 +1786,60 @@ def events_daily_active(sf_dir: str) -> pd.DataFrame:
            .groupby("day", as_index=False)["n_users"].sum())
     out["n_users"] = out["n_users"].astype("int64")
     return out.sort_values("day").reset_index(drop=True)
+
+
+def events_weekly_active(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
+    """Rolling 7-day distinct actives per day (WAU) — the windowed
+    COUNT(DISTINCT) primitive, which no plain window function computes
+    (DISTINCT isn't frame-decomposable): for every day with events,
+    the number of distinct users active in [day−6, day].
+
+    Distributed shape: distinct (user, active_day) pairs (map-side
+    combiner + the user-hash shuffle of :func:`events_daily_active`),
+    then each pair EXPLODES to its ≤``window_days`` covered report days
+    — a bounded ×7 amplification that converts the sliding distinct
+    into a plain grouped distinct (the classic window-as-union-of-
+    contributions trick) — deduped per (user, report_day) inside the
+    same user partition (still exact: users disjoint), folded to
+    calendar-bounded per-day counts on the driver, and clipped to days
+    that actually have events (the oracle's day list)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"].astype("int64"),
+            "day": b["ts"].dt.floor("D")}).drop_duplicates()
+
+    pairs = ev.map_batches(combine, batch_format="pandas").materialize()
+
+    def part_counts(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["day", "user_id"])
+        uid = np.repeat(d["user_id"].to_numpy(np.int64), window_days)
+        rep = (np.repeat(d["day"].to_numpy("datetime64[D]"), window_days)
+               + np.tile(np.arange(window_days, dtype="timedelta64[D]"),
+                         len(d)))
+        cov = pd.DataFrame({"user_id": uid,
+                            "report_day": pd.to_datetime(rep)}
+                           ).drop_duplicates()
+        return (cov.groupby("report_day", as_index=False).size()
+                .rename(columns={"size": "n_users"}))
+
+    parts = partitioned_map_partitions(pairs, "user_id", part_counts)
+    chunks = [b for b in parts.iter_batches(batch_format="pandas",
+                                            batch_size=None) if len(b)]
+    if not chunks:
+        return pd.DataFrame({"day": pd.Series(dtype="datetime64[us]"),
+                             "n_users": pd.Series(dtype="int64")})
+    out = (pd.concat(chunks, ignore_index=True)
+           .groupby("report_day", as_index=False)["n_users"].sum()
+           .rename(columns={"report_day": "day"}))
+    # clip to days that actually have events (trailing ghost days from
+    # the explode carry activity but no report anchor)
+    have = set()
+    for b in pairs.iter_batches(batch_format="pandas", batch_size=None):
+        if len(b):
+            have.update(pd.to_datetime(b["day"]).unique())
+    out = out[pd.to_datetime(out["day"]).isin(have)]
+    out["day"] = pd.to_datetime(out["day"]).astype("datetime64[us]")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("day").reset_index(drop=True)

@@ -2283,3 +2283,27 @@ def test_events_daily_active_exact_distinct(tmp_path):
     assert got["day"].tolist() == [pd.Timestamp("2025-01-01"),
                                    pd.Timestamp("2025-01-02")]
     assert got["n_users"].tolist() == [2, 2]
+
+
+def test_events_weekly_active_sliding_distinct(tmp_path):
+    # user 1 active days 1 and 3 (counts once for any window covering
+    # both); user 2 only day 1; user 3 only day 10 (window break)
+    ev = pd.DataFrame({
+        "event_id": np.arange(5, dtype=np.int64),
+        "user_id": np.array([1, 1, 1, 2, 3], dtype=np.int64),
+        "ts": pd.to_datetime(["2025-01-01 01:00", "2025-01-03 05:00",
+                              "2025-01-03 09:00", "2025-01-01 12:00",
+                              "2025-01-10 00:00"]),
+        "value": 1.0})
+    ev.to_parquet(tmp_path / "events.parquet")
+
+    from raycrawl.ops.relational import events_weekly_active
+
+    got = events_weekly_active(str(tmp_path)).set_index("day")
+    assert got.loc[pd.Timestamp("2025-01-01"), "n_users"] == 2
+    # window [2024-12-28, 2025-01-03]: users 1 (deduped), 2
+    assert got.loc[pd.Timestamp("2025-01-03"), "n_users"] == 2
+    # day 10 window reaches back to day 4 only: user 3 alone
+    assert got.loc[pd.Timestamp("2025-01-10"), "n_users"] == 1
+    # only event days are reported (no ghost days 4..9)
+    assert len(got) == 3
