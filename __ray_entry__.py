@@ -1956,6 +1956,25 @@ def _q_events_hourly_anomaly(sf_dir: str):
     return events_hourly_anomaly(sf_dir)
 
 
+def _q_events_type_transitions(sf_dir: str):
+    """First-order Markov transition counts (prev_type → type, 'START'
+    sentinel at user boundaries) — one user-hash shuffle, driver fold
+    bounded by |types|² (raycrawl/ops/relational.py)."""
+    from raycrawl.ops.relational import events_type_transitions
+
+    return events_type_transitions(sf_dir)
+
+
+def _q_events_user_gap_median(sf_dir: str):
+    """Per-user lower-median inter-event gap in whole seconds — one
+    shuffle, whole-partition vectorized run-boundary median (zero
+    per-user Python); oracle replays idx = (n−1)//2
+    (raycrawl/ops/relational.py)."""
+    from raycrawl.ops.relational import events_user_gap_median
+
+    return events_user_gap_median(sf_dir)
+
+
 def _q_events_daily_active(sf_dir: str):
     """Exact DAU — grouped COUNT(DISTINCT): map-side (day, user) dedup
     combiner, one user-hash shuffle (per-partition distinct is globally
@@ -2658,6 +2677,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_winsorize": _q_events_value_winsorize,
         "events_daily_active": _q_events_daily_active,
         "events_weekly_active": _q_events_weekly_active,
+        "events_type_transitions": _q_events_type_transitions,
+        "events_user_gap_median": _q_events_user_gap_median,
         "customer_segment_cube": _q_customer_segment_cube,
         "events_user_top_type": _q_events_user_top_type,
         "events_daily_pivot": _q_events_daily_pivot,
@@ -3996,6 +4017,30 @@ def oracle_sql() -> dict[str, str]:
             "  AS n_users FROM days d JOIN au a "
             "  ON a.day BETWEEN d.day - INTERVAL 6 DAY AND d.day "
             "GROUP BY 1"
+        ),
+        "events_type_transitions": (
+            "WITH w AS (SELECT user_id, event_type, "
+            "  COALESCE(LAG(event_type) OVER (PARTITION BY user_id "
+            "    ORDER BY ts, event_id), 'START') AS prev_type "
+            "  FROM events) "
+            "SELECT prev_type, event_type, "
+            "CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1, 2"
+        ),
+        # lower discrete median: the unique row at idx = (n-1)//2 of
+        # each user's gap order (ties share the value, so tie order
+        # cannot change the answer)
+        "events_user_gap_median": (
+            "WITH g AS (SELECT user_id, "
+            "  (epoch_us(ts) - epoch_us(LAG(ts) OVER ("
+            "    PARTITION BY user_id ORDER BY ts, event_id))) "
+            "    // 1000000 AS gap FROM events), "
+            "d AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL), "
+            "r AS (SELECT user_id, gap, "
+            "  row_number() OVER (PARTITION BY user_id ORDER BY gap) "
+            "    - 1 AS idx, "
+            "  count(*) OVER (PARTITION BY user_id) AS n FROM d) "
+            "SELECT user_id, CAST(gap AS BIGINT) AS median_gap_sec "
+            "FROM r WHERE idx = (n - 1) // 2"
         ),
         # winsorize thresholds at the module's exact integer-fraction
         # order statistic; LEAST/GREATEST is the clip

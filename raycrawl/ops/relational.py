@@ -1843,3 +1843,93 @@ def events_weekly_active(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
     out["day"] = pd.to_datetime(out["day"]).astype("datetime64[us]")
     out["n_users"] = out["n_users"].astype("int64")
     return out.sort_values("day").reset_index(drop=True)
+
+
+def events_type_transitions(sf_dir: str) -> pd.DataFrame:
+    """Event-type transition counts — the first-order Markov matrix
+    (prev_type → type, count over every consecutive pair within each
+    user's (ts, event_id) order; 'START' for each user's first event).
+    The session-flow / behavioral-model fitting primitive.
+
+    Distributed shape: ONE user-hash shuffle; inside each partition one
+    mergesort + one positional shift (user boundary → 'START'), then a
+    (prev, cur) C-groupby partial; the driver folds partials over a key
+    space bounded by |types|² + |types| — independent of corpus size."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def trans_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        cur = g["event_type"].to_numpy(dtype=object)
+        if len(g) == 0:
+            return pd.DataFrame({"prev_type": pd.Series(dtype="object"),
+                                 "event_type": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        prev = np.empty_like(cur)
+        prev[0] = "START"
+        if len(g) > 1:
+            prev[1:] = np.where(uid[1:] == uid[:-1], cur[:-1], "START")
+        return (pd.DataFrame({"prev_type": prev, "event_type": cur})
+                .groupby(["prev_type", "event_type"], as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    parts = partitioned_map_partitions(ev, "user_id", trans_part)
+    chunks = [b for b in parts.iter_batches(batch_format="pandas",
+                                            batch_size=None) if len(b)]
+    if not chunks:
+        return pd.DataFrame({"prev_type": pd.Series(dtype="object"),
+                             "event_type": pd.Series(dtype="object"),
+                             "n": pd.Series(dtype="int64")})
+    out = (pd.concat(chunks, ignore_index=True)
+           .groupby(["prev_type", "event_type"], as_index=False)["n"]
+           .sum())
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["prev_type", "event_type"])
+               .reset_index(drop=True))
+
+
+def events_user_gap_median(sf_dir: str) -> pd.DataFrame:
+    """Per-user median inter-event gap (seconds, lower discrete median
+    — order statistic at (n_gaps−1)//2, the module's integer-fraction
+    convention) for users with ≥ 2 events: the engagement-cadence
+    feature.
+
+    Distributed shape: ONE user-hash shuffle; inside each partition the
+    kernel is whole-partition vectorized — one (user, ts, event_id)
+    mergesort, positional diffs with user-boundary masking, ONE
+    (user, gap) lexsort, and the per-user median read off at
+    start_offset + (count−1)//2 via run boundaries — zero per-user
+    Python."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def med_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy("datetime64[us]").astype("int64")
+        if len(g) < 2:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "median_gap_sec": pd.Series(dtype="int64")})
+        same = uid[1:] == uid[:-1]
+        gu = uid[1:][same]
+        gap = ((ts[1:] - ts[:-1])[same]) // 1_000_000  # whole seconds
+        if len(gu) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "median_gap_sec": pd.Series(dtype="int64")})
+        order = np.lexsort((gap, gu))
+        gu, gap = gu[order], gap[order]
+        newu = np.ones(len(gu), dtype=bool)
+        newu[1:] = gu[1:] != gu[:-1]
+        starts = np.flatnonzero(newu)
+        ends = np.append(starts[1:], len(gu))
+        med_idx = starts + (ends - starts - 1) // 2
+        return pd.DataFrame({"user_id": gu[starts],
+                             "median_gap_sec": gap[med_idx]})
+
+    out = partitioned_map_partitions(ev, "user_id", med_part).to_pandas()
+    out = out.astype({"user_id": "int64", "median_gap_sec": "int64"})
+    return out.sort_values("user_id").reset_index(drop=True)

@@ -2307,3 +2307,46 @@ def test_events_weekly_active_sliding_distinct(tmp_path):
     assert got.loc[pd.Timestamp("2025-01-10"), "n_users"] == 1
     # only event days are reported (no ghost days 4..9)
     assert len(got) == 3
+
+
+def test_events_type_transitions_start_sentinel(tmp_path):
+    ev = pd.DataFrame({
+        "event_id": np.arange(5, dtype=np.int64),
+        "user_id": np.array([1, 1, 1, 2, 2], dtype=np.int64),
+        "ts": pd.date_range("2025-01-01", periods=5, freq="min"),
+        "event_type": ["view", "click", "view", "view", "view"],
+        "value": 1.0})
+    ev.to_parquet(tmp_path / "events.parquet")
+
+    from raycrawl.ops.relational import events_type_transitions
+
+    got = events_type_transitions(str(tmp_path)).set_index(
+        ["prev_type", "event_type"])["n"]
+    assert got[("START", "view")] == 2     # both users' first events
+    assert got[("view", "click")] == 1
+    assert got[("click", "view")] == 1
+    assert got[("view", "view")] == 1      # user 2's second event
+    assert got.sum() == 5
+
+
+def test_events_user_gap_median_lower_median(tmp_path):
+    # user 1 gaps: [60, 120, 600] -> lower median 120
+    # user 2 gaps: [30, 90]       -> lower median 30 (even count)
+    # user 3 has one event        -> excluded
+    ev = pd.DataFrame({
+        "event_id": np.arange(8, dtype=np.int64),
+        "user_id": np.array([1, 1, 1, 1, 2, 2, 2, 3], dtype=np.int64),
+        "ts": pd.to_datetime([
+            "2025-01-01 00:00:00", "2025-01-01 00:01:00",
+            "2025-01-01 00:03:00", "2025-01-01 00:13:00",
+            "2025-01-01 00:00:00", "2025-01-01 00:00:30",
+            "2025-01-01 00:02:00", "2025-01-01 00:00:00"]),
+        "value": 1.0})
+    ev.to_parquet(tmp_path / "events.parquet")
+
+    from raycrawl.ops.relational import events_user_gap_median
+
+    got = events_user_gap_median(str(tmp_path)).set_index("user_id")
+    assert got.loc[1, "median_gap_sec"] == 120
+    assert got.loc[2, "median_gap_sec"] == 30
+    assert 3 not in got.index
