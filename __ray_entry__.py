@@ -1975,6 +1975,30 @@ def _q_events_user_gap_median(sf_dir: str):
     return events_user_gap_median(sf_dir)
 
 
+def _q_events_daily_approx_users(sf_dir: str):
+    """Per-day HLL approximate distinct users — the grouped mergeable-
+    sketch path (16 KB registers per group per batch instead of
+    shuffling every (day, user) pair); md5-keyed registers and the
+    exact-integer harmonic sum make the per-day estimates bit-exactly
+    SQL-recomputable (raycrawl/ops/sketch.py::grouped_approx_distinct)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raycrawl.ops.sketch import grouped_approx_distinct
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+
+    def day(b: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({"day": b["ts"].dt.floor("D"),
+                             "user_id": b["user_id"]})
+
+    out = grouped_approx_distinct(
+        ev.map_batches(day, batch_format="pandas"), "day", "user_id")
+    out = out.rename(columns={"approx_distinct": "approx_users"})
+    return out.sort_values("day").reset_index(drop=True)
+
+
 def _q_events_daily_active(sf_dir: str):
     """Exact DAU — grouped COUNT(DISTINCT): map-side (day, user) dedup
     combiner, one user-hash shuffle (per-partition distinct is globally
@@ -2676,6 +2700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_anomaly": _q_events_hourly_anomaly,
         "events_value_winsorize": _q_events_value_winsorize,
         "events_daily_active": _q_events_daily_active,
+        "events_daily_approx_users": _q_events_daily_approx_users,
         "events_weekly_active": _q_events_weekly_active,
         "events_type_transitions": _q_events_type_transitions,
         "events_user_gap_median": _q_events_user_gap_median,
@@ -4006,6 +4031,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT date_trunc('day', ts) AS day, "
             "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
             "FROM events GROUP BY 1"
+        ),
+        # per-day HLL, bit-exact: the approx_distinct_orders register
+        # arithmetic with GROUP BY day threaded through every level
+        "events_daily_approx_users": (
+            "WITH h AS (SELECT DISTINCT date_trunc('day', ts) AS day, "
+            "  ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,16))"
+            "::UBIGINT AS hv FROM events), "
+            "b AS (SELECT day, hv >> 50 AS bucket, "
+            "  hv & 1125899906842623::UBIGINT AS low FROM h), "
+            "r AS (SELECT day, bucket, max(CASE WHEN low = 0::UBIGINT "
+            "  THEN 51 ELSE 51 - length(bin(low)) END) AS reg "
+            "  FROM b GROUP BY day, bucket), "
+            "s AS (SELECT day, sum((1::HUGEINT << (51 - reg))) "
+            "  AS s_present, count(*) AS n_present FROM r GROUP BY day), "
+            "e AS (SELECT day, CAST(s_present + (16384 - n_present) * "
+            "  (1::HUGEINT << 51) AS DOUBLE) / 2251799813685248.0 "
+            "  AS denom, 16384 - n_present AS v FROM s), "
+            "est AS (SELECT day, 0.7213/(1.0 + 1.079/16384.0)"
+            "*16384.0*16384.0/denom AS raw, v FROM e) "
+            "SELECT day, CAST(floor((CASE WHEN raw <= 2.5*16384.0 "
+            "  AND v > 0 THEN 16384.0 * ln(16384.0 / v) ELSE raw END) "
+            "  + 0.5) AS BIGINT) AS approx_users FROM est"
         ),
         # sliding 7-day distinct: the day×activity interval join is the
         # oracle's direct statement of the window-as-union semantics

@@ -2350,3 +2350,25 @@ def test_events_user_gap_median_lower_median(tmp_path):
     assert got.loc[1, "median_gap_sec"] == 120
     assert got.loc[2, "median_gap_sec"] == 30
     assert 3 not in got.index
+
+
+def test_grouped_approx_distinct_merge_invariance():
+    from raycrawl.ops.sketch import HyperLogLog, grouped_approx_distinct
+
+    rng = np.random.default_rng(4)
+    n = 20000
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], n),
+        "v": rng.integers(0, 5000, n)})
+    # small batches force many per-group partial sketches to merge
+    got = grouped_approx_distinct(rd.from_pandas(df), "g", "v",
+                                  batch_size=512).set_index("g")
+    # reference: one serial sketch per group (merge-order invariance)
+    import math
+    for g, sub in df.groupby("g"):
+        h = HyperLogLog(14)
+        h.add_values(sub["v"].tolist())
+        want = int(math.floor(h.estimate() + 0.5))
+        assert got.loc[g, "approx_distinct"] == want
+        true = sub["v"].nunique()
+        assert abs(got.loc[g, "approx_distinct"] - true) / true < 0.05
