@@ -1956,6 +1956,16 @@ def _q_events_hourly_anomaly(sf_dir: str):
     return events_hourly_anomaly(sf_dir)
 
 
+def _q_events_sequence_match(sf_dir: str):
+    """MATCH_RECOGNIZE-lite: per-user event-type strings scanned by a
+    compiled regex ('sv*p' = signup → views → purchase), one scan per
+    USER; oracle = string_agg + RE2 with the lazy-prefix match-pos
+    trick (raycrawl/ops/relational.py)."""
+    from raycrawl.ops.relational import events_sequence_match
+
+    return events_sequence_match(sf_dir)
+
+
 def _q_events_type_transitions(sf_dir: str):
     """First-order Markov transition counts (prev_type → type, 'START'
     sentinel at user boundaries) — one user-hash shuffle, driver fold
@@ -2703,6 +2713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_approx_users": _q_events_daily_approx_users,
         "events_weekly_active": _q_events_weekly_active,
         "events_type_transitions": _q_events_type_transitions,
+        "events_sequence_match": _q_events_sequence_match,
         "events_user_gap_median": _q_events_user_gap_median,
         "customer_segment_cube": _q_customer_segment_cube,
         "events_user_top_type": _q_events_user_top_type,
@@ -4064,6 +4075,19 @@ def oracle_sql() -> dict[str, str]:
             "  AS n_users FROM days d JOIN au a "
             "  ON a.day BETWEEN d.day - INTERVAL 6 DAY AND d.day "
             "GROUP BY 1"
+        ),
+        # event types have distinct first letters, so substr(,1,1) is
+        # the char encoding; match_pos = length of the lazy prefix
+        # group before the leftmost match (RE2 ≡ Python re.search)
+        "events_sequence_match": (
+            "WITH w AS (SELECT user_id, "
+            "  string_agg(substr(event_type, 1, 1), '' "
+            "    ORDER BY ts, event_id) AS seq FROM events "
+            "  GROUP BY user_id) "
+            "SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len, "
+            "CAST(length(regexp_extract(seq, '^(.*?)sv*p', 1)) "
+            "  AS BIGINT) AS match_pos "
+            "FROM w WHERE regexp_matches(seq, 'sv*p')"
         ),
         "events_type_transitions": (
             "WITH w AS (SELECT user_id, event_type, "

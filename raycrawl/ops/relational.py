@@ -1933,3 +1933,49 @@ def events_user_gap_median(sf_dir: str) -> pd.DataFrame:
     out = partitioned_map_partitions(ev, "user_id", med_part).to_pandas()
     out = out.astype({"user_id": "int64", "median_gap_sec": "int64"})
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def events_sequence_match(sf_dir: str, pattern: str = "sv*p"
+                          ) -> pd.DataFrame:
+    """Sequence-pattern detection over per-user event streams — the
+    MATCH_RECOGNIZE-lite primitive: each user's events (ordered by ts,
+    event_id) collapse to a character string (one char per event type,
+    the types' distinct first letters), and users whose string matches
+    the regex are returned with (seq_len, match_pos = leftmost match
+    start). The default ``sv*p`` = "signup, any number of views, then
+    purchase" — the activation-funnel shape as a pattern.
+
+    Distributed shape: ONE user-hash shuffle; inside each partition one
+    mergesort + a vectorized char map + a C-level groupby string fold,
+    then one compiled-regex scan per USER (not per event — the string
+    is the compressed representation). The oracle states the identical
+    semantics with string_agg + RE2, and match_pos via the
+    lazy-prefix-group trick (length of the shortest prefix before the
+    leftmost match)."""
+    import re as _re
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+    rx = _re.compile(pattern)
+
+    def match_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        chars = g["event_type"].str[:1]
+        seqs = chars.groupby(g["user_id"], sort=False).agg("".join)
+        out_u, out_len, out_pos = [], [], []
+        for uid, s in seqs.items():
+            m = rx.search(s)
+            if m is not None:
+                out_u.append(int(uid))
+                out_len.append(len(s))
+                out_pos.append(m.start())
+        return pd.DataFrame({
+            "user_id": pd.Series(out_u, dtype="int64"),
+            "seq_len": pd.Series(out_len, dtype="int64"),
+            "match_pos": pd.Series(out_pos, dtype="int64")})
+
+    out = partitioned_map_partitions(ev, "user_id",
+                                     match_part).to_pandas()
+    out = out.astype({c: "int64" for c in out.columns})
+    return out.sort_values("user_id").reset_index(drop=True)

@@ -2372,3 +2372,25 @@ def test_grouped_approx_distinct_merge_invariance():
         assert got.loc[g, "approx_distinct"] == want
         true = sub["v"].nunique()
         assert abs(got.loc[g, "approx_distinct"] - true) / true < 0.05
+
+
+def test_events_sequence_match_leftmost(tmp_path):
+    # user 1: v s v v p c -> matches 'sv*p' at pos 1
+    # user 2: s c p       -> click breaks the v* run: no match
+    # user 3: s p         -> zero views still matches, pos 0
+    ev = pd.DataFrame({
+        "event_id": np.arange(11, dtype=np.int64),
+        "user_id": np.array([1] * 6 + [2] * 3 + [3] * 2, dtype=np.int64),
+        "ts": pd.date_range("2025-01-01", periods=11, freq="min"),
+        "event_type": ["view", "signup", "view", "view", "purchase",
+                       "click", "signup", "click", "purchase",
+                       "signup", "purchase"],
+        "value": 1.0})
+    ev.to_parquet(tmp_path / "events.parquet")
+
+    from raycrawl.ops.relational import events_sequence_match
+
+    got = events_sequence_match(str(tmp_path)).set_index("user_id")
+    assert got.loc[1, "match_pos"] == 1 and got.loc[1, "seq_len"] == 6
+    assert 2 not in got.index
+    assert got.loc[3, "match_pos"] == 0 and got.loc[3, "seq_len"] == 2
