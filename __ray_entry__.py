@@ -1956,6 +1956,16 @@ def _q_events_hourly_anomaly(sf_dir: str):
     return events_hourly_anomaly(sf_dir)
 
 
+def _q_text_top_tokens_per_lang(sf_dir: str):
+    """Grouped top-k by aggregate — per-language top-5 tokens: (lang,
+    tok)-keyed shuffle makes every token's total complete inside one
+    partition, per-partition per-lang top-k bounds the driver merge at
+    partitions × k rows (raycrawl/ops/textstats.py)."""
+    from raycrawl.ops.textstats import top_tokens_per_lang
+
+    return top_tokens_per_lang(sf_dir)
+
+
 def _q_events_sequence_match(sf_dir: str):
     """MATCH_RECOGNIZE-lite: per-user event-type strings scanned by a
     compiled regex ('sv*p' = signup → views → purchase), one scan per
@@ -2714,6 +2724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_weekly_active": _q_events_weekly_active,
         "events_type_transitions": _q_events_type_transitions,
         "events_sequence_match": _q_events_sequence_match,
+        "text_top_tokens_per_lang": _q_text_top_tokens_per_lang,
         "events_user_gap_median": _q_events_user_gap_median,
         "customer_segment_cube": _q_customer_segment_cube,
         "events_user_top_type": _q_events_user_top_type,
@@ -3406,6 +3417,19 @@ def oracle_sql() -> dict[str, str]:
             "WHERE n_tokens >= (SELECT thr FROM t)"
         ),
         # corpus vocabulary: total + exact distinct whitespace tokens
+        "text_top_tokens_per_lang": (
+            "WITH w AS (SELECT lang, CASE WHEN "
+            "  trim(COALESCE(text, '')) = '' THEN [''] "
+            "  ELSE regexp_split_to_array(trim(text), '\\s+') END "
+            "  AS toks FROM documents), "
+            "t AS (SELECT lang, unnest(toks) AS tok FROM w), "
+            "c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS n "
+            "  FROM t GROUP BY 1, 2), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY lang "
+            "  ORDER BY n DESC, tok) AS rnk FROM c) "
+            "SELECT lang, tok, n, CAST(rnk AS BIGINT) AS rnk "
+            "FROM r WHERE rnk <= 5"
+        ),
         "text_vocab": (
             "WITH w AS (SELECT CASE WHEN trim(COALESCE(text, '')) = '' "
             "  THEN [''] ELSE regexp_split_to_array(trim(text), '\\s+') "

@@ -830,3 +830,58 @@ def dup_ngram_stats(ds, ngram: int = 5, n_parts: int = 256,
     dens = ds.map_batches(denominators, batch_format="pandas")
     return partitioned_map_partitions(partials.union(dens), [id_col],
                                       fold, n_parts=n_parts)
+
+
+def top_tokens_per_lang(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Per-language top-k tokens by corpus frequency (ties break to the
+    lexicographically smaller token) — the grouped heavy-vocabulary
+    report (per-language stopword audit, tokenizer sanity check).
+
+    Exact WITHOUT materializing any language's vocabulary in one place:
+    per-batch (lang, tok) count partials shuffle on the (lang, tok) key
+    — so each token's total lands complete inside ONE coarse partition
+    — where a per-partition per-lang top-k keeps ≤ |langs|·k candidate
+    rows; the driver's final top-k over (partitions × k) candidates is
+    then provably the global answer (a token outside every partition
+    top-k cannot be in the global top-k). Same bounded-driver shape as
+    the commonness vocab machinery."""
+    import os as _os
+
+    import ray.data as rd
+
+    from .agg import partitioned_map_partitions
+
+    docs = rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"),
+                           columns=["lang", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        langs, toks = [], []
+        for lang, text in zip(b["lang"], b["text"]):
+            t = (text or "").strip()
+            parts = re.split(r"\s+", t) if t else [""]
+            langs.extend([lang] * len(parts))
+            toks.extend(parts)
+        return (pd.DataFrame({"lang": langs, "tok": toks})
+                .groupby(["lang", "tok"], as_index=False).size()
+                .rename(columns={"size": "n"}))
+
+    counts = docs.map_batches(partial, batch_format="pandas")
+
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby(["lang", "tok"], as_index=False)["n"].sum()
+        tot = tot.sort_values(["lang", "n", "tok"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        return tot.groupby("lang", sort=False).head(k)
+
+    cand = partitioned_map_partitions(counts, ["lang", "tok"],
+                                      local_topk).to_pandas()
+    cand = cand.sort_values(["lang", "n", "tok"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+    top = cand.groupby("lang", sort=False).head(k).copy()
+    top["rnk"] = top.groupby("lang", sort=False).cumcount() + 1
+    top["n"] = top["n"].astype("int64")
+    top["rnk"] = top["rnk"].astype("int64")
+    return (top[["lang", "tok", "n", "rnk"]]
+            .sort_values(["lang", "rnk"]).reset_index(drop=True))

@@ -2394,3 +2394,24 @@ def test_events_sequence_match_leftmost(tmp_path):
     assert got.loc[1, "match_pos"] == 1 and got.loc[1, "seq_len"] == 6
     assert 2 not in got.index
     assert got.loc[3, "match_pos"] == 0 and got.loc[3, "seq_len"] == 2
+
+
+def test_top_tokens_per_lang_exact_topk(tmp_path):
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "lang": ["en", "en", "fr", "fr"],
+        "text": ["a a a b b c", "b b a", "x y y", "y z"],
+        "source": "s", "n_chars": np.int64(1)})
+    docs.to_parquet(tmp_path / "documents.parquet")
+
+    from raycrawl.ops.textstats import top_tokens_per_lang
+
+    got = top_tokens_per_lang(str(tmp_path), k=2)
+    en = got[got["lang"] == "en"]
+    # en counts: a=4, b=4, c=1 -> tie a/b breaks lexicographically
+    assert en["tok"].tolist() == ["a", "b"]
+    assert en["n"].tolist() == [4, 4]
+    assert en["rnk"].tolist() == [1, 2]
+    fr = got[got["lang"] == "fr"]
+    assert fr["tok"].tolist() == ["y", "x"]  # y=3, x/z tie -> x
+    assert fr["n"].tolist() == [3, 1]
