@@ -2505,6 +2505,16 @@ def _q_interval_join(sf_dir: str):
     return out.sort_values(["interval_id", "event_id"]).reset_index(drop=True)
 
 
+def _q_part_pair_affinity(sf_dir: str):
+    """Market-basket pair mining — top-20 part pairs co-occurring in an
+    order: per-order triu scan (pair volume Σ C(basket,2)), pair-keyed
+    count shuffle, provably-exact bounded candidate top-k merge
+    (raycrawl/ops/relational.py)."""
+    from raycrawl.ops.relational import part_pair_affinity
+
+    return part_pair_affinity(sf_dir)
+
+
 def _q_q5(sf_dir: str):
     """TPC-H Q5 shape: 6-table star join — region/nation/supplier/
     filtered-customer broadcast as key→nation maps, orders date-pruned
@@ -2758,6 +2768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interval_join": _q_interval_join,
         "q3_shipping_priority": _q_q3,
         "q5_local_supplier_volume": _q_q5,
+        "part_pair_affinity": _q_part_pair_affinity,
         "quantiles_order_totals": _q_quantile_selection,
     }
 
@@ -4510,6 +4521,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         # classic Q3: three-way join, integer-cents revenue, top 10 by
         # (revenue desc, orderdate, orderkey)
+        "part_pair_affinity": (
+            "WITH p AS (SELECT DISTINCT l_orderkey, l_partkey "
+            "  FROM lineitem), "
+            "pp AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+            "  CAST(count(*) AS BIGINT) AS n "
+            "  FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey "
+            "  AND a.l_partkey < b.l_partkey GROUP BY 1, 2), "
+            "r AS (SELECT *, row_number() OVER (ORDER BY n DESC, "
+            "  part_a, part_b) AS rnk FROM pp) "
+            "SELECT part_a, part_b, n, CAST(rnk AS BIGINT) AS rnk "
+            "FROM r WHERE rnk <= 20"
+        ),
         "q5_local_supplier_volume": (
             "SELECT n_name, "
             "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) "

@@ -1979,3 +1979,69 @@ def events_sequence_match(sf_dir: str, pattern: str = "sv*p"
                                      match_part).to_pandas()
     out = out.astype({c: "int64" for c in out.columns})
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def part_pair_affinity(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Market-basket co-occurrence — the top-k part PAIRS appearing in
+    the same order (frequent-itemset mining's pair stage; ties break to
+    the lexicographically smaller pair). The co-view/co-purchase
+    affinity primitive behind related-items features.
+
+    Distributed shape: distinct (order, part) pairs (map-side
+    combiner), one order-hash shuffle co-locating each order's parts,
+    per-order pair generation via the sorted-run triu scan (baskets are
+    small — pair volume is Σ C(basket,2), never n²), a second
+    pair-keyed shuffle summing counts — so each pair's total is
+    complete inside ONE partition — and per-partition top-k candidates
+    whose driver merge is provably the global top-k (same argument as
+    :func:`raycrawl.ops.textstats.top_tokens_per_lang`)."""
+    from .agg import partitioned_map_partitions
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["l_orderkey", "l_partkey"]].drop_duplicates()
+
+    pairs_in = li.map_batches(combine, batch_format="pandas")
+
+    def order_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates(["l_orderkey", "l_partkey"])
+             .sort_values(["l_orderkey", "l_partkey"], kind="mergesort"))
+        ok = g["l_orderkey"].to_numpy(np.int64)
+        pk = g["l_partkey"].to_numpy(np.int64)
+        new = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new[1:] = ok[1:] != ok[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(g))
+        frames = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ia, ib = np.triu_indices(e - s, k=1)
+            frames.append(pd.DataFrame({"part_a": pk[s + ia],
+                                        "part_b": pk[s + ib]}))
+        if not frames:
+            return pd.DataFrame({"part_a": pd.Series(dtype="int64"),
+                                 "part_b": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        return (pd.concat(frames, ignore_index=True)
+                .groupby(["part_a", "part_b"], as_index=False).size()
+                .rename(columns={"size": "n"}))
+
+    cand = partitioned_map_partitions(pairs_in, "l_orderkey", order_pairs)
+
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby(["part_a", "part_b"], as_index=False)["n"].sum()
+        return tot.sort_values(["n", "part_a", "part_b"],
+                               ascending=[False, True, True],
+                               kind="mergesort").head(k)
+
+    top = partitioned_map_partitions(cand, ["part_a", "part_b"],
+                                     local_topk).to_pandas()
+    top = top.sort_values(["n", "part_a", "part_b"],
+                          ascending=[False, True, True],
+                          kind="mergesort").head(k).copy()
+    top["rnk"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    top = top.astype({c: "int64" for c in top.columns})
+    return top.reset_index(drop=True)

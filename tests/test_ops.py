@@ -2415,3 +2415,24 @@ def test_top_tokens_per_lang_exact_topk(tmp_path):
     fr = got[got["lang"] == "fr"]
     assert fr["tok"].tolist() == ["y", "x"]  # y=3, x/z tie -> x
     assert fr["n"].tolist() == [3, 1]
+
+
+def test_part_pair_affinity_basket_pairs(tmp_path):
+    # order 1: parts {10, 20, 30} (10 repeated -> distinct once)
+    # order 2: parts {10, 20}
+    # order 3: single part -> no pairs
+    li = pd.DataFrame({
+        "l_orderkey": np.array([1, 1, 1, 1, 2, 2, 3], dtype=np.int64),
+        "l_partkey": np.array([10, 10, 20, 30, 10, 20, 99],
+                              dtype=np.int64)})
+    li.to_parquet(tmp_path / "lineitem.parquet")
+
+    from raycrawl.ops.relational import part_pair_affinity
+
+    got = part_pair_affinity(str(tmp_path), k=10)
+    idx = got.set_index(["part_a", "part_b"])["n"]
+    assert idx[(10, 20)] == 2
+    assert idx[(10, 30)] == 1
+    assert idx[(20, 30)] == 1
+    assert len(got) == 3
+    assert got.iloc[0][["part_a", "part_b", "rnk"]].tolist() == [10, 20, 1]
