@@ -2013,14 +2013,22 @@ def part_pair_affinity(sf_dir: str, k: int = 20) -> pd.DataFrame:
         if len(g) > 1:
             new[1:] = ok[1:] != ok[:-1]
         starts = np.flatnonzero(new)
-        ends = np.append(starts[1:], len(g))
+        sizes = np.append(starts[1:], len(g)) - starts
+        # vectorize by basket SIZE: all orders with c parts stack into
+        # one (n_orders, c) matrix, whose column-pair gathers emit every
+        # pair at once — the loop runs per DISTINCT basket size (a
+        # handful), never per order
         frames = []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
+        for c in np.unique(sizes):
+            if c < 2:
                 continue
-            ia, ib = np.triu_indices(e - s, k=1)
-            frames.append(pd.DataFrame({"part_a": pk[s + ia],
-                                        "part_b": pk[s + ib]}))
+            s_c = starts[sizes == c]
+            mat = pk[(s_c[:, None]
+                      + np.arange(c, dtype=np.int64)[None, :])]
+            ia, ib = np.triu_indices(int(c), k=1)
+            frames.append(pd.DataFrame({
+                "part_a": mat[:, ia].ravel(),
+                "part_b": mat[:, ib].ravel()}))
         if not frames:
             return pd.DataFrame({"part_a": pd.Series(dtype="int64"),
                                  "part_b": pd.Series(dtype="int64"),
