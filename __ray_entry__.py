@@ -2505,6 +2505,16 @@ def _q_interval_join(sf_dir: str):
     return out.sort_values(["interval_id", "event_id"]).reset_index(drop=True)
 
 
+def _q_customer_rfm(sf_dir: str):
+    """RFM segmentation: one map-side-combinable fold for all three
+    metrics, then three ntile_over range-bucket rankings (R ascending,
+    F/M descending; floor tiles + custkey tie-break replayed verbatim
+    by the oracle) (raycrawl/ops/relational.py::customer_rfm)."""
+    from raycrawl.ops.relational import customer_rfm
+
+    return customer_rfm(sf_dir)
+
+
 def _q_part_pair_affinity(sf_dir: str):
     """Market-basket pair mining — top-20 part pairs co-occurring in an
     order: per-order triu scan (pair volume Σ C(basket,2)), pair-keyed
@@ -2769,6 +2779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": _q_q3,
         "q5_local_supplier_volume": _q_q5,
         "part_pair_affinity": _q_part_pair_affinity,
+        "customer_rfm": _q_customer_rfm,
         "quantiles_order_totals": _q_quantile_selection,
     }
 
@@ -4521,6 +4532,29 @@ def oracle_sql() -> dict[str, str]:
         ),
         # classic Q3: three-way join, integer-cents revenue, top 10 by
         # (revenue desc, orderdate, orderkey)
+        # three floor-division quartiles over the same per-customer
+        # fold; R ranks ascending (fresher = tile 1), F/M descending
+        "customer_rfm": (
+            "WITH t AS (SELECT o_custkey AS c_custkey, "
+            "  CAST(date_diff('day', date_trunc('day', "
+            "    max(o_orderdate)), DATE '1998-08-01') AS BIGINT) "
+            "    AS recency_days, "
+            "  CAST(count(*) AS BIGINT) AS frequency, "
+            "  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) "
+            "    AS BIGINT)) AS BIGINT) AS monetary_cents "
+            "  FROM orders GROUP BY 1), "
+            "r AS (SELECT t.*, count(*) OVER () AS n, "
+            "  row_number() OVER (ORDER BY recency_days, c_custkey) "
+            "    - 1 AS r0, "
+            "  row_number() OVER (ORDER BY frequency DESC, c_custkey) "
+            "    - 1 AS f0, "
+            "  row_number() OVER (ORDER BY monetary_cents DESC, "
+            "    c_custkey) - 1 AS m0 FROM t) "
+            "SELECT c_custkey, recency_days, frequency, monetary_cents, "
+            "CAST(r0 * 4 // n + 1 AS BIGINT) AS r_score, "
+            "CAST(f0 * 4 // n + 1 AS BIGINT) AS f_score, "
+            "CAST(m0 * 4 // n + 1 AS BIGINT) AS m_score FROM r"
+        ),
         "part_pair_affinity": (
             "WITH p AS (SELECT DISTINCT l_orderkey, l_partkey "
             "  FROM lineitem), "

@@ -1203,6 +1203,69 @@ def events_lag_value(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def ntile_over(totals, key_col: str, value_col: str, tiles: int = 4,
+               n_buckets: int = 64, ascending: bool = False
+               ) -> pd.DataFrame:
+    """Generic distributed NTILE over a Dataset of (key, integer value)
+    rows → DataFrame(key, value, tile) with tile = rank0·tiles // n + 1
+    (rank by value, ``ascending`` picks the direction, key breaks
+    ties). The reusable core of :func:`users_value_ntile`, shared by
+    the RFM scorer — see that docstring for the range-bucket scale
+    argument (pass 1 scalar min/max fold, pass 2 bucket counts → driver
+    prefix offsets, pass 3 within-bucket sorts)."""
+    from .agg import partitioned_map_partitions
+
+    totals = totals.materialize()
+    lo, hi, n = None, None, 0
+    for b in totals.iter_batches(batch_format="pandas", batch_size=None):
+        if not len(b):
+            continue
+        t = b[value_col]
+        lo = t.min() if lo is None else min(lo, t.min())
+        hi = t.max() if hi is None else max(hi, t.max())
+        n += len(b)
+    if n == 0:
+        return pd.DataFrame({key_col: pd.Series([], dtype="int64"),
+                             value_col: pd.Series([], dtype="int64"),
+                             "tile": pd.Series([], dtype="int64")})
+    lo, hi = int(lo), int(hi)
+    span = hi - lo + 1
+    int_safe = span <= (2**63 - 1) // n_buckets
+
+    def bucketed(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[value_col].to_numpy(np.int64)
+        key = (v - lo) if ascending else (hi - v)
+        if int_safe:
+            bucket = key * n_buckets // span
+        else:
+            bucket = np.minimum(
+                (key.astype(np.float64) * n_buckets / span).astype(np.int64),
+                n_buckets - 1)
+        return b.assign(__key=key, __bucket=bucket.astype("int64"))
+
+    keyed = totals.map_batches(bucketed,
+                               batch_format="pandas").materialize()
+    counts = np.zeros(n_buckets, dtype=np.int64)
+    for b in keyed.iter_batches(batch_format="pandas", batch_size=None):
+        if len(b):
+            np.add.at(counts, b["__bucket"].to_numpy(np.int64),
+                      np.ones(len(b), dtype=np.int64))
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__bucket", "__key", key_col],
+                          kind="mergesort")
+        local = g.groupby("__bucket", sort=False).cumcount().to_numpy()
+        r0 = offsets[g["__bucket"].to_numpy(np.int64)] + local
+        g = g.assign(tile=(r0 * tiles // n + 1).astype("int64"))
+        return g[[key_col, value_col, "tile"]]
+
+    out = partitioned_map_partitions(keyed, "__bucket", rank_part,
+                                     n_parts=min(64, n_buckets)).to_pandas()
+    out = out.astype({c: "int64" for c in out.columns})
+    return out.sort_values(key_col).reset_index(drop=True)
+
+
 def users_value_ntile(sf_dir: str, tiles: int = 4,
                       n_buckets: int = 64) -> pd.DataFrame:
     """Distributed NTILE — rank every user by total event value
@@ -1233,59 +1296,13 @@ def users_value_ntile(sf_dir: str, tiles: int = 4,
 
     totals = aggregate_partials_ds(
         ev, total_part, keys=["user_id"],
-        agg_spec={"total_value_millis": "sum"}).materialize()
-
-    lo, hi, n = None, None, 0
-    for b in totals.iter_batches(batch_format="pandas", batch_size=None):
-        if not len(b):
-            continue
-        t = b["total_value_millis"]
-        lo = t.min() if lo is None else min(lo, t.min())
-        hi = t.max() if hi is None else max(hi, t.max())
-        n += len(b)
-    if n == 0:
-        return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
-                             "total_value_millis": pd.Series([], dtype="int64"),
-                             "tile": pd.Series([], dtype="int64")})
-    lo, hi = int(lo), int(hi)
-    span = hi - lo + 1
-
-    # key·B must not wrap int64; past that, float bucketing stays safe
-    # (IEEE multiply/divide are monotone, and bucket boundaries only
-    # need monotonicity in key — ranks come from the within-bucket sort)
-    int_safe = span <= (2**63 - 1) // n_buckets
-
-    def bucketed(b: pd.DataFrame) -> pd.DataFrame:
-        key = hi - b["total_value_millis"].to_numpy(np.int64)
-        if int_safe:
-            bucket = key * n_buckets // span
-        else:
-            bucket = np.minimum(
-                (key.astype(np.float64) * n_buckets / span).astype(np.int64),
-                n_buckets - 1)
-        return b.assign(__key=key, __bucket=bucket.astype("int64"))
-
-    keyed = totals.map_batches(bucketed,
-                               batch_format="pandas").materialize()
-    counts = np.zeros(n_buckets, dtype=np.int64)
-    for b in keyed.iter_batches(batch_format="pandas", batch_size=None):
-        if len(b):
-            np.add.at(counts, b["__bucket"].to_numpy(np.int64),
-                      np.ones(len(b), dtype=np.int64))
-    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
-
-    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["__bucket", "__key", "user_id"],
-                          kind="mergesort")
-        local = g.groupby("__bucket", sort=False).cumcount().to_numpy()
-        r0 = offsets[g["__bucket"].to_numpy(np.int64)] + local
-        g = g.assign(tile=(r0 * tiles // n + 1).astype("int64"))
-        return g[["user_id", "total_value_millis", "tile"]]
-
-    out = partitioned_map_partitions(keyed, "__bucket", rank_part,
-                                     n_parts=min(64, n_buckets)).to_pandas()
-    out = out.astype({c: "int64" for c in out.columns})
-    return out.sort_values("user_id").reset_index(drop=True)
+        agg_spec={"total_value_millis": "sum"})
+    # key·B must not wrap int64; past that, ntile_over's float bucketing
+    # stays safe (IEEE multiply/divide are monotone, and bucket
+    # boundaries only need monotonicity — ranks come from the
+    # within-bucket sort)
+    return ntile_over(totals, "user_id", "total_value_millis",
+                      tiles=tiles, n_buckets=n_buckets, ascending=False)
 
 
 def users_value_rank(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
@@ -2053,3 +2070,65 @@ def part_pair_affinity(sf_dir: str, k: int = 20) -> pd.DataFrame:
     top["rnk"] = np.arange(1, len(top) + 1, dtype=np.int64)
     top = top.astype({c: "int64" for c in top.columns})
     return top.reset_index(drop=True)
+
+
+def customer_rfm(sf_dir: str, tiles: int = 4,
+                 asof: str = "1998-08-01") -> pd.DataFrame:
+    """RFM segmentation — the classic customer scoring: per customer
+    over their orders, Recency (days since last order at the ``asof``
+    instant), Frequency (order count) and Monetary (exact total cents),
+    each quartiled by :func:`ntile_over` (R ranks ascending — fresher
+    is better; F and M descending — more is better; floor-division
+    tiles, customer id tie-break — the oracle replays all three
+    verbatim). Customers with no orders are absent (inner semantics).
+
+    Distributed shape: ONE aggregate_partials_ds pass folds all three
+    metrics (max/ count/ sum are all map-side combinable), then three
+    ntile_over rankings over the same materialized per-customer totals
+    — each is the O(n_buckets)-driver range-bucket machinery, never a
+    global sort."""
+    import ray.data as rd
+
+    from .agg import aggregate_partials_ds
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"])
+    asof_day = np.datetime64(asof, "D")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "c_custkey": b["o_custkey"].astype("int64"),
+            "last_day": b["o_orderdate"].to_numpy("datetime64[D]")
+            .astype("int64"),
+            "frequency": np.int64(1),
+            "monetary_cents": np.floor(
+                b["o_totalprice"] * 100 + 0.5).astype("int64")})
+        return g.groupby("c_custkey", as_index=False).agg(
+            last_day=("last_day", "max"), frequency=("frequency", "sum"),
+            monetary_cents=("monetary_cents", "sum"))
+
+    totals = aggregate_partials_ds(
+        orders, partial, keys=["c_custkey"],
+        agg_spec={"last_day": "max", "frequency": "sum",
+                  "monetary_cents": "sum"}).materialize()
+
+    def recency(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_custkey": b["c_custkey"],
+            "recency_days": (int(asof_day.astype("int64"))
+                             - b["last_day"].to_numpy(np.int64))})
+
+    r = ntile_over(totals.map_batches(recency, batch_format="pandas"),
+                   "c_custkey", "recency_days", tiles=tiles,
+                   ascending=True).rename(columns={"tile": "r_score"})
+    f = ntile_over(totals.select_columns(["c_custkey", "frequency"]),
+                   "c_custkey", "frequency", tiles=tiles,
+                   ascending=False).rename(columns={"tile": "f_score"})
+    m = ntile_over(totals.select_columns(["c_custkey", "monetary_cents"]),
+                   "c_custkey", "monetary_cents", tiles=tiles,
+                   ascending=False).rename(columns={"tile": "m_score"})
+    out = r.merge(f, on="c_custkey").merge(m, on="c_custkey")
+    out = out[["c_custkey", "recency_days", "frequency",
+               "monetary_cents", "r_score", "f_score", "m_score"]]
+    out = out.astype({c: "int64" for c in out.columns})
+    return out.sort_values("c_custkey").reset_index(drop=True)

@@ -2436,3 +2436,28 @@ def test_part_pair_affinity_basket_pairs(tmp_path):
     assert idx[(20, 30)] == 1
     assert len(got) == 3
     assert got.iloc[0][["part_a", "part_b", "rnk"]].tolist() == [10, 20, 1]
+
+
+def test_customer_rfm_scores(tmp_path):
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(6, dtype=np.int64),
+        "o_custkey": np.array([1, 1, 1, 2, 3, 4], dtype=np.int64),
+        "o_orderdate": pd.to_datetime(
+            ["1998-07-01", "1998-06-01", "1998-01-01",
+             "1998-07-31", "1997-01-01", "1996-01-01"]),
+        "o_totalprice": [100.0, 50.0, 25.0, 10.0, 1000.0, 5.0]})
+    orders.to_parquet(tmp_path / "orders.parquet")
+
+    from raycrawl.ops.relational import customer_rfm
+
+    got = customer_rfm(str(tmp_path)).set_index("c_custkey")
+    # cust 1: last 1998-07-01 -> recency 31, freq 3, monetary 17500
+    assert got.loc[1, ["recency_days", "frequency",
+                       "monetary_cents"]].tolist() == [31, 3, 17500]
+    # recency asc order: 2 (1d), 1 (31d), 3, 4 -> r0 = 0,1,2,3 over n=4
+    assert got.loc[2, "r_score"] == 1 and got.loc[1, "r_score"] == 2
+    assert got.loc[3, "r_score"] == 3 and got.loc[4, "r_score"] == 4
+    # frequency desc: cust 1 (3 orders) first -> f_score 1
+    assert got.loc[1, "f_score"] == 1
+    # monetary desc: cust 3 (100000c) first, cust 4 (500c) last
+    assert got.loc[3, "m_score"] == 1 and got.loc[4, "m_score"] == 4
